@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from hazelcast_jet_contrib_spark import get_spark
+    from hazelcast_jet_contrib_spark.registry import QUERIES
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # keep the harness alive; surface per-query
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""SparkSession factory with configuration tuned for both local testing
+and large-cluster (100 TB-class) execution.
+
+Defaults follow the public Spark tuning guidance: AQE enabled (runtime
+coalescing, skew-join handling), Arrow for the Python boundary, UTC
+session timezone (required for oracle comparison against DuckDB, whose
+timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle parallelism: on a real cluster this should be ~2-3x total cores
+# (or left to AQE's coalescing with a high initial value). Locally we match
+# the advertised core count so tiny test data isn't over-parallelized.
+_DEFAULT_LOCAL_CORES = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "hazelcast_jet_contrib_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with scale-appropriate defaults.
+
+    On a cluster, pass ``master=None`` and let spark-submit supply the
+    master; locally defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cores = _DEFAULT_LOCAL_CORES
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # --- optimizer / runtime re-planning -------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ------------------------------------------------
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cores),
+        )
+        # --- python boundary: Arrow batches, never row-at-a-time -----------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism for oracle comparison -----------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); read as long + convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- quieter local runs -------------------------------------------
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cores}]")
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load the driver's parquet tables from ``sf_dir`` as DataFrames.
+
+    Returns a dict name -> DataFrame. Parquet scans get predicate pushdown
+    and column pruning from Catalyst automatically.
+    """
+    all_names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in all_names}

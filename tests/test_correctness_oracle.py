@@ -1,0 +1,39 @@
+"""Every registered query with a SQL oracle must hash-match DuckDB on the
+sf0.001 smoke tables — the local mirror of the driver's t2 gate (which
+runs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SMOKE_SF, compare_with_oracle
+
+
+def _names():
+    from hazelcast_jet_contrib_spark.registry import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, name):
+    compare_with_oracle(spark, name, SMOKE_SF)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_every_query_runs(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert qs
+    for name, fn in qs.items():
+        df = fn(spark, SMOKE_SF)
+        assert df.columns, name
