@@ -1,0 +1,97 @@
+"""Connector-shaped queries: the source-builder framework exercised over
+the driver's tables acting as external systems (SURVEY.md §2.1 S3-S6,
+S1-S2). Each demonstrates the reference's contract — partitioned client
+reads, server-side filter/projection pushdown — through the DuckDB
+oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hazelcast_jet_contrib_spark.registry import query
+from hazelcast_jet_contrib_spark.sources.docstore import docstore_source
+from hazelcast_jet_contrib_spark.sources.kv import kv_source, sorted_set_source
+from hazelcast_jet_contrib_spark.sources.timeseries import measurement_source
+
+
+# S3 RedisSources.hash — KV snapshot read emitting (key, value) entries.
+@query(
+    "kv_hash_snapshot",
+    oracle="""
+    SELECT c_name AS key, CAST(c_custkey AS VARCHAR) AS value
+    FROM customer
+    """,
+)
+def kv_hash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kv_source(
+        spark, "kv-customer", f"{sf_dir}/customer.parquet", key_col="c_name", value_col="c_custkey"
+    )
+
+
+# S4 RedisSources.sortedSet — ZRANGEBYSCORE with the range evaluated
+# server-side (both ends inclusive, RedisSourceTest.java:114-127).
+@query(
+    "sorted_set_range",
+    oracle="""
+    SELECT value AS score, CAST(event_id AS VARCHAR) AS member
+    FROM events
+    WHERE value BETWEEN 10.0 AND 50.0
+    """,
+)
+def sorted_set_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_set_source(
+        spark,
+        "zset-events",
+        f"{sf_dir}/events.parquet",
+        score_col="value",
+        member_col="event_id",
+        score_from=10.0,
+        score_to=50.0,
+    )
+
+
+# S6 MongoDBSources.batch — find(filter, projection) pushed into the
+# store (90-of-100 contract, MongoDBSourceTest.java:97-123).
+@query(
+    "docstore_find_pushdown",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 300 AND lang IN ('en', 'de')
+    """,
+)
+def docstore_find_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docstore_source(
+        spark,
+        "docs-find",
+        f"{sf_dir}/documents.parquet",
+        schema="doc_id long, lang string, n_chars long",
+        filter={"n_chars": {"$gte": 300}, "lang": {"$in": ["en", "de"]}},
+        projection=["doc_id", "lang", "n_chars"],
+    )
+
+
+# S1 InfluxDbSources.influxDb — measurement query with time-range
+# pushdown, long-format (name, tags, time, field, value) projection.
+@query(
+    "measurement_timeseries_read",
+    oracle="""
+    SELECT 'events' AS measurement, event_type AS tag,
+           CAST(ts AS TIMESTAMP) AS time, 'value' AS field, value AS val
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def measurement_timeseries_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return measurement_source(
+        spark,
+        "ts-events",
+        f"{sf_dir}/events.parquet",
+        measurement="events",
+        time_col="ts",
+        tag_col="event_type",
+        field_cols=["value"],
+        time_from="2024-01-10 00:00:00",
+        time_to="2024-01-12 00:00:00",
+    )

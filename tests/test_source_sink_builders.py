@@ -1,0 +1,181 @@
+"""Source/sink builder framework tests — the reference's connector
+contracts: partitioned client reads, manual pushdown, buffered flushing
+writers with retry (MqttSinkTest.test_retryStrategy contract:
+fail-k-times-then-succeed passes when max_attempts > k, fails at 1).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.sinks.builder import RetryStrategy, SinkBuilder
+from hazelcast_jet_contrib_spark.sources.builder import batch_source
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------------------
+# BatchSourceBuilder
+# ----------------------------------------------------------------------
+def test_batch_source_partitions_and_lifecycle(spark, tmp_path):
+    """Each partition descriptor gets its own client create/destroy; rows
+    from all partitions land in one DataFrame."""
+    marker_dir = str(tmp_path)
+
+    def connection():
+        return {"opened": True}
+
+    def search(client, part, flt, proj):
+        assert client["opened"]
+        for i in range(10):
+            yield {"part": part, "i": i}
+
+    def destroy(client):
+        # visible side effect per client (executor-side -> file system)
+        with open(os.path.join(marker_dir, f"destroy-{os.getpid()}-{id(client)}"), "w") as f:
+            f.write("1")
+
+    df = (
+        batch_source(
+            "t",
+            schema="part long, i long",
+            search_fn=search,
+            connection_fn=connection,
+            destroy_fn=destroy,
+            partitions=[0, 1, 2, 3],
+        )
+        .build(spark)
+    )
+    assert df.count() == 40
+    assert df.select("part").distinct().count() == 4
+    assert df.rdd.getNumPartitions() == 4
+    assert len(glob.glob(f"{marker_dir}/destroy-*")) >= 4
+
+
+def test_batch_source_filter_forwarded(spark):
+    """filter/projection arguments reach search_fn verbatim (manual
+    pushdown, MongoDBSources.java:93)."""
+
+    def search(client, part, flt, proj):
+        lo, hi = flt
+        for v in range(lo, hi):
+            yield {"v": v}
+
+    df = batch_source(
+        "rng", schema="v long", search_fn=search, filter=(5, 9)
+    ).build(spark)
+    assert sorted(r["v"] for r in df.collect()) == [5, 6, 7, 8]
+
+
+def test_batch_source_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        batch_source.__wrapped__ if False else None
+        from hazelcast_jet_contrib_spark.sources.builder import BatchSourceBuilder
+
+        BatchSourceBuilder("x").search_fn(lambda *a: []).build(spark)
+
+
+def test_batch_source_composes_with_catalyst(spark):
+    """The source DataFrame is a normal DataFrame: filters/projections
+    compose above it."""
+
+    def search(client, part, flt, proj):
+        yield from ({"k": i, "s": str(i)} for i in range(100))
+
+    df = batch_source("c", schema="k long, s string", search_fn=search).build(spark)
+    out = df.filter(F.col("k") >= 90).select("s")
+    assert out.count() == 10
+
+
+# ----------------------------------------------------------------------
+# SinkBuilder
+# ----------------------------------------------------------------------
+def _spool_sink(spool_dir: str, batch_size: int = 32, retry=None, fail_times: int = 0):
+    """A sink writing JSON-line files per flush into a spool directory —
+    the test stand-in for an external store."""
+
+    def create(writer_id):
+        return {"id": writer_id, "buf": [], "flushes": 0}
+
+    def receive(ctx, row):
+        ctx["buf"].append(row.asDict() if hasattr(row, "asDict") else dict(row))
+
+    def flush(ctx):
+        # transient failure injection (MqttSinkTest retry contract)
+        fail_marker = os.path.join(spool_dir, f"fails-{ctx['id']}")
+        n_failed = len(glob.glob(fail_marker + "-*"))
+        if n_failed < fail_times:
+            open(f"{fail_marker}-{n_failed}", "w").close()
+            raise IOError("transient")
+        if not ctx["buf"]:
+            return
+        path = os.path.join(spool_dir, f"{ctx['id']}-{ctx['flushes']}.jsonl")
+        with open(path, "w") as f:
+            for r in ctx["buf"]:
+                f.write(json.dumps(r, default=str) + "\n")
+        ctx["flushes"] += 1
+        ctx["buf"] = []
+
+    b = (
+        SinkBuilder("spool")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .batch_size(batch_size)
+    )
+    if retry is not None:
+        b = b.retry(retry)
+    return b
+
+
+def _read_spool(spool_dir: str) -> list[dict]:
+    rows = []
+    for p in glob.glob(os.path.join(spool_dir, "*.jsonl")):
+        with open(p) as f:
+            rows.extend(json.loads(line) for line in f)
+    return rows
+
+
+def test_sink_buffered_flush(spark, tmp_path):
+    spool = str(tmp_path)
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    _spool_sink(spool, batch_size=16).write(df)
+    rows = _read_spool(spool)
+    assert len(rows) == 100
+    assert sorted(r["id"] for r in rows) == list(range(100))
+
+
+def test_sink_retry_recovers_transient_failures(spark, tmp_path):
+    spool = str(tmp_path)
+    df = spark.range(20).coalesce(1)
+    _spool_sink(
+        spool, batch_size=1000, retry=RetryStrategy.constant(5, 0.01), fail_times=3
+    ).write(df)
+    assert len(_read_spool(spool)) == 20
+
+
+def test_sink_no_retry_fails(spark, tmp_path):
+    spool = str(tmp_path)
+    df = spark.range(5).coalesce(1)
+    with pytest.raises(Exception):
+        _spool_sink(spool, retry=RetryStrategy.never(), fail_times=1).write(df)
+
+
+def test_retry_strategy_unit():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("boom")
+        return "ok"
+
+    assert RetryStrategy.constant(5, 0.0).run(flaky) == "ok"
+    assert calls["n"] == 3
+    with pytest.raises(ValueError):
+        RetryStrategy.never().run(lambda: (_ for _ in ()).throw(ValueError("x")))
