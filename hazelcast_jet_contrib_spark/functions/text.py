@@ -1,0 +1,216 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines: tokenization, counting, quality scoring, language
+identification, fingerprinting, shingling.
+
+Every function is a pure Catalyst expression (JVM-side, codegen'd, no
+Python UDFs) so it runs at full scan speed over 100 TB — and each has an
+exact ANSI-SQL mirror used by the DuckDB oracle, which pins the
+semantics engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization & counting
+# ---------------------------------------------------------------------------
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lower-cased, trimmed text.
+    SQL mirror: regexp_split_to_array(lower(trim(x)), '\\s+')."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def word_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for blank/empty text.
+    SQL mirror: CASE WHEN trim(x)='' THEN 0 ELSE len(split(...)) END."""
+    c = _c(col)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+#: Explicit punctuation class — identical byte set in Spark (Java regex)
+#: and DuckDB (RE2), avoiding \p{Punct} vs [[:punct:]] class differences.
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>\-]"
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.regexp_count(_c(col), F.lit(PUNCT_CLASS))
+
+
+def digit_count(col: Column | str) -> Column:
+    return F.regexp_count(_c(col), F.lit("[0-9]"))
+
+
+#: Token estimate for budget accounting: word-ish runs + standalone
+#: non-space symbols (a cheap BPE-ish proxy; ~chars/4 for English).
+TOKEN_RUN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_estimate(col: Column | str) -> Column:
+    """Approximate LLM-token count: alnum runs + individual symbols.
+    SQL mirror: len(regexp_extract_all(x, pattern))."""
+    return F.regexp_count(_c(col), F.lit(TOKEN_RUN_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# stopwords / quality
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "is", "to", "in", "that", "it"]
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens that are stopwords.
+    SQL mirror: len(list_filter(tokens, t -> list_contains([...], t)))."""
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*sw)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    wc = word_count(col)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(
+        stopword_count(col, stopwords) / wc.cast("double")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length and
+    a natural stopword rate, penalizes punctuation/digit soup.
+
+        q = 0.4 * least(1, word_count/100)
+          + 0.3 * least(1, 4 * stopword_ratio)
+          + 0.3 * (1 - least(1, 4 * (punct_count + digit_count)/char_count))
+
+    Deterministic, SQL-mirrorable; ROUND(q, 4) for comparison.
+    """
+    c = _c(col)
+    wc = word_count(c).cast("double")
+    cc = char_count(c).cast("double")
+    noise = (punct_count(c) + digit_count(c)).cast("double")
+    len_term = F.least(F.lit(1.0), wc / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(c))
+    noise_term = 1 - F.least(
+        F.lit(1.0), F.when(cc == 0, F.lit(1.0)).otherwise(F.lit(4.0) * noise / cc)
+    )
+    return F.lit(0.4) * len_term + F.lit(0.3) * stop_term + F.lit(0.3) * noise_term
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token scoring)
+# ---------------------------------------------------------------------------
+
+#: Marker stopwords per language, ordered by tie-break priority. A real
+#: fasttext-style model would be a Pandas-UDF drop-in; this heuristic is
+#: fully expression-level and therefore scan-speed + oracle-checkable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "was", "with", "this"],
+    "es": ["el", "los", "las", "que", "una", "por", "como"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "les", "des", "est", "dans", "pour", "une"],
+}
+
+#: Han-script detection (zh wins outright if any CJK ideograph appears).
+CJK_PATTERN_SPARK = "[\\u4e00-\\u9fff]"
+CJK_PATTERN_DUCKDB = "[\\x{4e00}-\\x{9fff}]"
+
+
+def _marker_score(col: Column | str, lang: str) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language code in {zh,en,es,de,fr,und}: zh on any CJK
+    ideograph, else argmax of marker-token counts with priority-order
+    tie-break (en > es > de > fr), 'und' when every score is zero."""
+    c = _c(col)
+    en, es = _marker_score(c, "en"), _marker_score(c, "es")
+    de, fr = _marker_score(c, "de"), _marker_score(c, "fr")
+    return (
+        F.when(F.regexp_count(c, F.lit(CJK_PATTERN_SPARK)) > 0, F.lit("zh"))
+        .when((en + es + de + fr) == 0, F.lit("und"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_id_oracle_sql(text_expr: str) -> str:
+    """The exact DuckDB mirror of `lang_id` (kept adjacent so the two
+    definitions evolve together)."""
+
+    def score(lang: str) -> str:
+        members = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim({text_expr})), '\\s+'),"
+            f" t -> list_contains([{members}], t)))"
+        )
+
+    return f"""
+    CASE WHEN len(regexp_extract_all({text_expr}, '{CJK_PATTERN_DUCKDB}')) > 0 THEN 'zh'
+         WHEN {score('en')} + {score('es')} + {score('de')} + {score('fr')} = 0 THEN 'und'
+         WHEN {score('en')} >= {score('es')} AND {score('en')} >= {score('de')}
+              AND {score('en')} >= {score('fr')} THEN 'en'
+         WHEN {score('es')} >= {score('de')} AND {score('es')} >= {score('fr')} THEN 'es'
+         WHEN {score('de')} >= {score('fr')} THEN 'de'
+         ELSE 'fr' END
+    """
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting & shingling
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Robust to token reordering — a cheap bag-of-words dedup
+    key. SQL mirror: md5(array_to_string(list_sort(list_distinct(
+    tokens)), ' '))."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) — the Jaccard/MinHash input
+    set for token-level near-dup detection. Empty array when the text has
+    fewer than n tokens.
+    SQL mirror: list_distinct(list_transform(range(1, len(toks)-(n-2)),
+    i -> toks[i] || ' ' || ... || toks[i+n-1]))."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+                ),
+            )
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of lower(trim(text)) — the MinHash/
+    Jaccard input set. Empty array when the text is shorter than n.
+    SQL mirror: list_distinct([substr(t, i, n) for i in range(1,
+    len(t)-n+2)])."""
+    c = F.lower(F.trim(_c(col)))
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+                lambda i: F.substring(c, i, F.lit(n)),
+            )
+        )
+    )

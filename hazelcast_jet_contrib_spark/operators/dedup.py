@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+All are DataFrame→DataFrame transforms built from joins/aggregations the
+optimizer can plan (shuffle on content keys, partial aggregation, AQE
+skew handling). The only quadratic step anywhere is *within candidate
+buckets*, never across the corpus — that is what makes MinHash-LSH and
+SimHash the 100 TB scale path, with exact-Jaccard verification applied
+only to the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.functions.text import word_shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
+    """Keep exactly one row per distinct `subset` value — the winner is
+    the first under `order_by` (deterministic, unlike dropDuplicates).
+    Scale: one hash shuffle on the content key; for very long content
+    pre-hash with xxhash64 so the shuffle key is 8 bytes, not the text.
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word-n-gram shingle sets:
+    explode shingles → self-join on shingle → per-pair intersection count
+    → filter |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
+
+    Returns (id_a, id_b) with id_a < id_b. Exact but quadratic in the
+    per-shingle document frequency — use `minhash_lsh_pairs` at corpus
+    scale and keep this as the verifier inside candidate buckets.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    exploded = sh.select("id", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: sig[i] = min over shingles of xxhash64(shingle,
+    i). One expression, JVM-side; null when the shingle set is empty."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified with exact
+    Jaccard: signature → `bands` bands of num_hashes/bands rows → bucket
+    join on (band, band-hash) → exact-Jaccard filter on candidates only.
+
+    With 64 bands × 2 rows, a pair at J=0.6 is missed with probability
+    (1−0.6²)^64 ≈ 4e-13 — effectively exact above the threshold while
+    only ever joining within buckets. Output: (id_a, id_b), id_a < id_b.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * F.lit(rows) + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return candidates.filter(inter / union >= threshold).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document as a 64-char bitstring column `sig`:
+    bit b = sign of the sum over distinct tokens of ±1 according to bit b
+    of xxhash64(token). Bitstring form keeps banding/hamming pure string
+    ops (no 64-bit sign/overflow concerns under ANSI mode)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias(
+            "tok"
+        ),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.concat(*[F.when(F.col(f"v{b}") >= 0, "1").otherwise("0") for b in range(64)])
+    return votes.select("id", sig.alias("sig"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:
+    """Hamming distance between equal-length bitstrings."""
+    return F.aggregate(
+        F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash distance <= max_hamming. Banding over
+    `bands` equal substrings guarantees exact recall when
+    max_hamming < bands (pigeonhole: some band must match exactly), so
+    the cross-corpus join only happens inside identical-band buckets.
+    Output (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError("exact recall requires max_hamming < bands")
+    width = 64 // bands
+    sig = simhash_signature(df, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.substring("sig", b * F.lit(width) + 1, width).alias("bs")
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bs") == F.col("b.bs"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming_distance(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine >= threshold.
+    Brute-force pairwise (exact baseline — O(n²)); for corpus scale use
+    similarity.lsh_bucketed_pairs which only joins within hyperplane
+    buckets. Output (id_a, id_b)."""
+    from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
+
+    v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

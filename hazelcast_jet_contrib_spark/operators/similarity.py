@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns: exact brute-force cosine
+top-k (the correctness baseline) and LSH-bucketed approximate variants
+(the scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Plan shape for scale: the query set is broadcast (it is the small
+    side by construction), the corpus streams through one projection —
+    no shuffle of the corpus at all; the only exchange is the final
+    per-query top-k aggregation, which AQE keeps tiny. Ranking is
+    deterministic: ties on round(cos, 6) break by corpus id.
+
+    Output: (query_id, neighbor_id, rank).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), as_double(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv"))
+    scored = c.join(q).select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank")
+    )
+
+
+def _hyperplane_sketch_udf(num_planes: int, dim: int, seed: int = 42):
+    """Deterministic random-hyperplane sign sketch as a vectorized Pandas
+    UDF (the documented Python-boundary exception: per-batch numpy matmul
+    beats a 1024-term codegen expression for this op)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_planes))
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes) >= 0  # (batch, planes)
+        return pd.Series(["".join("1" if s else "0" for s in row) for row in signs])
+
+    return sketch
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    num_planes: int = 16,
+    dim: int = 64,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: random-hyperplane LSH buckets,
+    exact cosine verification inside buckets only. `num_tables`
+    independent sketches (different plane offsets) raise recall; a pair
+    is a candidate if it collides in ANY table. Output (id_a, id_b)."""
+    v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    tables = []
+    for t in range(num_tables):
+        sk = _hyperplane_sketch_udf(num_planes, dim, seed=42 + t)
+        tables.append(
+            v.withColumn("bucket", F.concat(F.lit(f"{t}:"), sk(F.col("v"))))
+        )
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,170 @@
+"""Deduplication + similarity queries over documents/embeddings, with
+planted duplicates built identically on both engines (originals ∪
+deterministic copies shifted by +1,000,000 in id).
+
+The MinHash-LSH query intentionally shares its oracle with the exact
+n-gram-Jaccard query: at 64 bands × 2 rows a >=0.6-Jaccard pair escapes
+LSH with probability ~4e-13, so the verified-candidate output must equal
+the exact pair set — the oracle proves both the candidate generation and
+the verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk
+from hazelcast_jet_contrib_spark.registry import query, table
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def _docs_with_near_copies(
+    spark: SparkSession, sf_dir: str, subset_mod: int | None = None
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    if subset_mod is not None:
+        docs = docs.filter(F.col("doc_id") % subset_mod == 0)
+    return docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+
+
+_JACCARD_ORACLE_TEMPLATE = """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents {where}
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents {where}
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM aug
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+"""
+
+
+@query(
+    "dedup_exact_keepfirst",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY text
+    """,
+)
+def dedup_exact_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over originals ∪ identical copies: exactly the
+    originals survive (deterministic keep-lowest-id policy)."""
+    aug = _docs_with_exact_copies(spark, sf_dir)
+    return dedup_exact(aug, subset=["text"], order_by=["doc_id"]).select("doc_id")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE_TEMPLATE.format(where="WHERE doc_id % 5 = 0"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.6 over
+    originals ∪ suffix-mutated copies. Quadratic in per-shingle document
+    frequency, so it runs on a deterministic 1-in-5 subset — it is the
+    correctness baseline; minhash_lsh_near_dup is the full-corpus path."""
+    return jaccard_pairs(
+        _docs_with_near_copies(spark, sf_dir, subset_mod=5), "doc_id", "text", threshold=0.6
+    )
+
+
+@query("minhash_lsh_near_dup", oracle=_JACCARD_ORACLE_TEMPLATE.format(where=""))
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(64 bands × 2 rows) candidates, exact-Jaccard
+    verified — must reproduce the exact pair set (see module note),
+    while only ever joining inside LSH buckets (full corpus)."""
+    return minhash_lsh_pairs(
+        _docs_with_near_copies(spark, sf_dir), "doc_id", "text", threshold=0.6
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs (>= 0.99) over originals ∪ identical-vector
+    copies, via random-hyperplane LSH buckets + exact cosine verification
+    inside buckets (the scale path: never a full O(n²) pair join).
+    Identical vectors always share every bucket, so planted-duplicate
+    recall is exact; the DuckDB oracle is the brute-force ground truth."""
+    from hazelcast_jet_contrib_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return lsh_bucketed_pairs(aug, "vec_id", "embedding", threshold=0.99)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id >= 10),
+    scored AS (
+        SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 6) AS cos FROM q, c
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, rank FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per query vector (vec_id < 10 as
+    the query set) — the ANN correctness baseline; the LSH-bucketed
+    variant (similarity.lsh_bucketed_pairs) is the scale path."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk(queries, corpus, k=5)

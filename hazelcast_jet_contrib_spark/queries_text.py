@@ -1,0 +1,120 @@
+"""Text-analysis queries over the documents table: per-doc statistics,
+quality scoring, language-ID, bag-of-words fingerprinting. Every
+function is a Catalyst expression with an exact DuckDB mirror (see
+functions/text.py docstrings) — the oracle pins the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.functions import text as TX
+from hazelcast_jet_contrib_spark.registry import query, table
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_WC_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END"
+_SW_LIST = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+_SW_COUNT_SQL = f"len(list_filter({_TOKENS_SQL}, t -> list_contains([{_SW_LIST}], t)))"
+_NOISE_SQL = (
+    "len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}<>\\-]'))"
+    " + len(regexp_extract_all(text, '[0-9]'))"
+)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_WC_SQL} AS word_cnt,
+           length(text) AS char_cnt,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token_est,
+           {_SW_COUNT_SQL} AS stopword_cnt
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.word_count("text").alias("word_cnt"),
+        TX.char_count("text").alias("char_cnt"),
+        TX.token_estimate("text").alias("token_est"),
+        TX.stopword_count("text").alias("stopword_cnt"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST({_WC_SQL} AS DOUBLE) AS wc,
+               CAST(length(text) AS DOUBLE) AS cc,
+               CAST({_SW_COUNT_SQL} AS DOUBLE) AS sw,
+               CAST({_NOISE_SQL} AS DOUBLE) AS noise
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * least(1.0, wc / 100.0)
+                 + 0.3 * least(1.0, 4.0 * (CASE WHEN wc = 0 THEN 0.0 ELSE sw / wc END))
+                 + 0.3 * (1.0 - least(1.0, CASE WHEN cc = 0 THEN 1.0
+                                                ELSE 4.0 * noise / cc END)),
+                 4) AS quality
+    FROM stats
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(TX.quality_score("text"), 4).alias("quality"))
+
+
+@query(
+    "lang_id_distribution",
+    oracle=f"""
+    SELECT {TX.lang_id_oracle_sql('text')} AS lang_pred, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.lang_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "fingerprint_dedup",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        -- token-reordered copies: same bag of words, different string
+        SELECT doc_id + 1000000,
+               array_to_string(list_reverse(regexp_split_to_array(lower(trim(text)), '\\s+')), ' ')
+        FROM documents
+    )
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_members
+    FROM aug
+    GROUP BY 1
+    """,
+)
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: a token-reordered copy of every document maps
+    to the same fingerprint, so each cluster keeps the original id —
+    content-defined dedup robust to token order."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    reordered = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias(
+            "text"
+        ),
+    )
+    aug = docs.unionByName(reordered)
+    return aug.groupBy(TX.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_members")
+    )

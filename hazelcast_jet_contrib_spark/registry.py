@@ -62,3 +62,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from hazelcast_jet_contrib_spark import queries_relational  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_probabilistic  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_sources  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_text  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_dedup  # noqa: E402,F401

@@ -1,0 +1,129 @@
+"""Operator tests for dedup (exact / Jaccard / MinHash-LSH / SimHash /
+embedding) and similarity search, on synthetic corpora with planted
+duplicates — the checks an SQL oracle can't express (SimHash, LSH
+recall) live here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk, lsh_bucketed_pairs
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "machine learning systems require large curated datasets for robust training runs",
+    "distributed query engines shuffle data between executors during wide transformations",
+    "streaming pipelines assign event time watermarks to handle late arriving records",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    rows = []
+    for i, t in enumerate(BASE_DOCS):
+        rows.append((i, t))
+        # near-dup: one token changed (high jaccard, hamming small)
+        toks = t.split()
+        toks[3] = "altered"
+        rows.append((100 + i, " ".join(toks)))
+    # unrelated doc
+    rows.append((999, "completely unrelated content about cooking pasta with garlic butter sauce"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (10, "y")], "doc_id long, text string"
+    )
+    out = dedup_exact(df, subset=["text"], order_by=["doc_id"]).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 10]
+
+
+def test_jaccard_and_minhash_agree(spark, doc_corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(doc_corpus, "doc_id", "text", threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(doc_corpus, "doc_id", "text", threshold=0.45).collect()
+    }
+    assert exact == lsh
+    # each base doc pairs with its mutated copy; the unrelated doc pairs with nothing
+    for i in range(len(BASE_DOCS)):
+        assert (i, 100 + i) in exact
+    assert not any(999 in p for p in exact)
+
+
+def test_simhash_finds_planted_near_dups(spark, doc_corpus):
+    pairs = simhash_pairs(doc_corpus, "doc_id", "text", max_hamming=16, bands=32).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(len(BASE_DOCS)):
+        assert (i, 100 + i) in got, f"missing near-dup pair for doc {i}"
+    assert not any(999 in p for p in got)
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame([(1, "same text here"), (2, "same text here")], "doc_id long, text string")
+    out = simhash_pairs(df, "doc_id", "text", max_hamming=0, bands=4).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    # planted near-dups: tiny perturbation of vectors 0..4
+    for i in range(5):
+        v = vecs[i] + 1e-4 * rng.standard_normal(16)
+        rows.append((1000 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def test_embedding_near_dup_exact(spark, embeddings):
+    df, _ = embeddings
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, "vec_id", "embedding", 0.999).collect()
+    }
+    assert got == {(i, 1000 + i) for i in range(5)}
+
+
+def test_lsh_bucketed_pairs_recall_on_planted(spark, embeddings):
+    df, _ = embeddings
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_pairs(
+            df, "vec_id", "embedding", threshold=0.999, dim=16, num_planes=8, num_tables=6
+        ).collect()
+    }
+    assert {(i, 1000 + i) for i in range(5)} <= got
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    df, vecs = embeddings
+    base = df.filter(F.col("vec_id") < 50)
+    queries = base.filter(F.col("vec_id") < 3)
+    corpus = base.filter(F.col("vec_id") >= 3)
+    got = cosine_topk(queries, corpus, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = sorted(
+            ((round(sims[q, c], 6), -c) for c in range(3, 50)), reverse=True
+        )
+        expect = [-c for _, c in order[:4]]
+        assert [n for _, n in sorted(by_q[q])] == expect
