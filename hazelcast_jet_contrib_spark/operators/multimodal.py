@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads
+with a typed metadata struct, processed by Arrow-batched `mapInPandas`
+operators.
+
+Design for 100 TB: the binary payload never leaves the executor, flows
+in bounded Arrow batches, and every transform is schema-declared so
+Catalyst can prune untouched columns (reading metadata costs nothing
+when the payload column is pruned from the parquet scan).
+
+The actual media codecs (PIL/librosa/ffmpeg) are not available in this
+container, so the decode kernels are STUBS behind `_decode_image` /
+`_decode_audio`: a deterministic fake decoder that derives plausible
+shapes/features from the payload bytes. The Spark-side contract —
+schemas, batch iteration, partitioning, UDF signatures — is real and
+tested; swapping in a real codec changes only the kernel body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Canonical multimodal record schema: payload + typed metadata.
+MEDIA_SCHEMA = (
+    "media_id long, modality string, payload binary, "
+    "meta struct<mime: string, width: int, height: int, duration_ms: int>"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_bytes int, phash string"
+)
+
+AUDIO_FRAMES_SCHEMA = "media_id long, frame_idx int, rms double"
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """STUB decoder (no codec libs in this environment): derives a
+    deterministic (width, height, gray-plane) from the payload bytes.
+    Replace the body with PIL.Image.open for real data.
+    """
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 16
+    height = 16 + h[1] % 16
+    plane = np.frombuffer(
+        (payload * ((width * height) // max(len(payload), 1) + 1))[: width * height],
+        dtype=np.uint8,
+    ).reshape(height, width)
+    return width, height, plane
+
+
+def _decode_audio(payload: bytes, frame_bytes: int = 256) -> np.ndarray:
+    """STUB audio decoder: bytes -> float32 mono samples in [-1, 1)."""
+    samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    return (samples - 128.0) / 128.0
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode image payloads and emit per-image features (dimensions,
+    size, perceptual-hash-style signature). Arrow-batched; one output row
+    per input row; payload column is consumed and NOT emitted (output
+    stays narrow)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, plane = _decode_image(bytes(payload))
+                # average-hash: bits = pixels above mean, hex-packed
+                bits = (plane.astype(np.float32) >= plane.mean()).flatten()[:64]
+                phash = np.packbits(bits).tobytes().hex()
+                out.append((mid, w, h, len(payload), phash))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_bytes", "phash"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_frame_energy(df: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """Decode audio payloads and emit one row per fixed-size frame with
+    its RMS energy — the frame-sample fan-out shape (1 input row -> N
+    output rows), the pattern video frame extraction follows too."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = _decode_audio(bytes(payload))
+                n_frames = max(1, len(samples) // frame_samples)
+                for i in range(n_frames):
+                    frame = samples[i * frame_samples : (i + 1) * frame_samples]
+                    rms = float(np.sqrt(np.mean(frame**2))) if len(frame) else 0.0
+                    rows.append((mid, i, round(rms, 6)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
+
+    return df.select("media_id", "payload").mapInPandas(kernel, AUDIO_FRAMES_SCHEMA)
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the typed metadata struct from cheap, expression-level
+    inspection (no decode): mime sniffing on magic bytes + payload size.
+    Stays entirely JVM-side."""
+    p = F.col(payload_col)
+    mime = (
+        F.when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", "image/jpeg")
+        .when(F.hex(F.substring(p, 1, 4)) == "89504E47", "image/png")
+        .when(F.substring(p, 1, 4).cast("string") == "RIFF", "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.withColumn(
+        "meta",
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )

@@ -31,12 +31,26 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank).
     """
-    q = F.broadcast(
-        queries.select(F.col(query_id).alias("qid"), as_double(vec_col).alias("qv"))
-    )
-    c = corpus.select(F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv"))
+    # pre-normalize each side once so the per-pair work is a single dot
+    # product (cosine of normalized vectors), not dot + two norms
+    def normalized(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
+        v = as_double(vec_col)
+        return df.select(F.col(idc).alias(out_id), v.alias("__v__")).select(
+            out_id,
+            F.transform("__v__", lambda x: x / F.sqrt(_dot_self("__v__"))).alias(out_vec),
+        )
+
+    def _dot_self(c: str):
+        from hazelcast_jet_contrib_spark.functions.vectors import dot
+
+        return dot(F.col(c), F.col(c))
+
+    from hazelcast_jet_contrib_spark.functions.vectors import dot
+
+    q = F.broadcast(normalized(queries, query_id, "qid", "qv"))
+    c = normalized(corpus, corpus_id, "cid", "cv")
     scored = c.join(q).select(
-        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "qid", "cid", F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (

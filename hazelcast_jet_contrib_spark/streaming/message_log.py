@@ -1,0 +1,140 @@
+"""Replayable-offset streaming source, implemented as a PySpark Python
+DataSource (DataSourceStreamReader) — the canonical Spark form of the
+reference's snapshot/restore offset contract.
+
+Reference contract being re-expressed (SURVEY.md §2.2 S8/S13): the Redis
+stream source keeps a per-stream offset map advanced per message and
+saves it into the distributed snapshot (RedisSources.java:590,613-654);
+the Pulsar reader snapshots a MessageId and seeks to it on restart
+(PulsarReaderBuilder.java:177-199). In Spark those duties split cleanly:
+the source reports offsets (`initialOffset`/`latestOffset`), the engine
+WALs them per micro-batch, and `partitions(start, end)` + `read()`
+replay any offset range deterministically — restart-safe exactly-once
+for free once the sink is idempotent.
+
+The external system here is a **message log directory**: each stream is
+a subdirectory of numbered `.jsonl` segment files (`000000.jsonl`, ...),
+append-only — the minimal stand-in for Redis streams / Kafka segments
+the test environment can host. Offsets are `{stream_name: next_segment
+_index}`. One input partition per stream per batch — the reference's
+stream-to-processor round-robin (RedisSources.java:693-756) becomes the
+engine's task scheduling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+SCHEMA = "stream string, seq long, key string, value string"
+
+
+@dataclass
+class _SegmentRange(InputPartition):
+    stream: str
+    path: str
+    start: int
+    end: int
+
+
+def _segments(stream_dir: str) -> list[int]:
+    try:
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(stream_dir) if f.endswith(".jsonl")
+        )
+    except FileNotFoundError:
+        return []
+
+
+class MessageLogStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str):
+        self.root = root
+
+    def _streams(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def initialOffset(self) -> dict:
+        # start of every stream (the reference's "no snapshot yet" state)
+        return {s: 0 for s in self._streams()}
+
+    def latestOffset(self) -> dict:
+        # next-segment-to-read per stream; new streams join at 0
+        return {
+            s: (max(_segments(os.path.join(self.root, s)), default=-1) + 1)
+            for s in self._streams()
+        }
+
+    def partitions(self, start: dict, end: dict):
+        parts = [
+            _SegmentRange(
+                stream=s,
+                path=os.path.join(self.root, s),
+                start=start.get(s, 0),
+                end=end[s],
+            )
+            for s in end
+            if end[s] > start.get(s, 0)
+        ]
+        # Spark requires at least one partition even for an empty batch
+        return parts or [_SegmentRange(stream="", path="", start=0, end=0)]
+
+    def read(self, partition: _SegmentRange):
+        for seq in range(partition.start, partition.end):
+            seg = os.path.join(partition.path, f"{seq:06d}.jsonl")
+            if not os.path.exists(seg):
+                continue
+            with open(seg) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    yield (partition.stream, seq, rec.get("key"), rec.get("value"))
+
+    def commit(self, end: dict) -> None:
+        # nothing to acknowledge: the log is immutable and replayable;
+        # Spark's WAL owns the committed offset (the reference needs the
+        # snapshot for this — SURVEY.md §2.7)
+        pass
+
+
+class MessageLogDataSource(DataSource):
+    """`spark.readStream.format("message_log").option("path", root)`.
+
+    Register once per session:
+        spark.dataSource.register(MessageLogDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "message_log"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamReader(self, schema) -> MessageLogStreamReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("message_log source requires option 'path'")
+        return MessageLogStreamReader(path)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MessageLogDataSource)
+
+
+def append_segment(root: str, stream: str, records: list[dict], seq: int | None = None) -> int:
+    """Producer helper (used by tests and the webhook spool): append one
+    segment file atomically; returns its sequence number."""
+    sdir = os.path.join(root, stream)
+    os.makedirs(sdir, exist_ok=True)
+    if seq is None:
+        seq = max(_segments(sdir), default=-1) + 1
+    tmp = os.path.join(sdir, f".{seq:06d}.tmp")
+    with open(tmp, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(sdir, f"{seq:06d}.jsonl"))
+    return seq

@@ -1,0 +1,75 @@
+"""Multimodal plumbing tests: binary payload columns flow through
+Arrow-batched decode operators with declared schemas; the decode kernels
+are deterministic stubs (no codec libs in the container) but the Spark
+contract — schema, fan-out shape, determinism across partitionings — is
+fully exercised."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.multimodal import (
+    audio_frame_energy,
+    image_features,
+    with_media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytes([0xFF, 0xD8, 0xFF]) + b"jpegpayload" * 40),
+        (2, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"pngdata" * 60),
+        (3, "audio", b"RIFF" + bytes(range(256)) * 4),
+        (4, "blob", b"\x00\x01\x02unknown"),
+    ]
+    return spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+
+
+def test_mime_sniffing(spark, media):
+    got = {
+        r["media_id"]: r["meta"]["mime"]
+        for r in with_media_metadata(media).select("media_id", "meta").collect()
+    }
+    assert got == {
+        1: "image/jpeg",
+        2: "image/png",
+        3: "audio/wav",
+        4: "application/octet-stream",
+    }
+
+
+def test_image_features_shape_and_determinism(spark, media):
+    imgs = media.filter(F.col("modality") == "image")
+    a = {r["media_id"]: r.asDict() for r in image_features(imgs).collect()}
+    b = {
+        r["media_id"]: r.asDict()
+        for r in image_features(imgs.repartition(4)).collect()
+    }
+    assert a == b, "decode must be deterministic across partitionings"
+    assert set(a) == {1, 2}
+    for r in a.values():
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert len(r["phash"]) == 16  # 64-bit hex
+
+
+def test_audio_frame_fanout(spark, media):
+    audio = media.filter(F.col("modality") == "audio")
+    frames = audio_frame_energy(audio, frame_samples=256).collect()
+    # 4 + 256*4 bytes -> 4 full frames
+    assert len(frames) == 4
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert all(0.0 <= r["rms"] <= 1.0 for r in frames)
+
+
+def test_payload_pruned_when_metadata_only(spark, media, tmp_path):
+    """Column pruning: a metadata-only projection over parquet must not
+    read the payload column (ReadSchema excludes it)."""
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    df = spark.read.parquet(path).select("media_id", "modality")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    read_schema = line.split("ReadSchema:")[1]
+    assert "payload" not in read_schema, read_schema

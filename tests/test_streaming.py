@@ -1,0 +1,159 @@
+"""Streaming semantics tests — ports of the reference's fault-tolerance
+contracts (SURVEY.md §5): exactly-once across restart
+(RedisSourceTest.streamFaultTolerance:183-223 — 4 streams, kill &
+rejoin, no loss/no dupes; PulsarSourceTest:126-196 — N before + N after
+restart), watermark late-data drop, and windowed streaming aggregation.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.streaming import message_log
+from hazelcast_jet_contrib_spark.streaming.exactly_once import (
+    epoch_keyed_parquet_writer,
+    idempotent_foreach_batch,
+)
+
+N_STREAMS = 4
+MSGS_PER_SEGMENT = 250
+
+
+def _fill(root: str, n_segments: int, start_seq: int = 0) -> None:
+    for s in range(N_STREAMS):
+        for seg in range(start_seq, start_seq + n_segments):
+            message_log.append_segment(
+                root,
+                f"stream-{s}",
+                [
+                    {"key": f"foo-{s}-{seg}-{i}", "value": f"bar-{i}"}
+                    for i in range(MSGS_PER_SEGMENT)
+                ],
+                seq=seg,
+            )
+
+
+def test_message_log_exactly_once_across_restart(spark, tmp_path):
+    """Phase 1: 4 streams x 2 segments; run to completion; stop. Phase 2:
+    2 more segments per stream; restart from the same checkpoint; assert
+    every (stream, seq, key) appears exactly once — offsets resumed from
+    the WAL, nothing lost, nothing duplicated."""
+    root = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(root)
+    message_log.register(spark)
+
+    _fill(root, 2)
+
+    def run_query():
+        stream = spark.readStream.format("message_log").option("path", root).load()
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(idempotent_foreach_batch(epoch_keyed_parquet_writer(out), ckpt + "-commits"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run_query()
+    _fill(root, 2, start_seq=2)
+    run_query()  # restart from checkpoint — the reference's member-rejoin
+
+    result = spark.read.parquet(*glob.glob(f"{out}/epoch=*"))
+    total = N_STREAMS * 4 * MSGS_PER_SEGMENT
+    assert result.count() == total
+    assert result.select("stream", "seq", "key").distinct().count() == total
+    streams = {r["stream"] for r in result.select("stream").distinct().collect()}
+    assert streams == {f"stream-{s}" for s in range(N_STREAMS)}
+
+
+def test_message_log_offsets_are_replayable(spark, tmp_path):
+    """The source contract itself: a fresh reader given the same offset
+    range returns identical rows (determinism under replay)."""
+    root = str(tmp_path / "log")
+    os.makedirs(root)
+    _fill(root, 2)
+    reader = message_log.MessageLogStreamReader(root)
+    start, end = reader.initialOffset(), reader.latestOffset()
+    parts = reader.partitions(start, end)
+    rows1 = sorted(r for p in parts for r in reader.read(p))
+    rows2 = sorted(r for p in reader.partitions(start, end) for r in reader.read(p))
+    assert rows1 == rows2
+    assert len(rows1) == N_STREAMS * 2 * MSGS_PER_SEGMENT
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Tumbling-window streaming aggregation in append mode: windows
+    close once the watermark passes; a record arriving later than the
+    watermark delay for an already-closed window is dropped."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    from datetime import datetime
+
+    def write_batch(name, rows):
+        rows = [(datetime.fromisoformat(ts), k, v) for ts, k, v in rows]
+        spark.createDataFrame(rows, "ts timestamp, k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: events in minutes 0-2, plus a row at minute 30 to advance the watermark
+    write_batch(
+        "b1",
+        [
+            ("2024-01-01 00:00:10", "a", 1.0),
+            ("2024-01-01 00:01:10", "a", 2.0),
+            ("2024-01-01 00:30:00", "z", 0.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("k"))
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "total", "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late record for the long-closed first window — must be dropped
+        write_batch("b2", [("2024-01-01 00:02:00", "a", 100.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["ws"].isoformat(), r["k"]): (r["total"], r["n"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    key = ("2024-01-01T00:00:00", "a")
+    assert key in rows, rows
+    assert rows[key] == (3.0, 2), "late row leaked into a closed window"
+
+
+def test_ingestion_timestamps_policy(spark):
+    from hazelcast_jet_contrib_spark.streaming.timestamps import (
+        with_ingestion_timestamps,
+        with_native_timestamps,
+    )
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id long, raw string")
+    nat = with_native_timestamps(df, "raw")
+    assert dict(nat.dtypes)["event_time"] == "timestamp"
+    ing = with_ingestion_timestamps(df)
+    assert dict(ing.dtypes)["event_time"] == "timestamp"
