@@ -181,23 +181,43 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) — the Jaccard/MinHash input
-    set for token-level near-dup detection. Empty array when the text has
-    fewer than n tokens.
-    SQL mirror: list_distinct(list_transform(range(1, len(toks)-(n-2)),
-    i -> toks[i] || ' ' || ... || toks[i+n-1]))."""
-    toks = tokens(col)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+def shingles_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) from a token-array column.
+
+    Built by zipping the token array with its own n−1 shifted slices and
+    concat_ws-ing each zipped struct — every subexpression is either a
+    direct child (evaluated once per row) or a lambda-variable access.
+    Never reference a *computed* expression inside a higher-order-function
+    lambda: Spark re-evaluates the captured expression per element, which
+    turned an earlier element_at(tokens(text), i) formulation into ~3n
+    tokenizations per shingle.
+    """
+    t = _c(toks)
+    width = F.size(t) - F.lit(n - 1)  # number of shingles when size >= n
+    zipped = F.arrays_zip(
+        *[F.slice(t, j + 1, width).alias(f"w{j}") for j in range(n)]
+    )
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-                ),
+                zipped,
+                lambda s: F.concat_ws(" ", *[s.getField(f"w{j}") for j in range(n)]),
             )
         )
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the whitespace-tokenized text — the
+    Jaccard/MinHash input set for token-level near-dup detection. Empty
+    array when the text has fewer than n tokens.
+    SQL mirror: list_distinct(list_transform(range(1, len(toks)-(n-2)),
+    i -> toks[i] || ' ' || ... || toks[i+n-1])).
+
+    Bulk pipelines should project ``tokens(text)`` into a real column
+    first and call ``shingles_of_tokens`` on it, so the tokenizer runs
+    exactly once per row (see dedup._shingle_sets)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def shingles(col: Column | str, n: int = 5) -> Column:
@@ -206,11 +226,16 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     SQL mirror: list_distinct([substr(t, i, n) for i in range(1,
     len(t)-n+2)])."""
     c = F.lower(F.trim(_c(col)))
+    chars = F.split(c, "")
+    width = F.length(c) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(chars, j + 1, width).alias(f"c{j}") for j in range(n)]
+    )
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-                lambda i: F.substring(c, i, F.lit(n)),
+                zipped,
+                lambda s: F.concat_ws("", *[s.getField(f"c{j}") for j in range(n)]),
             )
         )
     )

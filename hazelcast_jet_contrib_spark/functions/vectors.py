@@ -19,22 +19,43 @@ def as_double(vec: Column | str) -> Column:
     return F.transform(_c(vec), lambda x: x.cast("double"))
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Left-to-right summed dot product (same fold order as DuckDB's
-    list functions, keeping float results comparable)."""
+    list functions, keeping float results comparable).
+
+    With ``dim`` given, unrolls to a flat sum of element_at products —
+    a plain codegen'd expression, ~10x faster than the interpreted
+    aggregate/zip_with higher-order form. Pass ``dim`` whenever the
+    embedding width is known (it always is for a real corpus). Both
+    forms fold left-to-right, so results are bit-identical.
+    """
+    ca, cb = _c(a), _c(b)
+    if dim is not None:
+        terms = [F.element_at(ca, j + 1) * F.element_at(cb, j + 1) for j in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.zip_with(ca, cb, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def norm(a: Column | str) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity; null-safe 0.0 when either norm is 0."""
-    d = dot(a, b)
-    na, nb = norm(a), norm(b)
+    d = dot(a, b, dim)
+    na, nb = norm(a, dim), norm(b, dim)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def vec_dim(df, vec_col: str) -> int | None:
+    """Embedding width from one sampled row (one tiny job); None if the
+    frame is empty. Use to feed `dim=` for the unrolled fast path."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row["d"]

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.functions.text import word_shingles
+from hazelcast_jet_contrib_spark.functions.text import shingles_of_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -40,6 +40,34 @@ def dedup_exact(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFr
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-partitioned
+    relative to the cluster (e.g. one small file → 2 splits on a 32-core
+    session). Shingling is CPU-bound per row, so leaving it on 2 of 32
+    cores wastes the machine; on a real corpus (thousands of splits) the
+    condition is false and no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int
+) -> DataFrame:
+    """(id, sh) with sh = distinct word-n-gram set. The token array is
+    projected into a real column first so the regex tokenizer runs once
+    per row; shingling then only reads that attribute (CollapseProject
+    keeps the two projections apart because the token array is referenced
+    n+2 times and is non-cheap)."""
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__")))
+        .select("id", tokens("__text__").alias("__toks__"))
+        .select("id", shingles_of_tokens("__toks__", shingle_words).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -55,17 +83,17 @@ def jaccard_pairs(
     per-shingle document frequency — use `minhash_lsh_pairs` at corpus
     scale and keep this as the verifier inside candidate buckets.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-    )
+    sh = _shingle_sets(df, id_col, text_col, shingle_words)
     sizes = sh.select("id", F.size("sh").alias("sz"))
-    exploded = sh.select("id", F.explode("sh").alias("s"))
+    # join on the 8-byte shingle hash, not the shingle string: narrower
+    # shuffle + cheaper key compare; a 64-bit collision adds 1 to one
+    # pair's intersection with probability ~n_pairs/2^64 — negligible
+    exploded = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -117,26 +145,30 @@ def minhash_lsh_pairs(
     threshold while only ever joining within buckets.
 
     Plan shape (all codegen-friendly, no higher-order exprs in bulk):
-    1. explode shingles → (id, shingle), hash with `num_hashes` seeds and
-       min-aggregate per id (map-side partial min → one shuffle on id);
+    1. explode shingles → (id, shingle), hash each shingle string ONCE to
+       64 bits, then derive the `num_hashes` family members by re-hashing
+       the 8-byte value (seeded xxhash64 of a long is ~4x cheaper than of
+       a ~30-char string) and min-aggregate per id (map-side partial min
+       → one shuffle on id);
     2. hash `rows`-wide signature slices into band keys, unpivot to
        (id, band, band_hash) — one row per band;
     3. self-join on (band, band_hash) carrying ONLY ids (narrow shuffle),
        distinct the candidate pairs;
-    4. rejoin the shingle sets by id and keep pairs with exact Jaccard >=
-       threshold.
+    4. rejoin the hashed shingle sets by id and keep pairs with exact
+       Jaccard >= threshold (intersection of 64-bit shingle hashes ==
+       intersection of shingles up to a ~2^-64 per-pair collision).
 
     Output: (id_a, id_b), id_a < id_b.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_words).alias("sh")
-    ).filter(F.size("sh") > 0)
+    base = _shingle_sets(df, id_col, text_col, shingle_words)
 
-    # 1. signature via explode + 128 codegen'd min-aggregates
-    exploded = base.select("id", F.explode("sh").alias("s"))
+    # 1. hash once per shingle string, then num_hashes long re-hashes
+    exploded = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h0")
+    )
     sig = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
     # 2. band keys from signature slices (multi-column xxhash64)
@@ -164,11 +196,17 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # 4. exact-Jaccard verification on the candidate set only
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    # 4. exact-Jaccard verification on the candidate set only, over the
+    # hashed shingle sets (8-byte elements intersect ~4x faster than
+    # strings). Built from the SAME exploded+hashed child as the
+    # signature aggregate — the shuffle on id is byte-identical, so
+    # ReuseExchange computes the shingling+hashing exactly once for
+    # both aggregations.
+    hsets = exploded.groupBy("id").agg(F.collect_set("h0").alias("hs"))
+    sh_a = hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sh_b = hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size("hs_a") + F.size("hs_b") - F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -187,11 +225,13 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit b = sign of the sum over distinct tokens of ±1 according to bit b
     of xxhash64(token). Bitstring form keeps banding/hamming pure string
     ops (no 64-bit sign/overflow concerns under ANSI mode)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias(
-            "tok"
-        ),
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
+        ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("id").agg(
         *[
@@ -273,13 +313,16 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.99,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine >= threshold.
     Brute-force pairwise (exact baseline — O(n²)); for corpus scale use
     similarity.lsh_bucketed_pairs which only joins within hyperplane
     buckets. Output (id_a, id_b)."""
-    from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
+    from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine, vec_dim
 
+    if dim is None:
+        dim = vec_dim(df, vec_col)
     v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -287,7 +330,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(cosine(F.col("a.v"), F.col("b.v"), dim), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")

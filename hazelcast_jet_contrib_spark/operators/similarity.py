@@ -10,7 +10,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
+from hazelcast_jet_contrib_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    norm,
+    vec_dim,
+)
 
 
 def cosine_topk(
@@ -20,6 +26,7 @@ def cosine_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
@@ -29,28 +36,30 @@ def cosine_topk(
     per-query top-k aggregation, which AQE keeps tiny. Ranking is
     deterministic: ties on round(cos, 6) break by corpus id.
 
-    Output: (query_id, neighbor_id, rank).
+    ``dim`` selects the unrolled codegen dot product (inferred from one
+    query row when omitted). Output: (query_id, neighbor_id, rank).
     """
+    if dim is None:
+        dim = vec_dim(queries, vec_col)
+
     # pre-normalize each side once so the per-pair work is a single dot
-    # product (cosine of normalized vectors), not dot + two norms
+    # product; the norm is materialized as its own column first — putting
+    # a computed aggregate inside the transform lambda would re-evaluate
+    # it per element
     def normalized(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
-        v = as_double(vec_col)
-        return df.select(F.col(idc).alias(out_id), v.alias("__v__")).select(
-            out_id,
-            F.transform("__v__", lambda x: x / F.sqrt(_dot_self("__v__"))).alias(out_vec),
+        return (
+            df.select(F.col(idc).alias(out_id), as_double(vec_col).alias("__v__"))
+            .withColumn("__n__", norm(F.col("__v__"), dim))
+            .select(
+                out_id,
+                F.transform("__v__", lambda x: x / F.col("__n__")).alias(out_vec),
+            )
         )
-
-    def _dot_self(c: str):
-        from hazelcast_jet_contrib_spark.functions.vectors import dot
-
-        return dot(F.col(c), F.col(c))
-
-    from hazelcast_jet_contrib_spark.functions.vectors import dot
 
     q = F.broadcast(normalized(queries, query_id, "qid", "qv"))
     c = normalized(corpus, corpus_id, "cid", "cv")
     scored = c.join(q).select(
-        "qid", "cid", F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "qid", "cid", F.round(dot(F.col("qv"), F.col("cv"), dim), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -115,7 +124,7 @@ def lsh_bucketed_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb"), dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
