@@ -163,13 +163,23 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     base = _shingle_sets(df, id_col, text_col, shingle_words)
 
-    # 1. hash once per shingle string, then num_hashes long re-hashes
+    # 1. hash once per shingle string, then num_hashes long re-hashes.
+    # One declared aggregate yields both the signature mins and the
+    # verification hash-sets; Catalyst then prunes each of the three
+    # consumers (banding, verify a, verify b) down to a lean per-branch
+    # aggregate — the scan+shingling is recomputed per branch, which
+    # beats shuffling an unpruned fat aggregate, and map-side partial
+    # aggregation keeps each recompute's shuffle tiny (ids × buffers).
+    # At corpus scale, persist() `base` to trade memory for the
+    # recompute if profiling says shingling dominates.
     exploded = base.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h0")
     )
-    sig = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    agg = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("h0").alias("hs"),
     )
+    sig = agg
 
     # 2. band keys from signature slices (multi-column xxhash64)
     band_cols = [
@@ -198,13 +208,9 @@ def minhash_lsh_pairs(
 
     # 4. exact-Jaccard verification on the candidate set only, over the
     # hashed shingle sets (8-byte elements intersect ~4x faster than
-    # strings). Built from the SAME exploded+hashed child as the
-    # signature aggregate — the shuffle on id is byte-identical, so
-    # ReuseExchange computes the shingling+hashing exactly once for
-    # both aggregations.
-    hsets = exploded.groupBy("id").agg(F.collect_set("h0").alias("hs"))
-    sh_a = hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    sh_b = hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    # strings), read from the same shared aggregate as the signatures
+    sh_a = agg.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sh_b = agg.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = F.size("hs_a") + F.size("hs_b") - F.size(F.array_intersect("hs_a", "hs_b"))
     return (
@@ -221,10 +227,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document as a 64-char bitstring column `sig`:
-    bit b = sign of the sum over distinct tokens of ±1 according to bit b
-    of xxhash64(token). Bitstring form keeps banding/hamming pure string
-    ops (no 64-bit sign/overflow concerns under ANSI mode)."""
+    """64-bit SimHash per document as a LONG column `sig`: bit b = sign
+    of the sum over distinct tokens of ±1 according to bit b of
+    xxhash64(token). The long form keeps banding (shift+mask) and
+    hamming (bit_count of xor) single codegen'd instructions; bits are
+    assembled with a bitwise-OR chain, so no ANSI overflow surface."""
     toks = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     ).select(
@@ -241,17 +248,19 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for b in range(64)
         ]
     )
-    sig = F.concat(*[F.when(F.col(f"v{b}") >= 0, "1").otherwise("0") for b in range(64)])
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return votes.select("id", sig.alias("sig"))
 
 
-def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:
-    """Hamming distance between equal-length bitstrings."""
-    return F.aggregate(
-        F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between 64-bit long signatures: popcount(a^b)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_pairs(
@@ -262,26 +271,27 @@ def simhash_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming. Banding over
-    `bands` equal substrings guarantees exact recall when
+    `bands` equal bit-slices guarantees exact recall when
     max_hamming < bands (pigeonhole: some band must match exactly), so
     the cross-corpus join only happens inside identical-band buckets.
     Output (id_a, id_b, hamming)."""
     if max_hamming >= bands:
         raise ValueError("exact recall requires max_hamming < bands")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
     width = 64 // bands
+    mask = (1 << width) - 1
     sig = simhash_signature(df, id_col, text_col)
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.substring("sig", b * F.lit(width) + 1, width).alias("bs")
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask)).alias("bs"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -293,12 +303,10 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming_distance(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming_distance(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

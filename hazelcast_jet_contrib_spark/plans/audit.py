@@ -1,0 +1,94 @@
+"""Physical-plan audits: executable assertions about what matters at
+100 TB — filters reaching the scan, projections pruned, small sides
+broadcast, expressions staying inside whole-stage codegen, no
+Python-UDF stages in hot paths.
+
+The reference has no optimizer to audit (SURVEY.md §4.1) — its
+"pushdown" is whatever the user passed into the client query. Here the
+optimizer is Catalyst, so the engine's scale claims are checkable from
+the formatted physical plan; these helpers turn `.explain("formatted")`
+into assertions the test suite runs on every headline query
+(tests/test_plan_audits.py).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@dataclass
+class PlanAudit:
+    plan: str
+    notes: list[str] = field(default_factory=list)
+
+    # -- scan-level ----------------------------------------------------
+    def pushed_filters(self) -> list[str]:
+        """Filters that reached the parquet scan (PushedFilters: [...])."""
+        out: list[str] = []
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", self.plan):
+            if m.group(1).strip():
+                out.extend(p.strip() for p in m.group(1).split(","))
+        return out
+
+    def read_schemas(self) -> list[str]:
+        """ReadSchema of every scan — what column pruning left behind."""
+        return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", self.plan)]
+
+    def scans_read_only(self, *cols: str) -> bool:
+        """True if every file scan reads a subset of `cols` (projection
+        pruning worked; a scan reading all columns for a 2-column query
+        is a bug at scale)."""
+        want = set(cols)
+        for schema in self.read_schemas():
+            got = set(re.findall(r"(\w+):", schema))
+            if not got <= want:
+                self.notes.append(f"scan reads {sorted(got - want)} beyond {sorted(want)}")
+                return False
+        return True
+
+    # -- join strategy -------------------------------------------------
+    def broadcast_joins(self) -> int:
+        return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", self.plan))
+
+    def shuffle_joins(self) -> int:
+        return len(re.findall(r"SortMergeJoin|ShuffledHashJoin", self.plan))
+
+    def exchanges(self) -> int:
+        """Shuffle count (each Exchange is a full rewrite of the data —
+        the thing to minimize)."""
+        return len(re.findall(r"\bExchange\b", self.plan))
+
+    def reused_exchanges(self) -> int:
+        return len(re.findall(r"ReusedExchange", self.plan))
+
+    # -- execution mode ------------------------------------------------
+    def codegen_stages(self) -> int:
+        return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", self.plan)))
+
+    def python_stages(self) -> int:
+        """Python-boundary operators in the plan (BatchEvalPython =
+        row-at-a-time UDF — never acceptable in a hot path; ArrowEval /
+        MapInPandas / FlatMapGroupsInPandas = vectorized, acceptable
+        where declared)."""
+        return len(re.findall(r"BatchEvalPython", self.plan))
+
+    def arrow_python_stages(self) -> int:
+        return len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", self.plan)
+        )
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    return PlanAudit(formatted_plan(df))

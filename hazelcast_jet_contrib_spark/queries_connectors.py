@@ -1,0 +1,126 @@
+"""Queries exercising the remaining connector shapes and extension
+operators through the driver's oracle gate: paged-REST batch source
+(S7), SimHash near-dup, and multimodal binary-column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.registry import query, table
+
+
+# S7 TwitterSources.search — paged REST walk. The 'API' serves the part
+# table in pages of 500 rows per brand (pyarrow-backed fake client with
+# real pagination tokens); the oracle is the whole selected table.
+@query(
+    "paged_rest_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+    """,
+)
+def paged_rest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_contrib_spark.sources.paged_rest import paged_rest_source
+
+    path = f"{sf_dir}/part.parquet"
+
+    def fetch_page(client, brand, token):
+        import pyarrow.dataset as ds
+
+        start = 0 if token is None else token
+        tbl = (
+            ds.dataset(path, format="parquet")
+            .to_table(
+                columns=["p_partkey", "p_brand", "p_retailprice"],
+                filter=ds.field("p_brand") == brand,
+            )
+            .sort_by("p_partkey")
+        )
+        page = tbl.slice(start, 500).to_pylist()
+        next_token = start + 500 if start + 500 < tbl.num_rows else None
+        return [(r["p_partkey"], r["p_brand"], r["p_retailprice"]) for r in page], next_token
+
+    return paged_rest_source(
+        spark,
+        "parts-by-brand",
+        schema="p_partkey long, p_brand string, p_retailprice double",
+        fetch_page=fetch_page,
+        partitions=["Brand#11", "Brand#22", "Brand#33"],
+    )
+
+
+# SimHash near-dup pairs. No SQL oracle: the signature depends on the
+# engine's 64-bit tokenizer hash (xxhash64), which ANSI SQL / DuckDB
+# cannot reproduce — the driver records the weaker rows-only check here;
+# the exact pair-set contract is pinned by tests/test_dedup_similarity.py
+# against planted duplicates instead.
+@query("simhash_near_dup", oracle=None)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_contrib_spark.operators.dedup import simhash_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return simhash_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multimodal table: payload bytes derived from document
+    text, with planted magic-byte headers (doc_id%3==0 → JPEG,
+    doc_id%3==1 → PNG) — both engines construct it identically."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode("text", "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.unhex(F.lit("FFD8FF")), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.unhex(F.lit("89504E47")), body))
+        .otherwise(body)
+    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+@query(
+    "media_metadata_sniff",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN unhex('FFD8FF') || encode(text)
+                    WHEN doc_id % 3 = 1 THEN unhex('89504E47') || encode(text)
+                    ELSE encode(text) END AS payload
+        FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN media_id % 3 = 0 THEN 'image/jpeg'
+                WHEN media_id % 3 = 1 THEN 'image/png'
+                ELSE 'application/octet-stream' END AS mime,
+           octet_length(payload) AS n_bytes
+    FROM m
+    """,
+)
+def media_metadata_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: mime sniffed from actual magic bytes
+    (expression-level, payload column prunable), byte size. The oracle
+    derives mime from the construction rule — equality proves the
+    sniffer reads the right bytes."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import with_media_metadata
+
+    media = _media_frame(spark, sf_dir)
+    return with_media_metadata(media).select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+
+
+# Image-feature extraction over binary payloads: the decode kernel is
+# the documented deterministic STUB (no codec libs in this environment),
+# so no SQL oracle can mirror it — rows-only check; shape/determinism
+# are pinned by tests/test_multimodal.py.
+@query("media_image_features", oracle=None)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_contrib_spark.operators.multimodal import image_features
+
+    return image_features(_media_frame(spark, sf_dir))

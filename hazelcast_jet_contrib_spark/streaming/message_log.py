@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -126,15 +127,31 @@ def register(spark) -> None:
 
 
 def append_segment(root: str, stream: str, records: list[dict], seq: int | None = None) -> int:
-    """Producer helper (used by tests and the webhook spool): append one
-    segment file atomically; returns its sequence number."""
+    """Producer helper (used by tests, sinks, and the webhook spool):
+    append one segment file atomically; returns its sequence number.
+
+    Safe under concurrent producers (e.g. every partition of a
+    stream_sink writing at once): the next free sequence number is
+    claimed with os.link, which atomically fails if another producer won
+    the slot — then we re-scan and retry."""
     sdir = os.path.join(root, stream)
     os.makedirs(sdir, exist_ok=True)
-    if seq is None:
-        seq = max(_segments(sdir), default=-1) + 1
-    tmp = os.path.join(sdir, f".{seq:06d}.tmp")
+    tmp = os.path.join(sdir, f".seg-{os.getpid()}-{time.monotonic_ns()}.tmp")
     with open(tmp, "w") as f:
         for r in records:
             f.write(json.dumps(r) + "\n")
-    os.replace(tmp, os.path.join(sdir, f"{seq:06d}.jsonl"))
-    return seq
+    try:
+        if seq is not None:
+            os.replace(tmp, os.path.join(sdir, f"{seq:06d}.jsonl"))
+            tmp = None
+            return seq
+        while True:
+            seq = max(_segments(sdir), default=-1) + 1
+            try:
+                os.link(tmp, os.path.join(sdir, f"{seq:06d}.jsonl"))
+                return seq
+            except FileExistsError:
+                continue
+    finally:
+        if tmp is not None and os.path.exists(tmp):
+            os.unlink(tmp)

@@ -1,0 +1,74 @@
+"""Probes the repo's own exactly-once machinery the way the reference's
+XA probes test H2/ActiveMQ (JdbcXaTest.java:62-97): write an epoch,
+disconnect, reconnect as a new incarnation, replay the epoch, and
+require marker durability + idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+
+from hazelcast_jet_contrib_spark.streaming.delivery_probe import (
+    probe_exactly_once_target,
+)
+
+
+def _epoch_store(root: str):
+    """File-backed sink target using the commit-marker discipline of
+    exactly_once.idempotent_foreach_batch."""
+
+    def connect():
+        os.makedirs(root, exist_ok=True)
+        return root
+
+    def write_epoch(client, epoch_id, rows):
+        marker = os.path.join(client, f"epoch-{epoch_id}.committed")
+        if os.path.exists(marker):
+            return  # already delivered: replay must be a no-op
+        with open(os.path.join(client, f"epoch-{epoch_id}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    def read_all(client):
+        out = []
+        for p in sorted(glob(os.path.join(client, "epoch-*.jsonl"))):
+            with open(p) as f:
+                out.extend(json.loads(line) for line in f)
+        return out
+
+    return connect, write_epoch, read_all
+
+
+def test_marker_discipline_passes_probe(tmp_path):
+    connect, write_epoch, read_all = _epoch_store(str(tmp_path / "good"))
+    report = probe_exactly_once_target(connect, write_epoch, read_all)
+    assert report.marker_survives_reconnect
+    assert report.replay_is_idempotent
+    assert report.exactly_once_capable
+
+
+def test_naive_append_store_fails_probe(tmp_path):
+    """A store that blindly appends on replay (no marker) must be
+    reported exactly-once-INCAPABLE — the failing outcome the reference
+    probes exist to surface."""
+    root = str(tmp_path / "bad")
+
+    def connect():
+        os.makedirs(root, exist_ok=True)
+        return root
+
+    def write_epoch(client, epoch_id, rows):
+        with open(os.path.join(client, "data.jsonl"), "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def read_all(client):
+        with open(os.path.join(client, "data.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    report = probe_exactly_once_target(connect, write_epoch, read_all)
+    assert not report.exactly_once_capable
+    assert not report.replay_is_idempotent

@@ -1,0 +1,91 @@
+"""Physical-plan assertions for the headline queries: the properties
+that decide 100 TB viability — pushdown reaching the scan, column
+pruning, broadcast where a side is small, no row-at-a-time Python, and
+no unexpected shuffle growth. The reference cannot express these checks
+(no optimizer); for this engine they ARE the performance contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from hazelcast_jet_contrib_spark.plans.audit import audit
+from hazelcast_jet_contrib_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    a = audit(QUERIES["q6_forecast_revenue"](spark, SF))
+    assert a.pushed_filters(), "q6's date/discount/quantity filters must reach the scan"
+    assert a.scans_read_only(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    ), a.notes
+
+
+def test_q3_broadcasts_small_dimensions(spark):
+    """customer (and orders at sf-small) are broadcast-able sides; the
+    plan must not shuffle lineitem for them unnecessarily."""
+    a = audit(QUERIES["q3_order_revenue"](spark, SF))
+    assert a.broadcast_joins() >= 1, "expected at least one broadcast join"
+
+
+def test_sorted_set_range_pushdown_is_inside_the_client_read(spark):
+    """The score range executes inside the source's client read (manual
+    pushdown, the reference's own mechanism) — the Spark plan must
+    contain NO Filter node doing the range post-hoc."""
+    a = audit(QUERIES["sorted_set_range"](spark, SF))
+    assert "Filter" not in a.plan, "range must not be re-evaluated Spark-side"
+
+
+def test_text_stats_stays_jvm_side(spark):
+    a = audit(QUERIES["text_stats"](spark, SF))
+    assert a.python_stages() == 0, "text functions must be Catalyst expressions"
+    assert a.arrow_python_stages() == 0
+
+
+def test_dedup_minhash_no_python_no_rowudf(spark):
+    a = audit(QUERIES["minhash_lsh_near_dup"](spark, SF))
+    assert a.python_stages() == 0
+
+
+def test_ann_topk_broadcasts_queries_not_corpus(spark):
+    a = audit(QUERIES["ann_cosine_topk"](spark, SF))
+    assert a.broadcast_joins() >= 1, "query side must broadcast"
+    assert a.shuffle_joins() == 0, "corpus must never shuffle for the join"
+
+
+def test_no_headline_query_uses_row_at_a_time_python(spark):
+    """Blanket guard: BatchEvalPython (pickled row loop) is banned
+    across the whole registry; vectorized Arrow stages are allowed only
+    where the operator declares them (multimodal decode, LSH sketch)."""
+    # vectorized Arrow boundaries that ARE the operator's declared
+    # design: connector client reads (mapInPandas partition functions)
+    # and the two Python kernels (LSH hyperplane sketch, stub decode)
+    allowed_arrow = {
+        "media_image_features",
+        "embedding_near_dup",
+        "kv_hash_snapshot",
+        "sorted_set_range",
+        "docstore_find_pushdown",
+        "measurement_timeseries_read",
+        "paged_rest_parts",
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        a = audit(fn(spark, SF))
+        if a.python_stages() > 0:
+            offenders.append(name)
+        if a.arrow_python_stages() > 0 and name not in allowed_arrow:
+            offenders.append(f"{name} (arrow)")
+    assert not offenders, f"row-at-a-time/undeclared Python stages in: {offenders}"
+
+
+def test_minhash_shuffle_budget(spark):
+    """Regression guard on shuffle count: the minhash pipeline plans 16
+    exchanges today (per shingle branch: spread-repartition + aggregate
+    shuffle; plus banding join, candidate dedup, verification joins). An
+    edit that accidentally adds a corpus-wide shuffle (e.g. un-pruning
+    the fat aggregate, losing the ids-only candidate join) shows up
+    here first."""
+    a = audit(QUERIES["minhash_lsh_near_dup"](spark, SF))
+    assert a.exchanges() <= 16, f"minhash shuffle count grew: {a.exchanges()}"
