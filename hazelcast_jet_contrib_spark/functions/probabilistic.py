@@ -33,8 +33,16 @@ _MAX_PRECISION = 16
 
 def precision_to_rsd(precision: int = DEFAULT_PRECISION) -> float:
     """Map HLL++ precision p (number of index bits, 2^p registers) to the
-    relative standard deviation Spark's ``approx_count_distinct`` accepts:
-    rsd = 1.04 / sqrt(m), m = 2^p. p=14 -> rsd ~= 0.0081.
+    relative standard deviation Spark's ``approx_count_distinct`` accepts.
+
+    Spark derives its internal precision as p = ceil(2·log2(1.106/rsd))
+    (HyperLogLogPlusPlus), so the exact inverse rsd = 1.106 / 2^(p/2)
+    makes Spark use *precisely* 2^p registers — the same sketch size the
+    reference allocates for precision p. (The textbook 1.04/sqrt(2^p)
+    formula lands just below Spark's threshold and silently doubles the
+    register count to 2^(p+1), which also costs ~4x throughput: the
+    per-row buffer update scales with sketch size past p=14.)
+    p=14 -> rsd ~= 0.00864.
 
     Raises ValueError outside [4, 16] (parity with
     ProbabilisticAggregations.java:61-63).
@@ -43,7 +51,7 @@ def precision_to_rsd(precision: int = DEFAULT_PRECISION) -> float:
         raise ValueError(
             f"precision must be in [{_MIN_PRECISION}, {_MAX_PRECISION}], got {precision}"
         )
-    return 1.04 / math.sqrt(2.0**precision)
+    return 1.106 / math.sqrt(2.0**precision)
 
 
 def hyper_log_log(col: Column | str, precision: int = DEFAULT_PRECISION) -> Column:

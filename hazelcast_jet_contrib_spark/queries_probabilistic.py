@@ -48,11 +48,14 @@ def hll_customers_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert the estimate lands within ±5% of truth at default precision 14.
     Here: orders → hash64(o_custkey) → hyper_log_log vs exact distinct."""
     orders = table(spark, sf_dir, "orders")
-    hashed = orders.select(hash64("o_custkey").alias("h"), F.col("o_custkey"))
-    return hashed.agg(
-        hyper_log_log("h", precision=14).alias("est"),
-        F.count_distinct("o_custkey").alias("exact"),
-    ).select(
+    # estimate and truth in separate aggregations: mixing a distinct and
+    # a non-distinct aggregate in one agg() makes the planner Expand
+    # every row through both paths, doubling the HLL update work
+    est = orders.select(hash64("o_custkey").alias("h")).agg(
+        hyper_log_log("h", precision=14).alias("est")
+    )
+    exact = orders.agg(F.count_distinct("o_custkey").alias("exact"))
+    return est.crossJoin(exact).select(
         (
             (F.abs(F.col("est") - F.col("exact")) / F.col("exact")) <= F.lit(0.05)
         )
@@ -71,10 +74,9 @@ def hll_events_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract over the events stream table's user_id (the shape of
     the reference's streaming rollingAggregate test, evaluated batch)."""
     events = table(spark, sf_dir, "events")
-    return events.agg(
-        hyper_log_log(hash64("user_id"), precision=14).alias("est"),
-        F.count_distinct("user_id").alias("exact"),
-    ).select(
+    est = events.agg(hyper_log_log(hash64("user_id"), precision=14).alias("est"))
+    exact = events.agg(F.count_distinct("user_id").alias("exact"))
+    return est.crossJoin(exact).select(
         (
             (F.abs(F.col("est") - F.col("exact")) / F.col("exact")) <= F.lit(0.05)
         )

@@ -34,7 +34,9 @@ def test_precision_bounds():
         precision_to_rsd(3)
     with pytest.raises(ValueError):
         precision_to_rsd(17)
-    assert abs(precision_to_rsd(14) - 0.008125) < 1e-4
+    # rsd = 1.106/2^(p/2): the exact inverse of Spark's rsd->p mapping,
+    # so precision 14 allocates exactly 2^14 registers
+    assert abs(precision_to_rsd(14) - 1.106 / 2**7) < 1e-9
 
 
 def test_hll_batch_accuracy(spark, hll_input):
