@@ -24,10 +24,12 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     list functions, keeping float results comparable).
 
     With ``dim`` given, unrolls to a flat sum of element_at products —
-    a plain codegen'd expression, ~10x faster than the interpreted
-    aggregate/zip_with higher-order form. Pass ``dim`` whenever the
-    embedding width is known (it always is for a real corpus). Both
-    forms fold left-to-right, so results are bit-identical.
+    a plain codegen'd expression whose per-row cost beats the
+    interpreted aggregate/zip_with higher-order form ~10x, at the price
+    of ~seconds of one-time Janino compilation for the 64+-term method.
+    Unroll for corpus-scale scans; leave ``dim=None`` for small or
+    interactive inputs. Both forms fold left-to-right, so results are
+    bit-identical.
     """
     ca, cb = _c(a), _c(b)
     if dim is not None:

@@ -327,10 +327,8 @@ def embedding_near_dup_pairs(
     Brute-force pairwise (exact baseline — O(n²)); for corpus scale use
     similarity.lsh_bucketed_pairs which only joins within hyperplane
     buckets. Output (id_a, id_b)."""
-    from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine, vec_dim
+    from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
 
-    if dim is None:
-        dim = vec_dim(df, vec_col)
     v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -10,13 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.functions.vectors import (
-    as_double,
-    cosine,
-    dot,
-    norm,
-    vec_dim,
-)
+from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine, dot, norm
 
 
 def cosine_topk(
@@ -36,11 +30,13 @@ def cosine_topk(
     per-query top-k aggregation, which AQE keeps tiny. Ranking is
     deterministic: ties on round(cos, 6) break by corpus id.
 
-    ``dim`` selects the unrolled codegen dot product (inferred from one
-    query row when omitted). Output: (query_id, neighbor_id, rank).
+    ``dim`` selects the unrolled codegen dot product — pass it on large
+    corpora, where its per-row win amortizes the ~seconds of Janino
+    compile the 64+-term expressions cost; the default interpreted
+    higher-order form wins on small/interactive inputs (measured: the
+    unrolled form's compile exceeds the entire sf0.1 query time).
+    Output: (query_id, neighbor_id, rank).
     """
-    if dim is None:
-        dim = vec_dim(queries, vec_col)
 
     # pre-normalize each side once so the per-pair work is a single dot
     # product; the norm is materialized as its own column first — putting
@@ -123,8 +119,11 @@ def lsh_bucketed_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # interpreted cosine for the verification: it touches only candidate
+    # pairs (a small fraction of the corpus), where the unrolled form's
+    # codegen compile time outweighs its per-row win
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb"), dim), 6))
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
