@@ -51,8 +51,10 @@ def _segments(stream_dir: str) -> list[int]:
 
 
 class MessageLogStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str):
+    def __init__(self, root: str, max_segments_per_trigger: int | None = None):
         self.root = root
+        self.max_segments_per_trigger = max_segments_per_trigger
+        self._prev_end: dict | None = None
 
     def _streams(self) -> list[str]:
         return sorted(
@@ -65,10 +67,23 @@ class MessageLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # next-segment-to-read per stream; new streams join at 0
-        return {
+        end = {
             s: (max(_segments(os.path.join(self.root, s)), default=-1) + 1)
             for s in self._streams()
         }
+        # admission control (the reference's bounded fillBuffer / queue
+        # backpressure, SURVEY.md §2.7): after the first batch, advance
+        # at most max_segments_per_trigger segments per stream per
+        # trigger. The first batch is unclamped because this reader
+        # cannot see the WAL's committed start; clamping it could plan
+        # an end below a restart's start offset.
+        if self.max_segments_per_trigger is not None and self._prev_end is not None:
+            end = {
+                s: min(e, self._prev_end.get(s, 0) + self.max_segments_per_trigger)
+                for s, e in end.items()
+            }
+        self._prev_end = end
+        return end
 
     def partitions(self, start: dict, end: dict):
         parts = [
@@ -104,6 +119,10 @@ class MessageLogStreamReader(DataSourceStreamReader):
 class MessageLogDataSource(DataSource):
     """`spark.readStream.format("message_log").option("path", root)`.
 
+    Options: `path` (required); `maxSegmentsPerTrigger` — admission
+    control, the analog of maxOffsetsPerTrigger / the reference's
+    bounded per-fill batches (InfluxDbSources.java:234-238).
+
     Register once per session:
         spark.dataSource.register(MessageLogDataSource)
     """
@@ -119,7 +138,10 @@ class MessageLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("message_log source requires option 'path'")
-        return MessageLogStreamReader(path)
+        max_seg = self.options.get("maxSegmentsPerTrigger")
+        return MessageLogStreamReader(
+            path, int(max_seg) if max_seg is not None else None
+        )
 
 
 def register(spark) -> None:

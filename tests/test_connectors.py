@@ -312,3 +312,59 @@ def test_producer_sink_extractors(spark, tmp_path):
     assert {r["value"] for r in recs} == {"A", "B"}
     assert all(r["properties"] == {"origin": "test"} for r in recs)
     assert {r["event_time"] for r in recs} == {1000, 2000}
+
+
+# ---------------------------------------------------------------------------
+# backpressure / error propagation (SURVEY.md §2.7, §5)
+# ---------------------------------------------------------------------------
+
+
+def test_message_log_admission_control(spark, tmp_path):
+    """maxSegmentsPerTrigger bounds how far each micro-batch advances —
+    the reference's bounded fillBuffer batches (InfluxDbSources.java:
+    234-238) as Spark admission control. First batch is unclamped (WAL
+    restart safety); later triggers consume at most 2 segments each."""
+    root = str(tmp_path / "log")
+    message_log.register(spark)
+    message_log.append_segment(root, "s", [{"key": None, "value": "a0"}])
+
+    batch_sizes = []
+    q = (
+        spark.readStream.format("message_log")
+        .option("path", root)
+        .option("maxSegmentsPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(lambda df, eid: batch_sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(6):
+            message_log.append_segment(root, "s", [{"key": None, "value": f"b{i}"}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert sum(batch_sizes) == 7, batch_sizes  # nothing lost
+    assert batch_sizes[0] == 1
+    assert all(b <= 2 for b in batch_sizes[1:]), batch_sizes  # clamped
+
+
+def test_sink_failure_fails_the_job(spark, tmp_path):
+    """A sink whose store stays down must fail the job after retries are
+    exhausted, not swallow the error (InfluxDbSinkTest.java contract:
+    write to a non-existent DB fails the job)."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, status string")
+
+    def store_down(doc):
+        raise OSError("store unreachable")
+
+    with pytest.raises(Exception, match="store unreachable"):
+        doc_sink(
+            df.coalesce(1),
+            str(tmp_path / "down"),
+            validate_fn=store_down,
+            retry=RetryStrategy.constant(max_attempts=2, interval_sec=0.01),
+        )
