@@ -111,6 +111,20 @@ def jaccard_pairs(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than the cap before the in-bucket
+    self-join (the O(k²) guard for degenerate duplicate clusters). One
+    extra aggregation on the bucket key; no-op when cap is None."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn__"))
+    return banded.join(
+        sizes.filter(F.col("__bn__") <= max_bucket_size).drop("__bn__"), keys
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs (the scale path)
 # ---------------------------------------------------------------------------
@@ -138,6 +152,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 64,
     shingle_words: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH, verified with exact
     Jaccard. With 64 bands × 2 rows, a pair at J=0.6 escapes LSH with
@@ -159,6 +174,14 @@ def minhash_lsh_pairs(
        intersection of shingles up to a ~2^-64 per-pair collision).
 
     Output: (id_a, id_b), id_a < id_b.
+
+    ``max_bucket_size`` is the adversarial-corpus guard: a degenerate
+    bucket of k near-identical docs makes the in-bucket join O(k²).
+    When set, buckets above the cap are dropped before the self-join
+    (members of a big duplicate cluster still pair up through their
+    other 63 bands unless the cluster floods those too — at which point
+    dropping is the sane behavior; dedup the exact-duplicate cluster
+    with dedup_exact first).
     """
     rows = num_hashes // bands
     base = _shingle_sets(df, id_col, text_col, shingle_words)
@@ -192,6 +215,7 @@ def minhash_lsh_pairs(
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
     # 3. candidates: ids only through the join
     a, b = banded.alias("a"), banded.alias("b")
@@ -269,6 +293,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming. Banding over
     `bands` equal bit-slices guarantees exact recall when
@@ -292,6 +317,7 @@ def simhash_pairs(
     banded = sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs")
     )
+    banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -10,8 +10,8 @@ PulsarReaderBuilder.java:156-199). Here those contracts become:
   `mapInPandas` (client created per partition, bounded Arrow batches),
   with manual filter/projection pushdown arguments exactly like the
   reference's searchFn;
-- `ReplayableStreamSource` (streaming/offsets.py) — offset-based pull
-  adapter checkpointed by Spark's WAL.
+- replayable streaming sources (streaming/message_log.py, the generic
+  `connector_host`) — offset-range readers checkpointed by Spark's WAL.
 """
 
 from hazelcast_jet_contrib_spark.sources.builder import BatchSourceBuilder, batch_source

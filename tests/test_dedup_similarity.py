@@ -127,3 +127,16 @@ def test_cosine_topk_matches_numpy(spark, embeddings):
         )
         expect = [-c for _, c in order[:4]]
         assert [n for _, n in sorted(by_q[q])] == expect
+
+
+def test_lsh_bucket_cap_guards_degenerate_clusters(spark, doc_corpus):
+    """max_bucket_size drops oversized LSH buckets before the quadratic
+    in-bucket join (adversarial-corpus guard). cap=1 kills every
+    candidate bucket (a pair needs a shared bucket of size >= 2);
+    cap=None reproduces the full pair set."""
+    full = minhash_lsh_pairs(doc_corpus, "doc_id", "text", threshold=0.6)
+    capped = minhash_lsh_pairs(
+        doc_corpus, "doc_id", "text", threshold=0.6, max_bucket_size=1
+    )
+    assert full.count() > 0
+    assert capped.count() == 0
