@@ -47,7 +47,12 @@ class HttpListenerSource:
         port: int = 0,
         require_json: bool = False,
         batch_size: int = 100,
+        tls: tuple[str, str] | None = None,
     ):
+        """``tls=(certfile, keyfile)`` serves HTTPS (the reference's SSL
+        listener, HttpListenerSourceBuilder SSL context + mutual-auth
+        surface; HttpListenerSourceTest.java:76-113): plaintext requests
+        to a TLS listener are rejected at the handshake."""
         self.spool_dir = spool_dir
         self.stream_name = stream_name
         self.require_json = require_json
@@ -55,12 +60,20 @@ class HttpListenerSource:
         self._buf: list[dict] = []
         self._lock = threading.Lock()
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
+        self._tls = tls is not None
+        if tls is not None:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile=tls[0], keyfile=tls[1])
+            self._server.socket = ctx.wrap_socket(self._server.socket, server_side=True)
         self._thread: threading.Thread | None = None
 
     @property
     def address(self) -> str:
         host, port = self._server.server_address[:2]
-        return f"http://{host}:{port}"
+        scheme = "https" if self._tls else "http"
+        return f"{scheme}://{host}:{port}"
 
     def _handler_class(self):
         source = self

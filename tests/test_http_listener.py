@@ -89,3 +89,56 @@ def test_sse_sink_drop_oldest_accumulation():
     for i in range(12):
         sink.publish(str(i))
     assert sink._rows == [str(i) for i in range(7, 12)]
+
+
+def test_https_listener_serves_tls_and_rejects_plaintext(tmp_path):
+    """TLS parity with the reference's secured listener tests
+    (HttpListenerSourceTest.java:76-113): payloads arrive over HTTPS;
+    a plaintext request to the TLS port fails at the handshake."""
+    import ssl
+    import subprocess
+    import urllib.request
+    import urllib.error
+
+    from hazelcast_jet_contrib_spark.sources.http_listener import HttpListenerSource
+
+    cert = str(tmp_path / "cert.pem")
+    key = str(tmp_path / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+
+    src = HttpListenerSource(
+        str(tmp_path / "spool"), batch_size=1, tls=(cert, key)
+    ).start()
+    try:
+        assert src.address.startswith("https://")
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        req = urllib.request.Request(src.address, data=b'{"ok":1}', method="POST")
+        with urllib.request.urlopen(req, context=ctx, timeout=10) as resp:
+            assert resp.status == 200
+
+        plain = src.address.replace("https://", "http://")
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(plain, data=b"x", method="POST"), timeout=5
+            )
+            raise AssertionError("plaintext request must not succeed on a TLS port")
+        except (urllib.error.URLError, ConnectionError, TimeoutError):
+            pass  # handshake rejected, as required
+    finally:
+        src.stop()
+
+    import json as _json
+
+    spool = tmp_path / "spool" / "http"
+    values = [
+        _json.loads(line)["value"]
+        for seg in sorted(spool.glob("*.jsonl"))
+        for line in open(seg)
+    ]
+    assert '{"ok":1}' in values

@@ -64,6 +64,7 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
     allowed_arrow = {
         "media_image_features",
         "embedding_near_dup",
+        "ivf_cosine_topk",  # numpy cell-assignment kernels
         "kv_hash_snapshot",
         "sorted_set_range",
         "docstore_find_pushdown",
@@ -89,3 +90,55 @@ def test_minhash_shuffle_budget(spark):
     here first."""
     a = audit(QUERIES["minhash_lsh_near_dup"](spark, SF))
     assert a.exchanges() <= 16, f"minhash shuffle count grew: {a.exchanges()}"
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Both sides bucketed by the join key -> the join plans with no
+    Exchange at all: the shuffle was paid once at write time. This is
+    the co-location strategy for repeated fact-fact joins at 100 TB."""
+    from hazelcast_jet_contrib_spark.operators.skew import bucketed, write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_bkt", "l_orderkey", num_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_bkt",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    joined = bucketed(spark, "li_bkt").join(bucketed(spark, "ord_bkt"), "l_orderkey")
+    # disable broadcast so the test exercises the co-located SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = audit(joined)
+        assert a.exchanges() == 0, f"bucketed join still shuffles: {a.exchanges()}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is semantics-preserving: same multiset of rows as the
+    plain join, with the hot key spread across `salt` sub-partitions."""
+    from hazelcast_jet_contrib_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 0), ("miss", 9)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("other", "O")], "k string, rv string"
+    )
+    plain = left.join(right, "k").groupBy("k", "rv").count()
+    salted = salted_join(left, right, "k", salt=8).groupBy("k", "rv").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    left_rows = salted_join(left, right, "k", salt=8, how="left").count()
+    assert left_rows == 502  # 'miss' preserved by the left join

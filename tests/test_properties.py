@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — a dimension the reference's test suite
+doesn't have (it is integration-only, SURVEY.md §5). Spark jobs are
+slow per example, so examples are capped and data is driven through
+one shared SparkSession."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import dedup_exact
+from hazelcast_jet_contrib_spark.operators.skew import salted_join
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=20
+)
+
+
+@given(texts)
+@_settings
+def test_dedup_exact_total_and_deterministic(spark, docs):
+    """For any corpus: output has exactly one row per distinct text, the
+    kept id is the minimum for that text, and no text is lost."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = dedup_exact(df, subset=["text"], order_by=["doc_id"]).collect()
+    by_text = {}
+    for i, t in enumerate(docs):
+        by_text.setdefault(t, i)
+    assert {(r["doc_id"], r["text"]) for r in out} == {
+        (i, t) for t, i in by_text.items()
+    }
+
+
+@given(
+    st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 99)),
+             min_size=0, max_size=25),
+    st.lists(st.tuples(st.sampled_from("abcd"), st.sampled_from("XY")),
+             min_size=0, max_size=8),
+)
+@_settings
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    """salted_join must equal the plain join as a multiset for ANY
+    input, including empty sides and keys present on only one side."""
+    left = spark.createDataFrame(left_rows, "k string, lv long") if left_rows else (
+        spark.createDataFrame([], "k string, lv long")
+    )
+    right = spark.createDataFrame(right_rows, "k string, rv string") if right_rows else (
+        spark.createDataFrame([], "k string, rv string")
+    )
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", salt=4).collect()))
+    assert plain == salted
+
+
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=50))
+@_settings
+def test_hll_estimate_bounded_error(spark, values):
+    """approx_count_distinct at precision 14 on small-n inputs must be
+    exact-ish: |est - true| <= max(1, 5% of true) for any value set
+    (HLL++ uses exact sparse counting far below 2^14 registers)."""
+    from hazelcast_jet_contrib_spark.functions.probabilistic import hyper_log_log
+
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    est = df.agg(hyper_log_log("v", precision=14).alias("e")).collect()[0]["e"]
+    true = len(set(values))
+    assert abs(est - true) <= max(1, int(0.05 * true))
+
+
+@given(texts)
+@_settings
+def test_word_shingles_match_python_reference(spark, docs):
+    """The Catalyst shingle expression must agree with a direct Python
+    reimplementation for any text (incl. empty/whitespace-only)."""
+    from hazelcast_jet_contrib_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", word_shingles("text", 2).alias("sh")).collect()
+    }
+    for i, t in enumerate(docs):
+        toks = t.strip().lower().split()
+        toks = toks if t.strip() else [""]  # split('\s+') on '' yields ['']
+        expect = sorted(
+            {" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)}
+        ) if len(toks) >= 2 else []
+        assert got[i] == expect, (t, got[i], expect)
