@@ -154,3 +154,37 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return ivf_topk(queries_df, corpus, k=5, nlist=8, nprobe=8)
+
+
+# §2.5 JSON scalar work — the reference parses JSON payloads in-stream
+# (timestamp_ms extraction TwitterSources.java:249-253, JSON bean
+# mapping HttpListenerSourceBuilder.java:236-246). Spark-first:
+# get_json_object / from_json over the raw string column; DuckDB mirror
+# via json_extract. Oracle pins both the path extraction and the
+# null-on-absent-key semantics.
+@query(
+    "json_props_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS n_null_missing
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    missing = F.get_json_object("props", "$.missing")
+    return (
+        events.filter(k >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_null_missing"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""CDC apply: materialize a change stream (insert/update/delete) into a
+queryable state table, exactly-once across restarts.
+
+Reference behavior being re-expressed: the MongoDB change-stream source
+(SURVEY.md §2.2 S9, MongoDBSourceBuilder.java:162-270) delivers ordered
+change events with a resume token; the downstream job's purpose is
+almost always "keep a copy of the collection up to date". This module
+supplies that downstream half on Spark, with the exactly-once story the
+reference builds from snapshots + resume tokens.
+
+Design (no lakehouse format required):
+- state is **versioned**: batch N writes `state/v{N}/` derived from
+  `v{N-1}` ∪ batch — a pure, deterministic function, fully distributed
+  (union + window dedup; no driver materialization);
+- a replayed epoch rewrites the same version directory and re-points
+  the marker — idempotent, so at-least-once foreachBatch becomes
+  exactly-once (same discipline as exactly_once.py, probed by
+  delivery_probe.py);
+- `current_state()` reads the newest *committed* version (marker file),
+  so readers never observe a half-written merge.
+
+Change record contract: (key string, op in {'I','U','D'}, value, seq) —
+seq is the total order within a key (the resume-token/clusterTime
+analog); the latest seq wins, 'D' removes the key.
+
+At 100 TB: each merge shuffles state ∪ batch once on the key — the same
+cost any upsert pays without a format that supports merge-on-read; for
+high-frequency small batches, raise the trigger interval or compact
+via maxSegmentsPerTrigger so batches amortize the rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "key string, value string, seq long"
+
+
+def _marker(state_dir: str) -> str:
+    return os.path.join(state_dir, "_CURRENT")
+
+
+def _read_current_version(state_dir: str) -> int | None:
+    try:
+        with open(_marker(state_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def current_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest committed materialization (empty frame before any)."""
+    v = _read_current_version(state_dir)
+    if v is None:
+        return spark.createDataFrame([], STATE_SCHEMA)
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}")).select(
+        "key", "value", "seq"
+    )
+
+
+def _merge(prev: DataFrame, changes: DataFrame) -> DataFrame:
+    """Deterministic merge: per key, the highest-seq record wins
+    (ties break toward the change row); 'D' tombstones drop out."""
+    pc = prev.select("key", "value", "seq", F.lit("U").alias("op"), F.lit(0).alias("src"))
+    cc = changes.select("key", "value", "seq", "op", F.lit(1).alias("src"))
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc(), F.col("src").desc())
+    return (
+        pc.unionByName(cc)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter((F.col("__rn__") == 1) & (F.col("op") != "D"))
+        .select("key", "value", "seq")
+    )
+
+
+def cdc_apply_foreach_batch(state_dir: str, keep_versions: int = 2):
+    """foreachBatch adapter: maintain the state table from a stream of
+    change records (cols: key, op, value, seq). Idempotent per epoch:
+    a replay of an already-committed epoch is a no-op (the marker is the
+    commit record — never read the version being rewritten); a replay
+    after a crash-before-marker rewrites the version from the intact
+    previous one. Committed versions older than `keep_versions` are
+    pruned."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = _read_current_version(state_dir)
+        if committed is not None and committed >= epoch_id:
+            return  # epoch already fully committed: replay is a no-op
+        spark = batch_df.sparkSession
+        prev = current_state(spark, state_dir)
+        merged = _merge(prev, batch_df.select("key", "op", "value", "seq"))
+        out = os.path.join(state_dir, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = _marker(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, _marker(state_dir))
+        # prune old committed versions (keep the newest `keep_versions`)
+        import shutil
+
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for v in versions[:-keep_versions]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
+
+    return fn
