@@ -188,20 +188,21 @@ def minhash_lsh_pairs(
 
     # 1. hash once per shingle string, then num_hashes long re-hashes.
     # One declared aggregate yields both the signature mins and the
-    # verification hash-sets; Catalyst then prunes each of the three
-    # consumers (banding, verify a, verify b) down to a lean per-branch
-    # aggregate — the scan+shingling is recomputed per branch, which
-    # beats shuffling an unpruned fat aggregate, and map-side partial
-    # aggregation keeps each recompute's shuffle tiny (ids × buffers).
-    # At corpus scale, persist() `base` to trade memory for the
-    # recompute if profiling says shingling dominates.
+    # verification hash-sets. Three consumers read it (banding, verify
+    # side a, verify side b); persist it so the scan → shingle → explode
+    # → 128-way min aggregation runs ONCE instead of per branch. The
+    # cached relation is per-id (128 longs + the hashed shingle set) —
+    # orders of magnitude smaller than the corpus text, and it spills to
+    # disk rather than OOMing on wide documents.
+    from pyspark import StorageLevel
+
     exploded = base.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h0")
     )
     agg = exploded.groupBy("id").agg(
         *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set("h0").alias("hs"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = agg
 
     # 2. band keys from signature slices (multi-column xxhash64)
@@ -304,9 +305,15 @@ def simhash_pairs(
         raise ValueError("exact recall requires max_hamming < bands")
     if 64 % bands:
         raise ValueError("bands must divide 64")
+    from pyspark import StorageLevel
+
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = simhash_signature(df, id_col, text_col)
+    # persist: both sides of the in-bucket self-join (plus the optional
+    # bucket-size cap) read the signature relation — cache the tiny
+    # (id, long) result rather than re-running tokenize + 64 vote sums
+    # per consumer
+    sig = simhash_signature(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

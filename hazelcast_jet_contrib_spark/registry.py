@@ -61,6 +61,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # bottom so `query`/`table` exist when they import us.
 from hazelcast_jet_contrib_spark import queries_relational  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_subqueries  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_decorrelated  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_probabilistic  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_sources  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_text  # noqa: E402,F401
