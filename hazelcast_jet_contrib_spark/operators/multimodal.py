@@ -37,6 +37,10 @@ IMAGE_FEATURES_SCHEMA = (
 
 AUDIO_FRAMES_SCHEMA = "media_id long, frame_idx int, rms double"
 
+RESIZED_IMAGE_SCHEMA = "media_id long, width int, height int, payload binary"
+
+VIDEO_FRAMES_SCHEMA = "media_id long, frame_idx int, frame_phash string"
+
 
 def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decoder (no codec libs in this environment): derives a
@@ -99,6 +103,63 @@ def audio_frame_energy(df: DataFrame, frame_samples: int = 256) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
 
     return df.select("media_id", "payload").mapInPandas(kernel, AUDIO_FRAMES_SCHEMA)
+
+
+def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → nearest-neighbor resample to (width, height) → re-encode
+    as a raw gray plane. 1 row in, 1 row out, output payload is exactly
+    width*height bytes — the normalize-before-training shape. The
+    resample itself is real numpy; only the decode is the documented
+    stub. Swap `_decode_image` + an encoder for real codecs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w0, h0, plane = _decode_image(bytes(payload))
+                yi = (np.arange(height) * h0 // height).astype(np.intp)
+                xi = (np.arange(width) * w0 // width).astype(np.intp)
+                resized = plane[np.ix_(yi, xi)]
+                rows.append((mid, width, height, resized.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, RESIZED_IMAGE_SCHEMA)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Sample every Nth frame of a video payload, emitting one row per
+    kept frame with a per-frame signature — the 1→N fan-out with a
+    sampling stride that keeps output volume bounded regardless of clip
+    length (ceil(frames/every_n), capped at max_frames). STUB container
+    parsing: the payload is treated as concatenated fixed-size frames;
+    a real build swaps the slicing for ffmpeg keyframe extraction — the
+    Spark contract (schema, Arrow batching, bounded fan-out) is real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = max(1, len(buf) // frame_bytes)
+                kept = range(0, n_frames, every_n)
+                for k, idx in enumerate(kept):
+                    if k >= max_frames:
+                        break
+                    frame = buf[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    sig = hashlib.sha256(frame).hexdigest()[:16]
+                    rows.append((mid, idx, sig))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_phash"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
 
 
 def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:

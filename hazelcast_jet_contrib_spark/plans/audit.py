@@ -67,8 +67,13 @@ class PlanAudit:
 
     def exchanges(self) -> int:
         """Shuffle count (each Exchange is a full rewrite of the data —
-        the thing to minimize)."""
-        return len(re.findall(r"\bExchange\b", self.plan))
+        the thing to minimize). Counts only numbered operator nodes of
+        THIS query's plan: the formatted tree header and any cached-plan
+        text embedded in an InMemoryRelation detail block are unnumbered
+        duplicates (a persisted subtree's exchange runs once at cache
+        build, not per consumer), and ReusedExchange is excluded because
+        a reused shuffle is exactly the rewrite we avoided."""
+        return len(re.findall(r"^\(\d+\) Exchange", self.plan, re.M))
 
     def reused_exchanges(self) -> int:
         return len(re.findall(r"ReusedExchange", self.plan))

@@ -127,6 +127,68 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height, 64 AS n_bytes
+    FROM documents
+    """,
+)
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing contract: one output row per input, payload
+    exactly width*height bytes. The oracle pins multiplicity and the
+    size invariant (resized bytes themselves come from the stub decoder
+    and have no SQL mirror)."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import image_resize
+
+    return image_resize(_media_frame(spark, sf_dir), width=8, height=8).select(
+        "media_id", "width", "height", F.octet_length("payload").alias("n_bytes")
+    )
+
+
+@query(
+    "media_video_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 4
+                    ELSE 0 END + octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    counts AS (
+        SELECT media_id,
+               LEAST(CAST(CEIL(GREATEST(n_bytes // 64, 1) / 10.0) AS BIGINT),
+                     8) AS n_kept
+        FROM m
+    )
+    SELECT media_id, CAST((k - 1) * 10 AS INT) AS frame_idx
+    FROM counts, generate_series(1, 8) AS gs(k)
+    WHERE k <= n_kept
+    """,
+)
+def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling contract: every 10th fixed-size frame, at most 8
+    per clip. The oracle reproduces the stride/cap arithmetic from the
+    payload length alone — equality proves the fan-out is bounded and
+    deterministic. The per-frame signature column is stub-decoder
+    output, so the query projects the oracle-checkable columns."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import video_frame_sample
+
+    return video_frame_sample(
+        _media_frame(spark, sf_dir), every_n=10, max_frames=8, frame_bytes=64
+    ).select("media_id", "frame_idx")
+
+
+@query("media_audio_frames", oracle=None)
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy fan-out (1 clip → N fixed-size frames with RMS
+    energy). Stub decoder → rows-only check; shape and determinism are
+    pinned by tests/test_multimodal.py."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import audio_frame_energy
+
+    return audio_frame_energy(_media_frame(spark, sf_dir), frame_samples=256)
+
+
+@query(
     "ivf_cosine_topk",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

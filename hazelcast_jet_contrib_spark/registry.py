@@ -68,3 +68,4 @@ from hazelcast_jet_contrib_spark import queries_text  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_dedup  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_windows  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_connectors  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_joins  # noqa: E402,F401

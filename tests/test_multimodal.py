@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from hazelcast_jet_contrib_spark.operators.multimodal import (
     audio_frame_energy,
     image_features,
+    image_resize,
+    video_frame_sample,
     with_media_metadata,
 )
 
@@ -61,6 +63,40 @@ def test_audio_frame_fanout(spark, media):
     assert len(frames) == 4
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
     assert all(0.0 <= r["rms"] <= 1.0 for r in frames)
+
+
+def test_image_resize_contract(spark, media):
+    imgs = media.filter(F.col("modality") == "image")
+    out = {r["media_id"]: r.asDict() for r in image_resize(imgs, 8, 8).collect()}
+    again = {
+        r["media_id"]: r.asDict()
+        for r in image_resize(imgs.repartition(4), 8, 8).collect()
+    }
+    assert out == again, "resize must be deterministic across partitionings"
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["payload"]) == 64  # exactly width*height bytes
+
+
+def test_video_frame_sample_stride_and_cap(spark):
+    rows = [
+        (1, b"x" * 64),          # 1 frame  -> idx [0]
+        (2, b"y" * (64 * 25)),   # 25 frames -> idx [0, 10, 20]
+        (3, b"z" * (64 * 999)),  # 999 frames -> capped at 8 samples
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = video_frame_sample(df, every_n=10, max_frames=8, frame_bytes=64)
+    got: dict[int, list[int]] = {}
+    for r in out.collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(got[1]) == [0]
+    assert sorted(got[2]) == [0, 10, 20]
+    assert sorted(got[3]) == [0, 10, 20, 30, 40, 50, 60, 70]
+    sig = {(r["media_id"], r["frame_idx"]): r["frame_phash"] for r in out.collect()}
+    assert all(len(s) == 16 for s in sig.values())
+    # identical frame bytes -> identical signature (content-addressed)
+    assert sig[(3, 0)] == sig[(3, 10)]
 
 
 def test_payload_pruned_when_metadata_only(spark, media, tmp_path):

@@ -63,6 +63,9 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
     # and the two Python kernels (LSH hyperplane sketch, stub decode)
     allowed_arrow = {
         "media_image_features",
+        "media_image_resize",
+        "media_video_frame_sample",
+        "media_audio_frames",
         "embedding_near_dup",
         "ivf_cosine_topk",  # numpy cell-assignment kernels
         "kv_hash_snapshot",
@@ -82,14 +85,16 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
 
 
 def test_minhash_shuffle_budget(spark):
-    """Regression guard on shuffle count: the minhash pipeline plans 16
-    exchanges today (per shingle branch: spread-repartition + aggregate
-    shuffle; plus banding join, candidate dedup, verification joins). An
-    edit that accidentally adds a corpus-wide shuffle (e.g. un-pruning
-    the fat aggregate, losing the ids-only candidate join) shows up
+    """Regression guard on shuffle count: the minhash pipeline plans 3
+    real exchanges fresh (shared id-aggregate, candidate banding join,
+    verification joins) — the shared aggregate is persisted, so its
+    scan-side shuffle runs once, not per consumer — plus one numbered
+    AQE node once an earlier run in the same session materialized the
+    cache. An edit that accidentally adds a corpus-wide shuffle (e.g.
+    losing the cache, losing the ids-only candidate join) shows up
     here first."""
     a = audit(QUERIES["minhash_lsh_near_dup"](spark, SF))
-    assert a.exchanges() <= 16, f"minhash shuffle count grew: {a.exchanges()}"
+    assert a.exchanges() <= 6, f"minhash shuffle count grew: {a.exchanges()}"
 
 
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
