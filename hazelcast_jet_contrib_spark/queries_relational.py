@@ -195,6 +195,29 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUBE grouping-sets: all 2^2 grouping combinations in one pass — the
+# planner Expands each input row once per grouping set, then a single
+# hash aggregate; no per-combination re-scan of the fact.
+# --------------------------------------------------------------------------
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Sort + limit with a total deterministic order.
 # --------------------------------------------------------------------------
 @query(

@@ -118,3 +118,47 @@ def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aug.groupBy(TX.fingerprint("text").alias("fp")).agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_members")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus distribution profile: exact interpolated percentiles of the
+# token-count distribution per language — the "what does this corpus
+# look like" pass a filtering pipeline runs before choosing quality
+# thresholds. Exact `percentile` (not percentile_approx) so the DuckDB
+# quantile_cont oracle matches value-for-value; at 100 TB swap in
+# approx_percentile with the same query shape (one shuffle on lang,
+# sketches merged at the exchange) and assert tolerance instead.
+# --------------------------------------------------------------------------
+@query(
+    "token_length_profile",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                    AS DOUBLE) AS tok
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(tok, 0.5), 4) AS p50,
+           ROUND(quantile_cont(tok, 0.9), 4) AS p90,
+           ROUND(quantile_cont(tok, 0.99), 4) AS p99,
+           ROUND(AVG(tok), 4) AS mean_tokens
+    FROM t
+    GROUP BY lang
+    """,
+)
+def token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = TX.token_estimate("text").cast("double")
+    return (
+        docs.select("lang", tok.alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("tok", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("tok", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("tok", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.avg("tok"), 4).alias("mean_tokens"),
+        )
+    )
