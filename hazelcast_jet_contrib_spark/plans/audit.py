@@ -32,6 +32,11 @@ def formatted_plan(df: DataFrame) -> str:
 class PlanAudit:
     plan: str
     notes: list[str] = field(default_factory=list)
+    # Count of WholeStageCodegen subtrees from the "codegen" explain
+    # mode, captured by audit(). The formatted plan of an un-executed
+    # AdaptiveSparkPlan carries no codegen markers at all, so a regex
+    # over `plan` alone would report 0 even for fully-compiled queries.
+    codegen_subtrees: int | None = None
 
     # -- scan-level ----------------------------------------------------
     def pushed_filters(self) -> list[str]:
@@ -80,6 +85,8 @@ class PlanAudit:
 
     # -- execution mode ------------------------------------------------
     def codegen_stages(self) -> int:
+        if self.codegen_subtrees is not None:
+            return self.codegen_subtrees
         return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", self.plan)))
 
     def python_stages(self) -> int:
@@ -95,5 +102,39 @@ class PlanAudit:
         )
 
 
-def audit(df: DataFrame) -> PlanAudit:
-    return PlanAudit(formatted_plan(df))
+def _codegen_subtree_count(df: DataFrame, execute: bool) -> int | None:
+    """Number of WholeStageCodegen subtrees Spark actually compiles for
+    this query ("codegen" explain mode header: `Found N WholeStageCodegen
+    subtrees.`). This is the span count to widen at 100 TB — every
+    subtree is one fused JVM loop; anything outside them is interpreted
+    row-at-a-time. Under AQE the subtrees only exist once the adaptive
+    plan is finalized, so an accurate count requires running the query
+    (`execute=True`; do this on a small SF) — without execution the
+    header honestly reports "Found 0" and we return None instead."""
+    try:
+        if execute:
+            # collect() runs THIS DataFrame's QueryExecution (count()
+            # would plan a different query), finalizing the adaptive
+            # plan so the codegen header is real. Small-SF only.
+            df.collect()
+        jqe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        header = jqe.explainString(mode).splitlines()[0]
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", header)
+        if m is None:
+            return None
+        n = int(m.group(1))
+        return n if (n > 0 or execute) else None
+    except Exception:  # py4j surface changed or plan not compilable
+        return None
+
+
+def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
+    """Audit `df`'s physical plan. With `execute=True` the query is run
+    first (use a small scale factor) so AQE-finalized facts — the
+    whole-stage-codegen span count — are real rather than absent."""
+    return PlanAudit(
+        formatted_plan(df), codegen_subtrees=_codegen_subtree_count(df, execute)
+    )
