@@ -230,23 +230,30 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS n_null_missing
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
     GROUP BY event_type
     """,
 )
 def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One from_json parse per row (projected before filter/agg) instead of
+    # re-running get_json_object per expression — the JSON is parsed once
+    # and the struct fields are free column accesses afterwards.
     events = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    missing = F.get_json_object("props", "$.missing")
+    props = F.from_json("props", "k INT, missing STRING")
+    parsed = events.select("event_type", props.alias("p")).select(
+        "event_type", F.col("p.k").alias("k"), F.col("p.missing").alias("missing")
+    )
     return (
-        events.filter(k >= 50)
+        parsed.filter(F.col("k") >= 50)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(k), 4).alias("avg_k"),
-            F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_null_missing"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_missing"),
         )
     )

@@ -364,8 +364,19 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    # Derived scan-level pre-filters (the classic q19 rewrite): the union of
+    # the per-branch ranges is pushed to each scan so most rows never reach
+    # the join. Catalyst can't infer these from the OR-of-ANDs on its own
+    # because each conjunct mixes columns from both sides.
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    part = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & F.col("p_size").between(1, 35)
+        )
+    )
     branch = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 15)

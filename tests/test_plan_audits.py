@@ -84,6 +84,16 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
     assert not offenders, f"row-at-a-time/undeclared Python stages in: {offenders}"
 
 
+def test_embedding_near_dup_has_no_quadratic_join(spark):
+    """The registered near-dup query must be the LSH-bucketed plan: the
+    only join is an equi-join on the bucket key (hash join). A
+    BroadcastNestedLoopJoin / CartesianProduct here means the O(n²)
+    brute-force pair join leaked back in — a scale-killer at 100×."""
+    a = audit(QUERIES["embedding_near_dup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in a.plan, "O(n²) pair join in near-dup plan"
+    assert "CartesianProduct" not in a.plan, "cartesian join in near-dup plan"
+
+
 def test_minhash_shuffle_budget(spark):
     """Regression guard on shuffle count: the minhash pipeline plans 3
     real exchanges fresh (shared id-aggregate, candidate banding join,
