@@ -109,19 +109,15 @@ def range_join_binned(
     collisions must be resolved by the caller beforehand.
     """
     w = float(bin_width)
-    exploded = right.withColumn(
-        "__bin__",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                # hi is exclusive: an interval ending exactly on a bin
-                # edge does not reach into that bin
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9 * w)) / w
-                ).cast("long"),
-            )
-        ),
-    )
+    # hi is exclusive: ceil(hi/w) - 1 is the last bin the interval
+    # reaches — exactly one less than the edge bin when hi sits on a bin
+    # edge, floor(hi/w) otherwise. Computed arithmetically (an epsilon
+    # subtraction would silently drop matches for hi within epsilon above
+    # an edge). Clamped to the start bin so a degenerate hi <= lo
+    # interval yields a single-bin sequence instead of a descending one.
+    start_bin = F.floor(F.col(lo_col) / w).cast("long")
+    end_bin = F.greatest((F.ceil(F.col(hi_col) / w) - F.lit(1)).cast("long"), start_bin)
+    exploded = right.withColumn("__bin__", F.explode(F.sequence(start_bin, end_bin)))
     pts = left.withColumn("__bin__", F.floor(F.col(left_val) / w).cast("long"))
     return (
         pts.join(exploded, "__bin__")

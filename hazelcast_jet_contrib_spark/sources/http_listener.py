@@ -1,11 +1,14 @@
-"""HTTP(S) listener source + push sink — the reference's `http` module
+"""HTTP(S) listener source + push sinks — the reference's `http` module
 re-landed on Spark's pull-based streaming model.
 
 Reference behavior (http/.../HttpListenerSourceBuilder.java:36-254):
 an embedded HTTP server accepts POST/PUT payloads, maps them to String /
 JSON bean / custom type, and feeds the pipeline; malformed JSON returns
-HTTP 400 (HttpListenerSourceContext.java:103-107). The sink side pushes
-results to connected WebSocket/SSE clients (HttpListenerSinks.java:41-146).
+HTTP 400 (HttpListenerSourceContext.java:103-107); SSL and mutual
+(client-cert) auth are supported (HttpListenerSourceTest.java:76-113).
+The sink side pushes results to connected WebSocket or SSE clients
+(HttpListenerSinks.java:41-146) with bounded drop-oldest accumulation
+while nobody is connected (HttpListenerSinkContext.java:128-152).
 
 Push-based sources don't fit Spark's replayable pull model (SURVEY.md
 §7 risk 3), so the listener spools accepted payloads into a message-log
@@ -15,16 +18,18 @@ webhook path the same exactly-once restart semantics the reference
 reserves for its offset-snapshotting sources. JSON-bean mapping becomes
 `from_json(schema)` downstream.
 
-The sink serves the latest results over Server-Sent Events from a
-single endpoint — the analog of forceTotalParallelismOne
-(HttpListenerSinkBuilder.java:253-263): one serving point, fed by
-foreachBatch.
+The push sinks serve the latest results from a single endpoint — the
+analog of forceTotalParallelismOne (HttpListenerSinkBuilder.java:253-263):
+one serving point, fed by foreachBatch.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import threading
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from hazelcast_jet_contrib_spark.streaming import message_log
@@ -37,7 +42,16 @@ class HttpListenerSource:
         spark.readStream.format("message_log").option("path", spool_dir)
 
     `require_json=True` rejects malformed JSON with HTTP 400 (parity with
-    the reference's Undertow handler)."""
+    the reference's Undertow handler).
+
+    Durability vs throughput: with ``durable_ack=True`` (default) every
+    request's body is appended to the spool BEFORE the HTTP 200 goes out
+    — an acknowledged webhook is never lost to a crash. Requests racing
+    on the lock group-commit into one segment. ``durable_ack=False``
+    buffers up to `batch_size` bodies and a background thread flushes
+    every `flush_interval` seconds; an acknowledged payload can then be
+    lost in that window — choose it only when the producer retries.
+    """
 
     def __init__(
         self,
@@ -48,15 +62,24 @@ class HttpListenerSource:
         require_json: bool = False,
         batch_size: int = 100,
         tls: tuple[str, str] | None = None,
+        client_ca: str | None = None,
+        durable_ack: bool = True,
+        flush_interval: float = 0.5,
     ):
         """``tls=(certfile, keyfile)`` serves HTTPS (the reference's SSL
-        listener, HttpListenerSourceBuilder SSL context + mutual-auth
-        surface; HttpListenerSourceTest.java:76-113): plaintext requests
-        to a TLS listener are rejected at the handshake."""
+        listener): plaintext requests to a TLS listener are rejected at
+        the handshake. ``client_ca=<ca.pem>`` additionally demands a
+        client certificate signed by that CA (the reference's mutual
+        auth, HttpListenerSourceTest.java:76-113): unauthenticated
+        clients fail the handshake."""
+        if client_ca is not None and tls is None:
+            raise ValueError("client_ca (mutual TLS) requires tls=(cert, key)")
         self.spool_dir = spool_dir
         self.stream_name = stream_name
         self.require_json = require_json
         self.batch_size = batch_size
+        self.durable_ack = durable_ack
+        self.flush_interval = flush_interval
         self._buf: list[dict] = []
         self._lock = threading.Lock()
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
@@ -66,8 +89,13 @@ class HttpListenerSource:
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(certfile=tls[0], keyfile=tls[1])
+            if client_ca is not None:
+                ctx.verify_mode = ssl.CERT_REQUIRED
+                ctx.load_verify_locations(cafile=client_ca)
             self._server.socket = ctx.wrap_socket(self._server.socket, server_side=True)
         self._thread: threading.Thread | None = None
+        self._flusher: threading.Timer | None = None
+        self._stopping = False
 
     @property
     def address(self) -> str:
@@ -90,6 +118,8 @@ class HttpListenerSource:
                         self.end_headers()
                         self.wfile.write(b"malformed JSON")
                         return
+                # durable_ack: the spool append happens inside _enqueue,
+                # so the 200 below is only ever sent for a durable payload
                 source._enqueue(body)
                 self.send_response(200)
                 self.end_headers()
@@ -105,7 +135,7 @@ class HttpListenerSource:
     def _enqueue(self, body: str) -> None:
         with self._lock:
             self._buf.append({"key": None, "value": body})
-            if len(self._buf) >= self.batch_size:
+            if self.durable_ack or len(self._buf) >= self.batch_size:
                 self._flush_locked()
 
     def _flush_locked(self) -> None:
@@ -117,27 +147,80 @@ class HttpListenerSource:
         with self._lock:
             self._flush_locked()
 
+    def _schedule_flush(self) -> None:
+        if self._stopping:
+            return
+        self.flush()
+        self._flusher = threading.Timer(self.flush_interval, self._schedule_flush)
+        self._flusher.daemon = True
+        self._flusher.start()
+
     def start(self) -> "HttpListenerSource":
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
+        if not self.durable_ack:
+            # time-based flush bounds the ack-before-durability window
+            self._flusher = threading.Timer(self.flush_interval, self._schedule_flush)
+            self._flusher.daemon = True
+            self._flusher.start()
         return self
 
     def stop(self) -> None:
+        self._stopping = True
+        if self._flusher is not None:
+            self._flusher.cancel()
         self.flush()
         self._server.shutdown()
         self._server.server_close()
 
 
-class SsePushSink:
-    """Server-Sent-Events push sink: an HTTP endpoint streaming every
-    row appended by the pipeline to connected clients; rows arriving
-    while no client is connected accumulate up to `max_buffer`, dropping
-    the oldest (HttpListenerSinkContext.java:128-152 contract)."""
+class _PushBuffer:
+    """Bounded drop-oldest row buffer with ABSOLUTE sequence numbers
+    (HttpListenerSinkContext.java:128-152 accumulation contract).
+
+    Clients track progress as the absolute sequence of the next row they
+    want, not a list index: under drop-oldest trimming, indices shift
+    but sequence numbers never do, so a slow client neither re-receives
+    rows nor skips live ones (it resumes at the oldest retained row)."""
+
+    def __init__(self, max_buffer: int):
+        self.max_buffer = max_buffer
+        self._rows: deque[str] = deque()
+        self._base = 0  # absolute sequence number of _rows[0]
+        self._cv = threading.Condition()
+
+    def publish(self, row: str) -> None:
+        with self._cv:
+            self._rows.append(row)
+            while len(self._rows) > self.max_buffer:
+                self._rows.popleft()
+                self._base += 1
+            self._cv.notify_all()
+
+    def rows_from(self, seq: int, timeout: float = 5.0) -> tuple[list[str], int]:
+        """Rows with sequence >= seq (clamped to the oldest retained),
+        and the next sequence to resume from. Blocks up to `timeout`
+        when nothing new is available; returns ([], seq) on timeout."""
+        with self._cv:
+            self._cv.wait_for(lambda: self._base + len(self._rows) > seq, timeout)
+            end = self._base + len(self._rows)
+            if end <= seq:
+                return [], seq
+            start = max(seq, self._base)
+            rows = [self._rows[i] for i in range(start - self._base, len(self._rows))]
+            return rows, end
+
+    def snapshot(self) -> list[str]:
+        with self._cv:
+            return list(self._rows)
+
+
+class _PushSinkBase:
+    """Common shell of the single-endpoint push sinks: a _PushBuffer,
+    a ThreadingHTTPServer, and the foreachBatch adapter."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, max_buffer: int = 1000):
-        self.max_buffer = max_buffer
-        self._rows: list[str] = []
-        self._cv = threading.Condition()
+        self._buffer = _PushBuffer(max_buffer)
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
         self._thread: threading.Thread | None = None
 
@@ -146,41 +229,11 @@ class SsePushSink:
         host, port = self._server.server_address[:2]
         return f"http://{host}:{port}"
 
-    def _handler_class(self):
-        sink = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):
-                self.send_response(200)
-                self.send_header("Content-Type", "text/event-stream")
-                self.end_headers()
-                sent = 0
-                try:
-                    while True:
-                        with sink._cv:
-                            sink._cv.wait_for(lambda: len(sink._rows) > sent, timeout=5)
-                            rows = sink._rows[sent:]
-                            sent = len(sink._rows)
-                        if not rows:
-                            break
-                        for r in rows:
-                            self.wfile.write(f"data: {r}\n\n".encode())
-                        self.wfile.flush()
-                except (BrokenPipeError, ConnectionResetError):
-                    pass
-
-            def log_message(self, *args):
-                pass
-
-        return Handler
+    def _handler_class(self):  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def publish(self, row_json: str) -> None:
-        with self._cv:
-            self._rows.append(row_json)
-            if len(self._rows) > self.max_buffer:
-                # drop-oldest accumulation policy
-                self._rows = self._rows[-self.max_buffer :]
-            self._cv.notify_all()
+        self._buffer.publish(row_json)
 
     def foreach_batch(self):
         """foreachBatch adapter: rows are pushed in JSON form. The sink
@@ -194,7 +247,7 @@ class SsePushSink:
 
         return fn
 
-    def start(self) -> "SsePushSink":
+    def start(self):
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
         return self
@@ -202,3 +255,106 @@ class SsePushSink:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+class SsePushSink(_PushSinkBase):
+    """Server-Sent-Events push sink: an HTTP endpoint streaming every
+    row appended by the pipeline to connected clients; rows arriving
+    while no client is connected accumulate up to `max_buffer`,
+    dropping the oldest."""
+
+    def _handler_class(self):
+        sink = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                seq = 0
+                try:
+                    while True:
+                        rows, seq = sink._buffer.rows_from(seq, timeout=5)
+                        if not rows:
+                            break
+                        for r in rows:
+                            self.wfile.write(f"data: {r}\n\n".encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def log_message(self, *args):
+                pass
+
+        return Handler
+
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(client_key: str) -> str:
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def _ws_text_frame(payload: bytes) -> bytes:
+    """Single unmasked FIN text frame (RFC 6455 §5.2, server→client)."""
+    header = bytearray([0x81])  # FIN + text opcode
+    n = len(payload)
+    if n < 126:
+        header.append(n)
+    elif n < 1 << 16:
+        header.append(126)
+        header += n.to_bytes(2, "big")
+    else:
+        header.append(127)
+        header += n.to_bytes(8, "big")
+    return bytes(header) + payload
+
+
+class WebSocketPushSink(_PushSinkBase):
+    """WebSocket push sink (HttpListenerSinks.java:41-146 websocket
+    variant): clients complete an RFC 6455 upgrade handshake, then
+    receive every pipeline row as a text frame. Same drop-oldest
+    accumulation and absolute-sequence resume as the SSE sink. The
+    server only pushes; client frames are not read (the reference's
+    sink is also one-way)."""
+
+    def _handler_class(self):
+        sink = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # 101 upgrade needs keep-alive
+
+            def do_GET(self):
+                key = self.headers.get("Sec-WebSocket-Key")
+                if (
+                    self.headers.get("Upgrade", "").lower() != "websocket"
+                    or key is None
+                ):
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b"websocket upgrade required")
+                    return
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+                self.end_headers()
+                seq = 0
+                try:
+                    while True:
+                        rows, seq = sink._buffer.rows_from(seq, timeout=5)
+                        if not rows:
+                            break
+                        for r in rows:
+                            self.wfile.write(_ws_text_frame(r.encode()))
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                self.close_connection = True
+
+            def log_message(self, *args):
+                pass
+
+        return Handler

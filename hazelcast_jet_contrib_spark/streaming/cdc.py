@@ -82,13 +82,29 @@ def cdc_apply_foreach_batch(state_dir: str, keep_versions: int = 2):
     commit record — never read the version being rewritten); a replay
     after a crash-before-marker rewrites the version from the intact
     previous one. Committed versions older than `keep_versions` are
-    pruned."""
+    pruned.
+
+    Epoch-rewind guard: Spark's recovery replays at most the last
+    uncommitted epoch, so a legitimate replay always has
+    ``epoch_id == committed``. An ``epoch_id < committed`` means the
+    stream was restarted against this state_dir with a FRESH checkpoint
+    (epoch ids restart at 0) — silently skipping those batches until the
+    new epochs catch up would be silent data loss, so it raises instead:
+    resume with the original checkpointLocation, or point the restarted
+    query at a fresh state_dir."""
     os.makedirs(state_dir, exist_ok=True)
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         committed = _read_current_version(state_dir)
-        if committed is not None and committed >= epoch_id:
+        if committed is not None and committed == epoch_id:
             return  # epoch already fully committed: replay is a no-op
+        if committed is not None and committed > epoch_id:
+            raise RuntimeError(
+                f"cdc_apply: epoch {epoch_id} rewinds behind committed version "
+                f"{committed} in {state_dir!r} — the streaming query restarted "
+                "with a fresh checkpoint against existing state. Resume with "
+                "the original checkpointLocation, or use a new state_dir."
+            )
         spark = batch_df.sparkSession
         prev = current_state(spark, state_dir)
         merged = _merge(prev, batch_df.select("key", "op", "value", "seq"))
