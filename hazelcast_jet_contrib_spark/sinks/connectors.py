@@ -302,3 +302,75 @@ def producer_sink(
         .batch_size(batch_size)
         .write(df)
     )
+
+
+# ---------------------------------------------------------------------------
+# K7 — MQTT publisher with per-message QoS
+# ---------------------------------------------------------------------------
+
+
+def mqtt_sink(
+    df: DataFrame,
+    root: str,
+    topic: str,
+    value_fn: Callable[[Any], str],
+    qos_fn: Callable[[Any], int] | None = None,
+    default_qos: int = 1,
+    retry: RetryStrategy | None = None,
+    publish_fn: Callable[[str, str, list[dict]], Any] | None = None,
+    batch_size: int = 512,
+) -> None:
+    """MQTT publish sink: per-message QoS chosen by ``qos_fn(row)`` —
+    the reference's messageFn knob (MqttSinkBuilder.java:137-141), which
+    builds the MqttMessage (payload + qos) per item — falling back to
+    ``default_qos``; publish attempts run under ``retry``
+    (RetryStrategy + backoff, mqtt/.../SinkContext.java:61-87).
+
+    Delivery semantics by QoS, mirroring the protocol's:
+    - **QoS 0** (fire-and-forget): a failed publish drops the messages
+      silently — no retry, no error.
+    - **QoS >= 1**: the publish is retried per the strategy and raises
+      when exhausted; a retry after partial success may duplicate
+      (at-least-once), which the acked_message_log subscription's
+      idempotent-sink discipline absorbs downstream.
+
+    ``publish_fn(root, topic, records)`` is the broker boundary
+    (defaults to message-log append; swap for a real client). Each
+    record carries its qos in ``properties`` so subscription-side
+    readers can see it."""
+    pub = publish_fn if publish_fn is not None else (
+        lambda rt, tp, recs: append_segment(rt, tp, recs)
+    )
+    retry = retry if retry is not None else RetryStrategy.constant(3, 0.05)
+
+    def create(writer_id: str) -> dict:
+        return {"buf": []}
+
+    def receive(ctx: dict, row) -> None:
+        qos = int(qos_fn(row)) if qos_fn is not None else int(default_qos)
+        ctx["buf"].append(
+            {"key": None, "value": value_fn(row), "properties": {"qos": qos}}
+        )
+
+    def flush(ctx: dict) -> None:
+        if not ctx["buf"]:
+            return
+        qos0 = [r for r in ctx["buf"] if r["properties"]["qos"] == 0]
+        rest = [r for r in ctx["buf"] if r["properties"]["qos"] >= 1]
+        ctx["buf"] = []
+        if qos0:
+            try:
+                pub(root, topic, qos0)
+            except Exception:  # noqa: BLE001 — QoS 0 drops on failure
+                pass
+        if rest:
+            retry.run(lambda: pub(root, topic, rest))
+
+    (
+        SinkBuilder("mqtt")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .batch_size(batch_size)
+        .write(df)
+    )

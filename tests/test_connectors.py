@@ -368,3 +368,132 @@ def test_sink_failure_fails_the_job(spark, tmp_path):
             validate_fn=store_down,
             retry=RetryStrategy.constant(max_attempts=2, interval_sec=0.01),
         )
+
+
+# ---------------------------------------------------------------------------
+# S14/K7 — MQTT QoS surface
+# ---------------------------------------------------------------------------
+
+
+def test_qos_per_topic_delivery_semantics(tmp_path):
+    """Per-topic QoS (Subscription.java:85-127 contract): a QoS 0 topic
+    acks at delivery, so its in-flight messages are LOST on an unclean
+    restart (at-most-once); a QoS 1 topic acks on commit, so its
+    in-flight messages are REDELIVERED (at-least-once)."""
+    from hazelcast_jet_contrib_spark.streaming.ack_log import AckedMessageLogStreamReader
+
+    root = str(tmp_path / "log")
+    message_log.append_segment(root, "t0", [{"key": None, "value": "a0"}])
+    message_log.append_segment(root, "t1", [{"key": None, "value": "b0"}])
+
+    r = AckedMessageLogStreamReader(root, "s", topic_qos={"t0": 0, "t1": 1})
+    assert r.initialOffset() == {"t0": 0, "t1": 0}
+    end = r.latestOffset()  # plans delivery of both segments
+    assert end == {"t0": 1, "t1": 1}
+    # QoS 0 acked at delivery; QoS 1 still unacked (commit pending)
+    assert ack_log.read_ack(root, "s") == {"t0": 1}
+
+    # unclean restart before commit (fresh checkpoint, same subscription)
+    r2 = AckedMessageLogStreamReader(root, "s", topic_qos={"t0": 0, "t1": 1})
+    resumed = r2.initialOffset()
+    assert resumed["t0"] == 1, "QoS 0 in-flight message must NOT be redelivered"
+    assert resumed["t1"] == 0, "QoS 1 in-flight message must be redelivered"
+
+    # clean path: commit acks everything cumulatively
+    r2.latestOffset()
+    r2.commit({"t0": 1, "t1": 1})
+    assert ack_log.read_ack(root, "s") == {"t0": 1, "t1": 1}
+
+
+def test_subscription_topic_filter_and_qos_options(spark, tmp_path):
+    """Topic-filter subscription (MQTT wildcard subscribe) through the
+    DataSource option surface: only matching streams are read; the qos
+    option reaches the reader."""
+    root = str(tmp_path / "log")
+    ack_log.register(spark)
+    message_log.append_segment(root, "sensor-a", [{"key": None, "value": "a"}])
+    message_log.append_segment(root, "sensor-b", [{"key": None, "value": "b"}])
+    message_log.append_segment(root, "other", [{"key": None, "value": "x"}])
+
+    got = _drain_to_memory(
+        spark,
+        {"path": root, "subscription": "subf", "topics": "sensor-*", "qos": "0"},
+        tmp_path,
+        "topic_filter_run",
+    )
+    assert got == {"a", "b"}
+    # qos=0 applied to all matched topics: delivery itself acked them
+    assert ack_log.read_ack(root, "subf") == {"sensor-a": 1, "sensor-b": 1}
+
+
+def _read_topic_values(root: str, topic: str) -> list[str]:
+    import os
+    from glob import glob
+
+    out = []
+    for seg in sorted(glob(os.path.join(root, topic, "*.jsonl"))):
+        with open(seg) as f:
+            out.extend(json.loads(line)["value"] for line in f)
+    return out
+
+
+def _flaky_publish(fail_flag: str):
+    """Fails exactly once (while the flag file exists), then succeeds."""
+    import os
+
+    def pub(root, topic, recs):
+        if os.path.exists(fail_flag):
+            os.unlink(fail_flag)
+            raise RuntimeError("broker down")
+        message_log.append_segment(root, topic, recs)
+
+    return pub
+
+
+def test_mqtt_sink_qos1_retries_through_transient_failure(spark, tmp_path):
+    from hazelcast_jet_contrib_spark.sinks.connectors import mqtt_sink
+
+    root, flag = str(tmp_path / "log"), str(tmp_path / "fail")
+    open(flag, "w").close()
+    df = spark.createDataFrame([("m1",), ("m2",)], "v string")
+    mqtt_sink(
+        df.coalesce(1), root, "t", lambda r: r["v"],
+        default_qos=1, publish_fn=_flaky_publish(flag),
+        retry=RetryStrategy.constant(3, 0.01),
+    )
+    assert sorted(_read_topic_values(root, "t")) == ["m1", "m2"]
+
+
+def test_mqtt_sink_qos0_drops_on_failure_without_error(spark, tmp_path):
+    from hazelcast_jet_contrib_spark.sinks.connectors import mqtt_sink
+
+    root, flag = str(tmp_path / "log"), str(tmp_path / "fail")
+    open(flag, "w").close()
+    df = spark.createDataFrame([("m1",), ("m2",)], "v string")
+    # QoS 0 + broker down: messages dropped, job succeeds
+    mqtt_sink(
+        df.coalesce(1), root, "t", lambda r: r["v"],
+        default_qos=0, publish_fn=_flaky_publish(flag),
+    )
+    assert _read_topic_values(root, "t") == []
+    # broker back up: next publish delivers
+    mqtt_sink(df.coalesce(1), root, "t", lambda r: r["v"], default_qos=0)
+    assert sorted(_read_topic_values(root, "t")) == ["m1", "m2"]
+
+
+def test_mqtt_sink_per_message_qos_fn(spark, tmp_path):
+    """qos_fn is the per-message MqttMessage builder knob
+    (MqttSinkBuilder.java:137-141): each record carries its own qos."""
+    import os
+    from glob import glob
+
+    from hazelcast_jet_contrib_spark.sinks.connectors import mqtt_sink
+
+    root = str(tmp_path / "log")
+    df = spark.createDataFrame([("a", 0), ("b", 1), ("c", 2)], "v string, q int")
+    mqtt_sink(df.coalesce(1), root, "t", lambda r: r["v"], qos_fn=lambda r: r["q"])
+    recs = []
+    for seg in sorted(glob(os.path.join(root, "t", "*.jsonl"))):
+        with open(seg) as f:
+            recs.extend(json.loads(line) for line in f)
+    assert {r["value"]: r["properties"]["qos"] for r in recs} == {"a": 0, "b": 1, "c": 2}
