@@ -305,6 +305,115 @@ def producer_sink(
 
 
 # ---------------------------------------------------------------------------
+# K1 — time-series point sink (InfluxDB shape)
+# ---------------------------------------------------------------------------
+
+_PRECISION_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def point_sink(
+    df: DataFrame,
+    path: str,
+    measurement: str,
+    time_col: str,
+    tag_cols: list[str],
+    field_cols: list[str],
+    precision: str = "ms",
+    batch_size: int = 1024,
+    retry: RetryStrategy | None = None,
+) -> None:
+    """Measurement-typed point writer (InfluxDbSinks.java:44-64): each row
+    becomes a Point(measurement, time @ precision, tags, fields) — the
+    shape built at InfluxDbSourceTest.java:110-114 — buffered client-side
+    and pushed in batches; a failed batch write raises and fails the job
+    (the reference rethrows batch errors, InfluxDbSinks.java:55-60).
+
+    ``time_col`` must be a TimestampType column; it is stored as an epoch
+    integer in ``precision`` units ("ns"/"us"/"ms"/"s" — the Point's
+    TimeUnit). Tags serialize as strings, fields as doubles, matching the
+    reference's tag-vs-field split (SURVEY.md §1.1 InfluxDB row shape).
+    Round-trips through ``sources.timeseries.measurement_source`` via
+    ``points_to_parquet``.
+    """
+    if precision not in _PRECISION_NS:
+        raise ValueError(f"precision must be one of {sorted(_PRECISION_NS)}")
+    os.makedirs(path, exist_ok=True)
+    div = _PRECISION_NS[precision]
+
+    def create(writer_id: str) -> dict:
+        return {"id": writer_id, "buf": [], "n": 0}
+
+    def receive(ctx: dict, row) -> None:
+        ts = row[time_col]
+        epoch_ns = (
+            int(ts.timestamp() * 1_000_000) * 1_000  # datetime: µs resolution
+            if hasattr(ts, "timestamp")
+            else int(ts) * _PRECISION_NS["s"]
+        )
+        ctx["buf"].append(
+            {
+                "measurement": measurement,
+                "time": epoch_ns // div,
+                "precision": precision,
+                "tags": {t: str(row[t]) for t in tag_cols},
+                "fields": {fc: float(row[fc]) for fc in field_cols},
+            }
+        )
+
+    def flush(ctx: dict) -> None:
+        if not ctx["buf"]:
+            return
+        tmp = os.path.join(path, f".{ctx['id']}-{ctx['n']:06d}.tmp")
+        with open(tmp, "w") as f:
+            for p in ctx["buf"]:
+                f.write(json.dumps(p) + "\n")
+        os.replace(tmp, os.path.join(path, f"points-{ctx['id']}-{ctx['n']:06d}.jsonl"))
+        ctx["n"] += 1
+        ctx["buf"] = []
+
+    sink = (
+        SinkBuilder("ts-point")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .batch_size(batch_size)
+    )
+    if retry is not None:
+        sink = sink.retry(retry)
+    sink.write(df)
+
+
+def read_points(path: str) -> list[dict]:
+    out: list[dict] = []
+    for p in sorted(glob(os.path.join(path, "points-*.jsonl"))):
+        with open(p) as f:
+            out.extend(json.loads(line) for line in f)
+    return out
+
+
+def points_to_parquet(path: str, out_file: str, tag: str, field_cols: list[str]) -> int:
+    """Store-side compaction: materialize the point store as the wide
+    parquet layout ``measurement_source`` reads (one row per point, one
+    column per field, nanosecond timestamps) — the analog of the
+    time-series store indexing incoming points into its series storage.
+    Returns the number of points written."""
+    import pandas as pd
+
+    pts = read_points(path)
+    pdf = pd.DataFrame(
+        {
+            "time": pd.to_datetime(
+                [p["time"] * _PRECISION_NS[p["precision"]] for p in pts], unit="ns"
+            ),
+            tag: [p["tags"][tag] for p in pts],
+            **{fc: [p["fields"][fc] for p in pts] for fc in field_cols},
+        }
+    ).sort_values("time", kind="stable")
+    pdf.to_parquet(out_file, index=False)
+    return len(pdf)
+
+
+# ---------------------------------------------------------------------------
 # K7 — MQTT publisher with per-message QoS
 # ---------------------------------------------------------------------------
 

@@ -371,6 +371,63 @@ def test_sink_failure_fails_the_job(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# K1 — time-series point sink
+# ---------------------------------------------------------------------------
+
+
+def test_point_sink_roundtrip_through_measurement_source(spark, tmp_path):
+    """Write Points (measurement/time@ms/tags/fields), compact the store,
+    and read back through measurement_source (InfluxDbSinks.java:44-64 →
+    InfluxDbSources round trip, as in InfluxDbSourceTest.java:97-123)."""
+    import datetime
+
+    from hazelcast_jet_contrib_spark.sinks.connectors import (
+        point_sink,
+        points_to_parquet,
+        read_points,
+    )
+    from hazelcast_jet_contrib_spark.sources.timeseries import measurement_source
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, 0, i), f"h{i % 2}", float(i), i * 2.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, host string, load double, mem double")
+    store = str(tmp_path / "points")
+    point_sink(df, store, "cpu", "ts", ["host"], ["load", "mem"], precision="ms")
+
+    pts = read_points(store)
+    assert len(pts) == 10
+    assert all(p["measurement"] == "cpu" and p["precision"] == "ms" for p in pts)
+    assert {p["tags"]["host"] for p in pts} == {"h0", "h1"}
+
+    pq_file = str(tmp_path / "cpu.parquet")
+    assert points_to_parquet(store, pq_file, "host", ["load", "mem"]) == 10
+    back = measurement_source(
+        spark, "cpu-read", pq_file, "cpu", "time", "host", ["load", "mem"]
+    )
+    got = {(r["tag"], r["time"], r["field"], r["val"]) for r in back.collect()}
+    expected = {(h, ts, "load", ld) for ts, h, ld, _ in rows} | {
+        (h, ts, "mem", m) for ts, h, _, m in rows
+    }
+    assert got == expected
+    # time-range pushdown still works over the compacted store
+    ranged = measurement_source(
+        spark, "cpu-ranged", pq_file, "cpu", "time", "host", ["load"],
+        time_from="2024-01-01 00:00:03", time_to="2024-01-01 00:00:06",
+    )
+    assert ranged.count() == 3
+
+
+def test_point_sink_rejects_bad_precision(spark, tmp_path):
+    from hazelcast_jet_contrib_spark.sinks.connectors import point_sink
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00", 1.0)], "ts string, v double")
+    with pytest.raises(ValueError, match="precision"):
+        point_sink(df, str(tmp_path / "p"), "m", "ts", [], ["v"], precision="min")
+
+
+# ---------------------------------------------------------------------------
 # S14/K7 — MQTT QoS surface
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,81 @@
+"""S11 — firehose push source tests, the protocol-mock strategy of
+TwitterSourceMockTest.java:52-175 (canned JSON payloads, no live API)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from hazelcast_jet_contrib_spark.sources import firehose
+
+
+def _run_to_memory(spark, df, tmp_path, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}-{time.monotonic_ns()}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_firehose_stream_delivers_pushed_payloads(spark, tmp_path):
+    root = str(tmp_path / "hose")
+    client = firehose.FirehoseClient(root, "tweets")
+    payloads = [json.dumps({"id": i, "text": f"t{i}"}) for i in range(20)]
+    for p in payloads:
+        client.push(p)
+    client.close()
+
+    rows = _run_to_memory(spark, firehose.stream(spark, root, "tweets"), tmp_path, "hose1")
+    assert {r["value"] for r in rows} == set(payloads)
+
+
+def test_firehose_drain_max_bounds_segment_size(tmp_path):
+    """Reference drains <=250 per fill (TwitterSources.java:206-211);
+    drain_max bounds records per spooled segment the same way."""
+    import os
+
+    root = str(tmp_path / "hose")
+    client = firehose.FirehoseClient(root, "t", capacity=10, drain_max=4)
+    for i in range(25):
+        client.push(str(i))  # capacity overflow flushes inline
+    client.close()
+    sizes = []
+    for seg in os.listdir(os.path.join(root, "t")):
+        with open(os.path.join(root, "t", seg)) as f:
+            sizes.append(sum(1 for _ in f))
+    assert sum(sizes) == 25
+    assert max(sizes) <= 4
+
+
+def test_timestamped_stream_parses_and_drops(spark, tmp_path):
+    """timestamp_ms becomes the event-time column; a payload without a
+    parseable timestamp_ms is dropped (TwitterSources.java:249-262)."""
+    import datetime
+
+    root = str(tmp_path / "hose")
+    client = firehose.FirehoseClient(root, "tweets")
+    client.push(json.dumps({"id": 1, "timestamp_ms": "1700000000000"}))
+    client.push(json.dumps({"id": 2}))  # missing -> dropped
+    client.push(json.dumps({"id": 3, "timestamp_ms": "not-a-number"}))  # -> dropped
+    client.push(json.dumps({"id": 4, "timestamp_ms": 1700000001000}))
+    client.close()
+
+    rows = _run_to_memory(
+        spark,
+        firehose.timestamped_stream(spark, root, "tweets"),
+        tmp_path,
+        "hose_ts",
+    )
+    got = {
+        (json.loads(r["value"])["id"], r["event_time"].replace(tzinfo=None))
+        for r in rows
+    }
+    assert got == {
+        (1, datetime.datetime.utcfromtimestamp(1700000000)),
+        (4, datetime.datetime.utcfromtimestamp(1700000001)),
+    }
