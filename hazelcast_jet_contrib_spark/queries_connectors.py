@@ -218,6 +218,35 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, corpus, k=5, nlist=8, nprobe=8)
 
 
+@query(
+    "ivf_recall_at_nprobe",
+    oracle="""
+    SELECT CAST(1 AS INT) AS recall_ok
+    """,
+)
+def ivf_recall_at_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path proven as an accuracy gate (the HLL ±5%
+    pattern, HyperLogLogTest.java:70-127): IVF at nprobe=5 < nlist=8
+    must keep recall@5 >= 0.6 against exact brute force. The synthetic
+    embeddings are near-uniform — IVF's worst case, where expected
+    recall ~= nprobe/nlist — so clearing 0.6 shows the probe ranking
+    works; clustered real corpora concentrate far higher."""
+    from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    truth = cosine_topk(q, c, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, c, k=5, nlist=8, nprobe=5).select("query_id", "neighbor_id")
+    hit = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return hit.crossJoin(tot).select(
+        ((F.col("n_hit") / F.col("n_truth")) >= 0.6).cast("int").alias("recall_ok")
+    )
+
+
 # §2.5 JSON scalar work — the reference parses JSON payloads in-stream
 # (timestamp_ms extraction TwitterSources.java:249-253, JSON bean
 # mapping HttpListenerSourceBuilder.java:236-246). Spark-first:

@@ -102,6 +102,8 @@ _PRIORITY = [
     "media_video_frame_sample",
     "media_audio_frames",
     "ivf_cosine_topk",
+    # new this round: no CORRECTNESS row yet
+    "ivf_recall_at_nprobe",
     "json_props_extraction",
     "asof_last_purchase_before_click",
     "range_join_value_bands",

@@ -96,3 +96,10 @@ def compare_with_oracle(spark, name: str, sf_dir: str = CORRECTNESS_SF):
         f"{name}: value mismatch (first spark rows: {sorted(spark_rows, key=repr)[:3]} "
         f"vs oracle: {sorted(duck_rows, key=repr)[:3]})"
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-volume fault-tolerance workloads (reference's largest test shapes)",
+    )

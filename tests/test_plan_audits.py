@@ -68,6 +68,7 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         "media_audio_frames",
         "embedding_near_dup",
         "ivf_cosine_topk",  # numpy cell-assignment kernels
+        "ivf_recall_at_nprobe",  # same IVF kernels, recall-gated
         "kv_hash_snapshot",
         "sorted_set_range",
         "docstore_find_pushdown",

@@ -157,3 +157,77 @@ def test_ingestion_timestamps_policy(spark):
     assert dict(nat.dtypes)["event_time"] == "timestamp"
     ing = with_ingestion_timestamps(df)
     assert dict(ing.dtypes)["event_time"] == "timestamp"
+
+
+@pytest.mark.slow
+def test_exactly_once_4_streams_10k_mid_stream_restart(spark, tmp_path):
+    """The reference's largest fault-tolerance workload at full volume
+    (RedisSourceTest.java:183-223: 4 streams x 10,000 messages, member
+    shutdown mid-stream, no loss / no dupes): here the query is stopped
+    UNCLEANLY mid-stream — admission control (maxSegmentsPerTrigger)
+    paces the first run and it is killed after a few micro-batches, with
+    most of the log still unread — then a new query on the same
+    checkpoint drains the rest. Every (stream, seq, key) must appear
+    exactly once across both runs."""
+    msgs_per_stream = 10_000
+    n_segments = msgs_per_stream // MSGS_PER_SEGMENT  # 40 segments/stream
+    root = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(root)
+    message_log.register(spark)
+
+    def start_query(max_seg_per_trigger=None):
+        stream = spark.readStream.format("message_log").option("path", root)
+        if max_seg_per_trigger is not None:
+            stream = stream.option("maxSegmentsPerTrigger", str(max_seg_per_trigger))
+        return (
+            stream.load()
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                idempotent_foreach_batch(epoch_keyed_parquet_writer(out), ckpt + "-commits")
+            )
+            .start()
+        )
+
+    import time as _t
+
+    def wait_for_batch(q, batch_id, timeout=120):
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            p = q.lastProgress
+            if p is not None and p["batchId"] >= batch_id:
+                return p["batchId"]
+            _t.sleep(0.2)
+        raise TimeoutError(f"query never reached batch {batch_id}")
+
+    # run 1: a 4-segment prefix exists at start (batch 0 is unclamped by
+    # admission control); the remaining 36 segments/stream land while the
+    # query runs, paced at 2 segments/stream/trigger — then the query is
+    # killed with most of the log still unread.
+    _fill(root, 4)
+    q = start_query(max_seg_per_trigger=2)
+    reached = wait_for_batch(q, 1)
+    _fill(root, n_segments - 4, start_seq=4)
+    wait_for_batch(q, reached + 3)
+    q.stop()  # mid-stream kill
+    q.awaitTermination()
+
+    consumed_so_far = spark.read.parquet(*glob.glob(f"{out}/epoch=*")).count()
+    total = N_STREAMS * msgs_per_stream
+    assert 0 < consumed_so_far < total, "restart must happen mid-stream"
+
+    # run 2: same checkpoint, unpaced — drain the rest
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    result = spark.read.parquet(*glob.glob(f"{out}/epoch=*"))
+    assert result.count() == total, "loss or duplication across restart"
+    assert result.select("stream", "seq", "key").distinct().count() == total
+    per_stream = {
+        r["stream"]: r["n"]
+        for r in result.groupBy("stream").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_stream == {f"stream-{s}": msgs_per_stream for s in range(N_STREAMS)}
