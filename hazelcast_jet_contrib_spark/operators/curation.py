@@ -1,0 +1,170 @@
+"""Training-data curation operators: stratified sampling, token-budget
+sequence packing, n-gram vocabulary building, and PII redaction.
+
+Not in the reference (these are the LLM-pipeline extensions mandated by
+SURVEY.md §7 phase 6) — each is designed scale-first:
+
+- ``stratified_sample``: per-stratum Bernoulli sampling by a
+  deterministic hash of the row key. ZERO shuffle — the sample is a
+  scan-level filter Catalyst can push down, which is the only sampling
+  strategy that survives 100 TB (an exact-N-per-stratum sample needs a
+  per-stratum global sort; see ``topn_per_stratum`` for the
+  small-stratum path).
+- ``pack_token_budget``: assigns documents to fixed-token-budget packs
+  (context-window packing). Packing is inherently sequential, so it
+  shards first (deterministic hash shard) and packs independently
+  within each shard: the window runs per shard — ~n/shards rows each,
+  balanced by the hash — never one global sort.
+- ``ngram_vocab``: corpus-wide top-k n-grams. Explode → partial-agg →
+  one shuffle on the n-gram key; the top-k is a driver-bounded limit.
+- ``redact_pii`` / ``pii_match_counts``: regex redaction as pure
+  Catalyst expressions (no Python in the row path).
+
+The deterministic sample hash is a Knuth multiplicative LCG on the key
+((key * 2654435761) mod 2^32) — chosen over xxhash64 because every SQL
+engine can evaluate it, so DuckDB oracles can reproduce the exact
+sample; swap ``sample_u32`` for xxhash64 when cross-engine parity is
+not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LCG_A = 2654435761  # Knuth's multiplicative constant (2^32 / phi)
+LCG_M = 2**32
+
+
+def sample_u32(key: Column | str) -> Column:
+    """Deterministic uniform-ish value in [0, 2^32) from an integer key."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(k.cast("bigint") * F.lit(LCG_A), F.lit(LCG_M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep a row iff its key's hash falls
+    under the stratum's rate threshold. Deterministic (same rows every
+    run), zero-shuffle (pure filter), and composable with pushdown —
+    the curation primitive for rebalancing a 100 TB corpus mix."""
+    thresh = F.lit(int(default_rate * LCG_M))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * LCG_M))
+        ).otherwise(thresh)
+    return df.filter(sample_u32(key_col) < thresh)
+
+
+def topn_per_stratum(
+    df: DataFrame, strata_col: str, key_col: str, n: int
+) -> DataFrame:
+    """Exact N rows per stratum, chosen by the deterministic sample hash
+    (pseudo-random but reproducible). Needs a per-stratum sort, so the
+    window shuffles on the stratum — the small-stratum/exact-count path;
+    prefer ``stratified_sample`` when strata are huge or skewed."""
+    w = Window.partitionBy(strata_col).orderBy(sample_u32(key_col), F.col(key_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Context-window packing: documents are assigned (in deterministic
+    key order, independently within each of ``n_shards`` hash shards) to
+    consecutive packs of at most ``budget`` tokens — a document whose
+    preceding shard-cumulative reaches the budget starts the next pack.
+    A single document larger than the budget gets a pack of its own
+    (first-fit-with-overflow; bins never split a document).
+
+    Output: input columns + (shard int, pack_id bigint). Pack ids are
+    per-shard; (shard, pack_id) is the global pack key.
+    """
+    shard = F.pmod(sample_u32(key_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "__cum_before__", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
+    # floor(cumulative-before / budget) reproduces first-fit-with-
+    # overflow exactly when no document exceeds the budget; oversized
+    # documents may pull successors into their overflow pack, which is
+    # the accepted semantic (documented above) and what the SQL oracle
+    # computes too.
+    return out.withColumn(
+        "pack_id", F.floor(F.col("__cum_before__") / F.lit(budget)).cast("bigint")
+    ).drop("__cum_before__")
+
+
+def ngram_vocab(
+    df: DataFrame, text_col: str, n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide n-gram vocabulary: top_k n-grams by document-token
+    frequency. One explode (linear), one shuffle on the n-gram key with
+    map-side partial aggregation, and a bounded top-k sort — the shape
+    that survives a 100 TB corpus because the reduce side only carries
+    distinct n-grams. Ties break lexicographically for determinism.
+    Output: (ngram string, n bigint)."""
+    # materialize the token array as its own column BEFORE the lambda:
+    # referencing the split() expression inside transform would re-split
+    # the text once per element (the HOF re-evaluation pitfall
+    # functions/text.py documents)
+    toks = F.col("__t__")
+    # guard short docs: sequence(0, -1) would DESCEND and index out of
+    # bounds, so docs with fewer than n tokens get an empty gram array
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t__"))
+        .select(F.explode(grams).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(top_k)
+    )
+
+
+# Conservative patterns evaluable identically by Java regex and RE2
+# (DuckDB) — no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_match_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts as Catalyst expressions."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — a chain of
+    regexp_replace expressions, whole-stage-codegen friendly."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c

@@ -69,6 +69,7 @@ from hazelcast_jet_contrib_spark import queries_dedup  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_windows  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_connectors  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_joins  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_curation  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: part of the correctness-gate contract.
@@ -104,6 +105,10 @@ _PRIORITY = [
     "ivf_cosine_topk",
     # new this round: no CORRECTNESS row yet
     "ivf_recall_at_nprobe",
+    "stratified_sample_by_lang",
+    "pack_token_budget_shards",
+    "ngram_vocab_top100",
+    "pii_redaction_stats",
     "json_props_extraction",
     "asof_last_purchase_before_click",
     "range_join_value_bands",

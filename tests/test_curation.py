@@ -1,0 +1,125 @@
+"""Curation operator tests: sampling determinism and rates, packing
+budget invariants, vocabulary ordering, PII redaction — plus the plan
+properties that make them 100 TB-viable (sample = pushed-down filter,
+packing = per-shard window, never a global sort)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.curation import (
+    ngram_vocab,
+    pack_token_budget,
+    pii_match_counts,
+    redact_pii,
+    stratified_sample,
+    topn_per_stratum,
+)
+from hazelcast_jet_contrib_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stratified_sample_is_deterministic_and_rate_accurate(spark, docs):
+    s1 = stratified_sample(docs, "lang", "doc_id", {"en": 0.25}, default_rate=0.5)
+    s2 = stratified_sample(docs, "lang", "doc_id", {"en": 0.25}, default_rate=0.5)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+
+    # rates hold within binomial noise per stratum
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, total in totals.items():
+        rate = 0.25 if lang == "en" else 0.5
+        assert abs(kept.get(lang, 0) / total - rate) < 0.35, (lang, kept, total)
+
+
+def test_stratified_sample_plans_as_pure_filter(spark, docs):
+    a = audit(stratified_sample(docs, "lang", "doc_id", {"en": 0.25}, 0.5))
+    assert a.exchanges() == 0, "sampling must not shuffle"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_topn_per_stratum_exact_counts(spark, docs):
+    out = topn_per_stratum(docs, "lang", "doc_id", n=3)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in counts.values()), counts
+    # deterministic choice
+    again = topn_per_stratum(docs, "lang", "doc_id", n=3)
+    assert sorted(map(tuple, out.select("doc_id").collect())) == sorted(
+        map(tuple, again.select("doc_id").collect())
+    )
+
+
+def test_pack_token_budget_invariants(spark, docs):
+    budget = 1500
+    packed = pack_token_budget(docs, "doc_id", "n_chars", budget=budget, n_shards=4)
+    rows = packed.select("doc_id", "n_chars", "shard", "pack_id").collect()
+    assert len(rows) == docs.count()
+
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, pack_id), members in by_pack.items():
+        tok = sum(m["n_chars"] for m in members)
+        # a pack only exceeds the budget via its final document
+        # (first-fit-with-overflow): dropping the largest-keyed member
+        # must bring it under budget, unless it is a single oversized doc
+        if tok > budget and len(members) > 1:
+            members_sorted = sorted(members, key=lambda m: m["doc_id"])
+            assert sum(m["n_chars"] for m in members_sorted[:-1]) < budget + max(
+                m["n_chars"] for m in members_sorted
+            )
+    # pack ids are dense from 0 within each shard
+    for shard in {s for s, _ in by_pack}:
+        pids = sorted(p for s, p in by_pack if s == shard)
+        assert pids[0] == 0 and pids == list(range(len(pids)))
+
+
+def test_pack_window_is_per_shard_not_global(spark, docs):
+    a = audit(pack_token_budget(docs, "doc_id", "n_chars", budget=1500, n_shards=4))
+    # hashpartitioning on the shard key — never a single-partition global sort
+    assert "SinglePartition" not in a.plan, "packing planned a global window"
+
+
+def test_ngram_vocab_counts_and_ordering(spark):
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b x",)], "text string"
+    )
+    got = [(r["ngram"], r["n"]) for r in ngram_vocab(df, "text", n=2, top_k=3).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_ngram_vocab_single_token_doc_is_safe(spark):
+    df = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert ngram_vocab(df, "text", n=2, top_k=5).count() == 0
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at bob.smith+x@corp.example.org now", 1, 0, 0),
+            ("call +1-555-0199 or 44-202-7946", 0, 2, 0),
+            ("server at 10.0.0.1 is up", 0, 0, 1),
+            ("clean text", 0, 0, 0),
+        ],
+        "text string, e int, p int, i int",
+    )
+    counts = pii_match_counts("text")
+    got = df.select(
+        counts["email"].alias("ge"),
+        counts["phone"].alias("gp"),
+        counts["ipv4"].alias("gi"),
+        "e", "p", "i",
+        redact_pii("text").alias("red"),
+    ).collect()
+    for r in got:
+        assert (r["ge"], r["gp"], r["gi"]) == (r["e"], r["p"], r["i"]), r
+        assert "@" not in r["red"] and "555" not in r["red"] and "10.0.0.1" not in r["red"]
+    assert got[3]["red"] == "clean text"
