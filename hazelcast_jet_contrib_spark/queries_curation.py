@@ -20,6 +20,14 @@ from hazelcast_jet_contrib_spark.operators.curation import (
 )
 from hazelcast_jet_contrib_spark.registry import query, table
 
+from hazelcast_jet_contrib_spark.functions import text as TX
+from hazelcast_jet_contrib_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+from hazelcast_jet_contrib_spark.queries_text import (
+    _NOISE_SQL,
+    _SW_COUNT_SQL,
+    _WC_SQL,
+)
+
 # rate thresholds, precomputed so the SQL literal and the Python int()
 # truncation agree exactly
 _T_EN = int(0.25 * LCG_M)  # 1073741824
@@ -174,3 +182,131 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed").cast("bigint").alias("chars_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full curation pipeline in one query
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = f"""
+    WITH aug AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, lang, text || ' zz yy xx' FROM documents
+    ),
+    langf AS (SELECT * FROM aug WHERE lang IN ('en', 'de', 'fr')),
+    stats AS (
+        SELECT doc_id, lang, text,
+               CAST({_WC_SQL} AS DOUBLE) AS wc,
+               CAST(length(text) AS DOUBLE) AS cc,
+               CAST({_SW_COUNT_SQL} AS DOUBLE) AS sw,
+               CAST({_NOISE_SQL} AS DOUBLE) AS noise
+        FROM langf
+    ),
+    qf AS (
+        SELECT doc_id, lang, text FROM stats
+        WHERE ROUND(0.4 * least(1.0, wc / 100.0)
+                    + 0.3 * least(1.0, 4.0 * (CASE WHEN wc = 0 THEN 0.0 ELSE sw / wc END))
+                    + 0.3 * (1.0 - least(1.0, CASE WHEN cc = 0 THEN 1.0
+                                                   ELSE 4.0 * noise / cc END)),
+                    4) >= 0.5
+    ),
+    keeper AS (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY text),
+    d AS (SELECT qf.* FROM qf JOIN keeper USING (doc_id)),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM d
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    surv AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+    samp AS (
+        SELECT * FROM surv
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN {_T_DEF} WHEN 'de' THEN {_T_ZH}
+                   ELSE {_T_EN} END
+    ),
+    s AS (
+        SELECT doc_id, lang, length(text) AS nc,
+               CAST(((doc_id * 2654435761) % 4294967296) % 4 AS INT) AS shard
+        FROM samp
+    )
+    SELECT doc_id, lang, shard,
+           CAST(FLOOR(COALESCE(SUM(nc) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+           AS BIGINT) AS pack_id
+    FROM s
+"""
+
+
+@query("curation_pipeline_end2end", oracle=_PIPE_ORACLE)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE composed query —
+    language filter -> quality gate -> exact dedup -> MinHash near-dup
+    removal -> stratified resample -> context-window packing — over a
+    corpus with planted exact (+1M) and near (+2M) duplicates. Each
+    stage is the operator the registry proves individually; this query
+    proves they COMPOSE (the reference's pipeline model: source ->
+    stages -> sink, SURVEY.md §3).
+
+    Scale: the stages chain without materialization barriers except the
+    minhash candidate join (id-only) and the shard-local packing window;
+    no stage collects or re-reads the corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    aug = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text")
+        ).unionByName(
+            docs.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "lang",
+                F.concat("text", F.lit(" zz yy xx")).alias("text"),
+            )
+        )
+    )
+    langf = aug.filter(F.col("lang").isin("en", "de", "fr"))
+    qf = langf.filter(F.round(TX.quality_score("text"), 4) >= 0.5)
+    # persist the deduped relation: it feeds BOTH the minhash pair
+    # branch and the survivors anti-join — without it the whole
+    # scan -> quality regex -> dedup window lineage runs twice
+    from pyspark import StorageLevel
+
+    deduped = dedup_exact(qf, subset=["text"], order_by=["doc_id"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # 64 hashes / 32 bands x 2 rows here (vs the standalone query's
+    # 128/64): a J>=0.6 pair escapes with prob (1-0.36)^32 ~= 6e-7 —
+    # still effectively exact, at half the min-aggregate cost; the
+    # in-bucket verification stays exact either way
+    pairs = minhash_lsh_pairs(
+        deduped, "doc_id", "text", threshold=0.6, num_hashes=64, bands=32
+    )
+    survivors = deduped.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    sampled = stratified_sample(
+        survivors, "lang", "doc_id", rates={"en": 0.50, "de": 0.80}, default_rate=0.25
+    )
+    packed = pack_token_budget(
+        sampled.withColumn("nc", F.length("text")), "doc_id", "nc", budget=2000, n_shards=4
+    )
+    return packed.select("doc_id", "lang", "shard", "pack_id")

@@ -109,6 +109,7 @@ _PRIORITY = [
     "pack_token_budget_shards",
     "ngram_vocab_top100",
     "pii_redaction_stats",
+    "curation_pipeline_end2end",
     "json_props_extraction",
     "asof_last_purchase_before_click",
     "range_join_value_bands",
