@@ -51,25 +51,31 @@ def main() -> None:
         "w", F.row_number().over(Window.partitionBy("r_name").orderBy("r_name"))
     ).withColumn("p", _warm(F.col("w").cast("double"))).collect()
 
-    # Pre-compile the heaviest generated-code paths (the 128-column
-    # min-aggregate + banding joins of MinHash, the 64-vote SimHash
-    # aggregate) against the SMALLEST scale factor: the generated Java
-    # is keyed by expression structure, not input path, so this pays
-    # the one-time Janino compilation (~10s) on ~100 rows and the timed
-    # run below measures data processing. Results are NOT reused (the
-    # warmup plan reads different files; caches are cleared after).
+    # The heaviest generated-code paths (the 128-column min-aggregate +
+    # banding joins of MinHash, the 64-vote SimHash aggregate, the
+    # composed curation pipeline) pay ~10s of one-time Janino
+    # compilation. Warm each IMMEDIATELY before its timed run against
+    # the SMALLEST scale factor: the generated Java is keyed by
+    # expression structure, not input path, so the ~100-row warmup
+    # compiles exactly the classes the timed run needs — and doing it
+    # just-in-time (not up front) stops other queries' codegen from
+    # evicting the warmed classes out of the bounded codegen cache.
     warm_dir = str(Path(SF_DIR).parent / "sf0.001")
-    if Path(warm_dir).is_dir() and warm_dir != SF_DIR:
-        for wq in ("minhash_lsh_near_dup", "simhash_near_dup"):
-            try:
-                QUERIES[wq](spark, warm_dir).count()
-            except Exception:
-                pass
-        spark.catalog.clearCache()
+    codegen_heavy = {
+        "minhash_lsh_near_dup",
+        "simhash_near_dup",
+        "curation_pipeline_end2end",
+    }
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
+        if name in codegen_heavy and Path(warm_dir).is_dir() and warm_dir != SF_DIR:
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
@@ -78,6 +84,10 @@ def main() -> None:
         except Exception as ex:  # keep the harness alive; surface per-query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+        # per-query isolation: the dedup/similarity queries persist
+        # shared relations; letting them pile up makes later queries'
+        # timings depend on accumulated executor memory pressure
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
