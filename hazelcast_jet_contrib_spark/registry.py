@@ -110,6 +110,8 @@ _PRIORITY = [
     "ngram_vocab_top100",
     "pii_redaction_stats",
     "curation_pipeline_end2end",
+    # changed this round (64/32 banding): re-prove
+    "minhash_lsh_near_dup",
     "json_props_extraction",
     "asof_last_purchase_before_click",
     "range_join_value_bands",

@@ -1,0 +1,71 @@
+"""mapUsingService parity (HyperLogLogTest.java:100-119 shape): a
+service constructed once per partition, used per batch, destroyed at
+partition end."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.service import (
+    ServiceFactory,
+    map_using_service,
+)
+
+
+def test_service_lifecycle_once_per_partition(spark, tmp_path):
+    """create/destroy fire exactly once per partition regardless of row
+    or batch count — the amortization contract of sharedService."""
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+
+    def create():
+        svc = {"id": os.getpid(), "n": 0}
+        with open(os.path.join(marker_dir, f"create-{os.getpid()}-{id(svc)}"), "w"):
+            pass
+        return svc
+
+    def destroy(svc):
+        with open(os.path.join(marker_dir, f"destroy-{os.getpid()}-{id(svc)}"), "w"):
+            pass
+
+    def add_hash(svc, batch):
+        svc["n"] += 1
+        out = batch.copy()
+        out["h"] = batch["v"].map(hash)
+        return out
+
+    df = spark.range(0, 1000).select(F.col("id").alias("v")).repartition(3)
+    got = map_using_service(
+        df, ServiceFactory(create, destroy), add_hash, "v long, h long"
+    )
+    assert got.count() == 1000
+    creates = [f for f in os.listdir(marker_dir) if f.startswith("create-")]
+    destroys = [f for f in os.listdir(marker_dir) if f.startswith("destroy-")]
+    assert len(creates) == 3, "service must be created once per partition"
+    assert len(destroys) == 3, "service must be destroyed at partition end"
+
+
+def test_service_map_replicates_hashing_pipeline(spark):
+    """The reference's canonical use: hash each record through the
+    service, then estimate distinct values (HyperLogLogTest.java:110-115)
+    — service output must agree with the engine-level hash64 builtin
+    path on cardinality."""
+    from hazelcast_jet_contrib_spark.functions.probabilistic import hash64, hyper_log_log
+
+    df = spark.range(0, 5000).select((F.col("id") % 1234).cast("string").alias("v"))
+
+    def order_free_hash(svc, batch):
+        out = batch.copy()
+        out["h"] = batch["v"].map(lambda s: int.from_bytes(
+            __import__("hashlib").sha1(s.encode()).digest()[:8], "big", signed=True
+        ))
+        return out
+
+    hashed = map_using_service(
+        df, ServiceFactory(lambda: None), order_free_hash, "v string, h long"
+    )
+    est = hashed.agg(hyper_log_log("h", precision=14).alias("e")).collect()[0]["e"]
+    exact = 1234
+    assert abs(est - exact) / exact <= 0.05
