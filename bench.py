@@ -50,6 +50,12 @@ def main() -> None:
     warm.groupBy("r_name").agg(F.count(F.lit(1))).withColumn(
         "w", F.row_number().over(Window.partitionBy("r_name").orderBy("r_name"))
     ).withColumn("p", _warm(F.col("w").cast("double"))).collect()
+    # spawn the WHOLE Python worker pool (region is 1 partition — the
+    # line above starts a single worker; the first wide UDF stage would
+    # otherwise absorb ~3s forking the remaining 31)
+    spark.range(0, 1 << 15, 1, 32).withColumn(
+        "p", _warm(F.col("id").cast("double"))
+    ).groupBy().sum("p").collect()
 
     # The heaviest generated-code paths (the 128-column min-aggregate +
     # banding joins of MinHash, the 64-vote SimHash aggregate, the

@@ -65,19 +65,35 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sketch_udf(num_planes: int, dim: int, seed: int = 42):
-    """Deterministic random-hyperplane sign sketch as a vectorized Pandas
-    UDF (the documented Python-boundary exception: per-batch numpy matmul
-    beats a 1024-term codegen expression for this op)."""
+def _hyperplane_sketch_udf(num_planes: int, dim: int, num_tables: int, seed: int = 42):
+    """Deterministic random-hyperplane sign sketches for ALL tables in
+    one vectorized pass (the documented Python-boundary exception:
+    per-batch numpy matmul beats a 1024-term codegen expression for this
+    op). Returns array<string> — one ``"t:bits"`` bucket per table —
+    so the whole sketch costs a single Python stage, not one per table."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
+    @pandas_udf("array<string>")
     def sketch(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, num_planes))
+        # per-table planes drawn from per-table seeds (seed+t) so each
+        # table is an independent sketch
+        planes = np.hstack(
+            [
+                np.random.default_rng(seed + t).standard_normal((dim, num_planes))
+                for t in range(num_tables)
+            ]
+        )  # (dim, tables*planes)
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
-        signs = (mat @ planes) >= 0  # (batch, planes)
-        return pd.Series(["".join("1" if s else "0" for s in row) for row in signs])
+        signs = (mat @ planes) >= 0  # (batch, tables*planes)
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    f"{t}:" + "".join("1" if s else "0" for s in row[t * num_planes : (t + 1) * num_planes])
+                    for t in range(num_tables)
+                ]
+            )
+        return pd.Series(out)
 
     return sketch
 
@@ -93,37 +109,38 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """Approximate near-neighbor pairs: random-hyperplane LSH buckets,
     exact cosine verification inside buckets only. `num_tables`
-    independent sketches (different plane offsets) raise recall; a pair
-    is a candidate if it collides in ANY table. Output (id_a, id_b)."""
+    independent sketches (different plane seeds) raise recall; a pair is
+    a candidate if it collides in ANY table. Output (id_a, id_b).
+
+    Scale shape: the bucket relation carries (id, bucket) ONLY — one
+    Python sketch stage over the corpus, persisted so the self-join's
+    two sides share it instead of re-running the UDF. Vectors never
+    enter the bucket shuffle (at 100 TB the embedding column dominates
+    row width); they are joined back by id onto the deduplicated
+    candidate pairs, which are tiny by construction (bucket-bounded)."""
+    from pyspark import StorageLevel
+
     v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    tables = []
-    for t in range(num_tables):
-        sk = _hyperplane_sketch_udf(num_planes, dim, seed=42 + t)
-        tables.append(
-            v.withColumn("bucket", F.concat(F.lit(f"{t}:"), sk(F.col("v"))))
-        )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    sk = _hyperplane_sketch_udf(num_planes, dim, num_tables)
+    buckets = v.select(
+        "id", F.explode(sk(F.col("v"))).alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # interpreted cosine for the verification: it touches only candidate
     # pairs (a small fraction of the corpus), where the unrolled form's
     # codegen compile time outweighs its per-row win
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )

@@ -52,20 +52,46 @@ def paged_rest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash near-dup pairs. No SQL oracle: the signature depends on the
-# engine's 64-bit tokenizer hash (xxhash64), which ANSI SQL / DuckDB
-# cannot reproduce — the driver records the weaker rows-only check here;
-# the exact pair-set contract is pinned by tests/test_dedup_similarity.py
-# against planted duplicates instead.
-@query("simhash_near_dup", oracle=None)
+# SimHash near-dup as an oracle-checked recall gate. The raw pair set
+# is not SQL-expressible (the signature depends on the engine's 64-bit
+# tokenizer hash, which DuckDB cannot reproduce), so — like the HLL and
+# IVF accuracy gates — the query reduces to a deterministic contract SQL
+# CAN state: every planted exact copy (identical text ⇒ identical
+# signature ⇒ hamming 0 ⇒ guaranteed band collision) must come back as
+# a pair, with hamming 0. The pair-set semantics beyond the gate are
+# pinned by tests/test_dedup_similarity.py against planted near-dups.
+@query(
+    "simhash_near_dup",
+    oracle="""
+    SELECT COUNT(*) AS planted_total,
+           COUNT(*) AS planted_found,
+           COUNT(*) AS planted_hamming0
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.dedup import simhash_pairs
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
     aug = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return simhash_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+    pairs = simhash_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+    planted = pairs.filter(
+        (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
+    )
+    return docs.agg(F.count("*").alias("planted_total")).join(
+        planted.agg(
+            F.count("*").alias("planted_found"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).alias(
+                "planted_hamming0"
+            ),
+        )
+    )
 
 
 def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
