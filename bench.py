@@ -71,6 +71,7 @@ def main() -> None:
         "minhash_lsh_near_dup",
         "simhash_near_dup",
         "curation_pipeline_end2end",
+        "neardup_clusters",
     }
 
     timings: dict[str, float] = {}

@@ -192,17 +192,23 @@ def shingles_of_tokens(toks: Column | str, n: int = 3) -> Column:
     turned an earlier element_at(tokens(text), i) formulation into ~3n
     tokenizations per shingle.
     """
+    return F.array_distinct(shingle_list_of_tokens(toks, n))
+
+
+def shingle_list_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams (space-joined, duplicates preserved, in order)
+    from a token-array column — the repetition-analysis input, where the
+    multiplicity is the signal. Same HOF construction discipline as
+    ``shingles_of_tokens`` (no computed expression inside a lambda)."""
     t = _c(toks)
     width = F.size(t) - F.lit(n - 1)  # number of shingles when size >= n
     zipped = F.arrays_zip(
         *[F.slice(t, j + 1, width).alias(f"w{j}") for j in range(n)]
     )
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                zipped,
-                lambda s: F.concat_ws(" ", *[s.getField(f"w{j}") for j in range(n)]),
-            )
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s.getField(f"w{j}") for j in range(n)]),
         )
     )
 

@@ -168,3 +168,83 @@ def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     for pat in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, replacement)
     return c
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each training document,
+    count how many DISTINCT word-``n``-grams it shares with the
+    benchmark corpus. Emits (id, hits, doc_ngrams, overlap_ratio) for
+    contaminated docs only (hits > 0).
+
+    Scale shape: the benchmark n-gram set is tiny by definition (eval
+    sets are thousands of rows, the corpus is the 100 TB side), so it is
+    DISTINCT-aggregated and broadcast — the corpus side streams through
+    explode → broadcast-semi-hash-join → per-doc count with NO shuffle
+    of corpus n-grams; the only exchange is the final per-doc-id
+    aggregation, keyed by the 8-byte id."""
+    from hazelcast_jet_contrib_spark.functions.text import shingles_of_tokens, tokens
+
+    def doc_ngrams(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        toked = df.select(*cols, tokens(text_col).alias("__toks__"))
+        sh = toked.select(
+            *(["id"] if with_id else []),
+            F.explode(shingles_of_tokens("__toks__", n)).alias("s"),
+        )
+        return sh
+
+    bench_set = doc_ngrams(benchmark, with_id=False).distinct()
+    d = doc_ngrams(docs, with_id=True)
+    per_doc = d.groupBy("id").agg(F.count(F.lit(1)).alias("doc_ngrams"))
+    hits = (
+        d.join(F.broadcast(bench_set), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        hits.join(per_doc, "id")
+        .select(
+            "id",
+            "hits",
+            "doc_ngrams",
+            F.round(F.col("hits") / F.col("doc_ngrams"), 6).alias("overlap_ratio"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition: per document, the
+    fraction of word-``n``-grams that are repeats of an earlier
+    occurrence (0.0 = all distinct, →1.0 = the document is one phrase
+    looping). Pure Catalyst higher-order functions — no explode, no
+    shuffle, no Python: each row computes its own ratio in one pass,
+    which is the only shape that matters when the filter runs over
+    every document of a 100 TB corpus.
+
+    Output: (id, ngrams, distinct_ngrams, dup_ratio)."""
+    from hazelcast_jet_contrib_spark.functions.text import (
+        shingle_list_of_tokens,
+        tokens,
+    )
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks__")
+    ).select("id", shingle_list_of_tokens("__toks__", n).alias("__sh__"))
+    total = F.size("__sh__")
+    distinct = F.size(F.array_distinct("__sh__"))
+    return toked.select(
+        "id",
+        total.alias("ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total > 0, F.round((total - distinct) / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )

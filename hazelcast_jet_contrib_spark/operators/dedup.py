@@ -374,3 +374,92 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``pairs``, where
+    ``component`` is the minimum node id reachable through the pair
+    graph — the step that turns near-dup PAIRS into dedup GROUPS so one
+    canonical document per group survives.
+
+    Algorithm: min-label propagation. Each node starts with label
+    min(self, neighbors) and every iteration takes the min of its
+    neighbors' labels, until a fixpoint. Iterations needed = graph
+    diameter, and near-dup components are shallow (copies of a common
+    ancestor), so this converges in a handful of rounds; each round is
+    one shuffle join + one aggregation, all JVM-side. The per-round
+    persist keeps lineage from compounding, and the convergence check is
+    an aggregate (no driver-side data collection).
+    """
+    from pyspark import StorageLevel
+
+    # the input pair relation is typically expensive (a near-dup
+    # detector); persist it so the two-direction edge union doesn't
+    # compute it twice
+    p = pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges = (
+        p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("l"))
+        .select("u", F.least("u", "l").alias("l"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lv").alias("nl"))
+        )
+        # one join carries both the new label and the old one, so the
+        # convergence probe below doesn't need a second join per round
+        stepped = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.col("l").alias("old"),
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # full count (not limit-1): the same job fully materializes the
+        # persisted `stepped`, so later rounds and the returned relation
+        # never fall back to recomputing a deep lineage
+        changed = stepped.filter(F.col("l") != F.col("old")).count()
+        labels.unpersist()
+        labels = stepped.select("u", "l")
+        if changed == 0:
+            break
+    edges.unpersist()
+    p.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+
+
+def dedup_canonical_per_cluster(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the minimum id — deterministic
+    keep-first) plus every row with no near-dup at all. ``pairs`` is any
+    (id_a, id_b) near-dup pair relation (MinHash, SimHash, embedding…)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

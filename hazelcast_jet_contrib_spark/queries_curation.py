@@ -310,3 +310,89 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.withColumn("nc", F.length("text")), "doc_id", "nc", budget=2000, n_shards=4
     )
     return packed.select("doc_id", "lang", "shard", "pack_id")
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination: docs with doc_id % 97 == 0 play the eval set;
+# every other doc is scanned for shared word-3-grams. The benchmark
+# n-gram set is broadcast (eval sets are small by definition); the
+# corpus side never shuffles its n-grams — see
+# operators/curation.py:contamination_overlap.
+# --------------------------------------------------------------------------
+@query(
+    "contamination_ngram_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS doc_ngrams FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS hits
+        FROM corpus c JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id AS id, hits, doc_ngrams,
+           ROUND(CAST(hits AS DOUBLE) / doc_ngrams, 6) AS overlap_ratio
+    FROM hits h JOIN per_doc p ON h.doc_id = p.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: word-3-gram overlap of every
+    training document against the (broadcast) eval-set n-gram set."""
+    from hazelcast_jet_contrib_spark.operators.curation import contamination_overlap
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, "doc_id", "text", n=3)
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality rule): duplicate
+# word-2-gram fraction per document, computed entirely with
+# higher-order functions — no explode, no shuffle, no Python.
+# --------------------------------------------------------------------------
+@query(
+    "repetition_dup_ngrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END AS s
+        FROM toks
+    )
+    SELECT doc_id AS id,
+           CAST(len(s) AS BIGINT) AS ngrams,
+           CAST(len(list_distinct(s)) AS BIGINT) AS distinct_ngrams,
+           CASE WHEN len(s) > 0
+                THEN ROUND((len(s) - len(list_distinct(s))) / CAST(len(s) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_ratio
+    FROM sh
+    """,
+)
+def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-2-gram fraction over the full corpus."""
+    from hazelcast_jet_contrib_spark.operators.curation import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id", "text", n=2)
+    return out.select(
+        "id",
+        F.col("ngrams").cast("long").alias("ngrams"),
+        F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+        "dup_ratio",
+    )

@@ -179,3 +179,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return cosine_topk(queries, corpus, k=5)
+
+
+@query(
+    "neardup_clusters",
+    oracle="""
+    WITH RECURSIVE aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM aug
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT component AS component_id, COUNT(*) AS size
+    FROM comp GROUP BY component
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (same corpus/pairs as ngram_jaccard_pairs), aggregated to
+    (component_id=min doc id, size). The step that turns pairwise
+    near-dup detection into dedup groups — the oracle recomputes the
+    same components with a recursive SQL closure, so the engine's
+    distributed min-label propagation is proven against a ground-truth
+    transitive closure."""
+    from hazelcast_jet_contrib_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(
+        _docs_with_near_copies(spark, sf_dir, subset_mod=5), "doc_id", "text", threshold=0.6
+    )
+    comps = connected_components(pairs)
+    return comps.groupBy(F.col("component").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("size")
+    )

@@ -162,3 +162,51 @@ def token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("tok"), 4).alias("mean_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mapUsingService through the oracle gate: the service is a compiled-
+# regex "tokenizer resource" constructed once per partition (the
+# reference's sharedService amortization contract,
+# HashingSupport.java:42-48 / HyperLogLogTest.java:83,112); the per-
+# batch map is Arrow-vectorized. The oracle recomputes the same token
+# counts in pure SQL, proving the service path end-to-end — lifecycle
+# counts are pinned separately by tests/test_service.py.
+# --------------------------------------------------------------------------
+@query(
+    "service_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+           AS n_tokens
+    FROM documents
+    """,
+)
+def service_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    import pandas as pd
+
+    from hazelcast_jet_contrib_spark.operators.service import (
+        ServiceFactory,
+        map_using_service,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    factory = ServiceFactory(create_fn=lambda: re.compile(r"\s+"))
+
+    def count_tokens(svc: re.Pattern, batch: pd.DataFrame) -> pd.DataFrame:
+        stripped = batch["text"].fillna("").str.strip()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": [
+                    0 if s == "" else len(svc.split(s.lower())) for s in stripped
+                ],
+            }
+        )
+
+    return map_using_service(
+        docs, factory, count_tokens, "doc_id long, n_tokens long"
+    )

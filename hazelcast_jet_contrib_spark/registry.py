@@ -110,6 +110,11 @@ _PRIORITY = [
     "ngram_vocab_top100",
     "pii_redaction_stats",
     "curation_pipeline_end2end",
+    # new this round: clusters, contamination, repetition, service map
+    "neardup_clusters",
+    "contamination_ngram_overlap",
+    "repetition_dup_ngrams",
+    "service_token_stats",
     # changed this round (64/32 banding): re-prove
     "minhash_lsh_near_dup",
     "json_props_extraction",

@@ -123,3 +123,64 @@ def test_redact_pii_and_counts(spark):
         assert (r["ge"], r["gp"], r["gi"]) == (r["e"], r["p"], r["i"]), r
         assert "@" not in r["red"] and "555" not in r["red"] and "10.0.0.1" not in r["red"]
     assert got[3]["red"] == "clean text"
+
+
+def test_contamination_overlap_counts_shared_ngrams(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sat"),   # shares 2 of its 3 3-grams
+            (2, "a completely different doc here"),  # no overlap
+            (3, "quick brown fox jumps high today"),  # shares 2
+            (4, "hi"),                          # too short: no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["hits"], r["doc_ngrams"])
+        for r in contamination_overlap(docs, bench, "doc_id", "text", n=3).collect()
+    }
+    # only contaminated docs appear
+    assert got == {1: (2, 3), 3: (2, 4)}
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import contamination_overlap
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    docs = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+    plan = contamination_overlap(docs, bench, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_stats_ratio(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 3 2-grams, all "spam spam" -> dup 2/3
+            (2, "all distinct words here"),  # 3 distinct 2-grams -> 0
+            (3, "x"),  # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["ngrams"], r["distinct_ngrams"], r["dup_ratio"])
+        for r in repetition_stats(docs, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == (3, 1, round(2 / 3, 6))
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_repetition_has_no_shuffle_or_python(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = repetition_stats(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan

@@ -174,3 +174,35 @@ def test_ivf_topk_recall_and_degenerate_exactness(spark):
     }
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.65, f"recall@5 degraded to {recall}"
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A 4-node path (diameter 3) forces real propagation — every node
+    must land in the min-id component even though the ends never share
+    an edge."""
+    from hazelcast_jet_contrib_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_canonical_per_cluster_keeps_min_and_singletons(spark):
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        dedup_canonical_per_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_canonical_per_cluster(df, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,3} -> keep 1; 4, 7, 9 untouched (no near-dup)
+    assert kept == [1, 4, 7, 9]
