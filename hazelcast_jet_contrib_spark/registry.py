@@ -70,6 +70,7 @@ from hazelcast_jet_contrib_spark import queries_windows  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_connectors  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_joins  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_curation  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: part of the correctness-gate contract.
@@ -115,6 +116,9 @@ _PRIORITY = [
     "contamination_ngram_overlap",
     "repetition_dup_ngrams",
     "service_token_stats",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
     # changed this round (64/32 banding): re-prove
     "minhash_lsh_near_dup",
     "json_props_extraction",

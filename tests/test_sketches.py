@@ -1,0 +1,88 @@
+"""Mergeable-sketch aggregations: accuracy gates plus the merge law
+(sketch-of-union == union-of-sketches) that makes them rollup-safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.functions import sketches as SK
+
+
+def test_hll_sketch_merge_equals_global(spark):
+    """Partial-per-group then merge must estimate the same as one global
+    sketch — the accumulate/combine decomposition contract
+    (ProbabilisticAggregations.java:65-69)."""
+    df = spark.range(0, 20_000).withColumn("g", (F.col("id") % 7).cast("int"))
+    merged = (
+        df.groupBy("g")
+        .agg(SK.hll_sketch("id").alias("sk"))
+        .agg(SK.hll_estimate(SK.hll_merge("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(SK.hll_estimate(SK.hll_sketch("id")).alias("est")).collect()[0][
+        "est"
+    ]
+    assert merged == direct
+    assert abs(merged - 20_000) / 20_000 <= 0.05
+
+
+def test_hll_lg_k_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.hll_sketch("x", lg_k=3)
+    with pytest.raises(ValueError):
+        SK.hll_sketch("x", lg_k=22)
+
+
+def test_theta_set_algebra(spark):
+    """Union/intersection/difference estimates on known overlapping
+    ranges: A=[0,10k), B=[5k,15k)."""
+    a = spark.range(0, 10_000).agg(SK.theta_sketch("id", lg_k=14).alias("sa"))
+    b = spark.range(5_000, 15_000).agg(SK.theta_sketch("id", lg_k=14).alias("sb"))
+    got = (
+        a.crossJoin(b)
+        .select(
+            SK.theta_estimate(SK.theta_union("sa", "sb")).alias("u"),
+            SK.theta_estimate(SK.theta_intersection("sa", "sb")).alias("i"),
+            SK.theta_estimate(SK.theta_difference("sa", "sb")).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert abs(got["u"] - 15_000) / 15_000 <= 0.05
+    assert abs(got["i"] - 5_000) / 5_000 <= 0.05
+    assert abs(got["d"] - 5_000) / 5_000 <= 0.05
+
+
+def test_kll_merged_quantiles_rank_accuracy(spark):
+    """Per-group KLL sketches merged; the merged median of 0..99999
+    must sit within the sketch's rank-error band."""
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    q = (
+        df.groupBy("g")
+        .agg(SK.kll_sketch_double("v", k=200).alias("sk"))
+        .agg(SK.kll_merge_double("sk").alias("m"))
+        .select(
+            SK.kll_quantile("m", 0.5).alias("q50"),
+            SK.kll_quantile("m", 0.99).alias("q99"),
+        )
+        .collect()[0]
+    )
+    assert abs(q["q50"] - 50_000) / 100_000 <= 0.02
+    assert abs(q["q99"] - 99_000) / 100_000 <= 0.02
+
+
+def test_sketch_aggs_stay_jvm_side(spark):
+    """The whole sketch pipeline is JVM aggregation — no Python stage."""
+    df = spark.range(0, 100).withColumn("g", (F.col("id") % 3).cast("int"))
+    plan = (
+        df.groupBy("g")
+        .agg(SK.hll_sketch("id").alias("sk"))
+        .agg(SK.hll_estimate(SK.hll_merge("sk")).alias("est"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan
