@@ -104,3 +104,25 @@ def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ok")
     )
+
+
+@query(
+    "sketch_topk_event_types",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (DataSketches approx_top_k): heavy hitters
+    of the event stream. With maxItemsTracked >= the domain size the
+    sketch is EXACT, so this query gets a full value-hash oracle row
+    (not just an accuracy gate); the genuinely-approximate regime
+    (domain >> maxItemsTracked) is pinned by
+    tests/test_sketches.py::test_approx_top_k_skewed_heavy_hitter."""
+    ev = table(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(event_type, 5, 8192)").alias("tk"))
+    return tk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("event_type"), F.col("x.count").alias("n")
+    )

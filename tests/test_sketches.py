@@ -86,3 +86,24 @@ def test_sketch_aggs_stay_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan, plan
+
+
+def test_approx_top_k_skewed_heavy_hitter(spark):
+    """Genuinely-approximate regime: domain (10k keys) >> maxItemsTracked
+    (64). The dominant key (20% of all rows) must surface as the top
+    item — the frequent-items guarantee when the gap exceeds the error
+    bound n/maxItemsTracked."""
+    df = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    top = (
+        df.agg(F.expr("approx_top_k(k, 3, 64)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(F.col("x.item").alias("item"), F.col("x.count").alias("est"))
+        .collect()
+    )
+    assert top[0]["item"] == 7
+    # 10_000 rows with id%5==0 map to 7, plus id=7 itself (7%5!=0 keeps it)
+    exact = 10_000 + 1
+    assert top[0]["est"] >= exact  # frequent-items estimates never undercount
+    assert top[0]["est"] - exact <= 50_000 / 64  # and overcount is bounded
