@@ -248,3 +248,42 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint_cols: list[str],
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots keyed by
+    ``key_col``: one row per key present in either side, with
+    ``status`` ∈ added | removed | changed | unchanged. Content
+    equality is decided by an md5 fingerprint over
+    ``fingerprint_cols`` — the incremental-curation primitive (what
+    changed between crawl N and crawl N+1 drives which documents
+    re-enter the dedup/filter pipeline).
+
+    Scale shape: each side reduces to (key, 16-byte fingerprint) AT
+    SCAN TIME, so the full-outer join shuffles ~24-byte rows — never
+    document payloads, which dominate row width at 100 TB. With both
+    snapshots bucketed by key the join is a zero-exchange merge; the
+    fingerprint compare keeps wide-column equality out of the join
+    condition entirely.
+    """
+
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in fingerprint_cols]
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.md5(F.concat_ws("\x1f", *cols)).alias(out),
+        )
+
+    j = fp(old, "__fp_old__").join(fp(new, "__fp_new__"), "key", "full_outer")
+    status = (
+        F.when(F.col("__fp_old__").isNull(), F.lit("added"))
+        .when(F.col("__fp_new__").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old__") == F.col("__fp_new__"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("key").alias(key_col), status.alias("status"))

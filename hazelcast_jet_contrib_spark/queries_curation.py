@@ -396,3 +396,43 @@ def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
         "dup_ratio",
     )
+
+
+@query(
+    "snapshot_diff_statuses",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0 THEN ' [rev2]' ELSE '' END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text = v2.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def snapshot_diff_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two deterministic corpus
+    snapshots (v1 drops doc_id%13==0 — later additions; v2 drops
+    doc_id%17==0 — deletions — and revises the text of doc_id%5==0):
+    per-key added/removed/changed/unchanged via md5 fingerprints. The
+    oracle recomputes the diff with direct text equality, proving the
+    fingerprint path end-to-end."""
+    from hazelcast_jet_contrib_spark.operators.curation import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 13 != 0)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" [rev2]")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return snapshot_diff(v1, v2, "doc_id", ["text"])

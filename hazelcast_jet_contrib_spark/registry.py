@@ -120,6 +120,7 @@ _PRIORITY = [
     "sketch_theta_retention_overlap",
     "sketch_kll_price_quantiles",
     "sketch_topk_event_types",
+    "snapshot_diff_statuses",
     # changed this round (64/32 banding): re-prove
     "minhash_lsh_near_dup",
     "json_props_extraction",

@@ -184,3 +184,36 @@ def test_repetition_has_no_shuffle_or_python(spark):
     plan = repetition_stats(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_snapshot_diff_statuses_exact(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "k long, text string"
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k", ["text"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_joins_fingerprints_not_payloads(spark):
+    # The join input must carry (key, md5) only: no text column may
+    # survive below the join — at 100 TB the payload column is the row.
+    from hazelcast_jet_contrib_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, text string")
+    new = spark.createDataFrame([(1, "a")], "k long, text string")
+    plan = (
+        snapshot_diff(old, new, "k", ["text"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    joins = plan.split("Join")[1:]
+    assert joins, plan
+    assert "md5" in plan
