@@ -69,6 +69,7 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         "embedding_near_dup",
         "ivf_cosine_topk",  # numpy cell-assignment kernels
         "ivf_recall_at_nprobe",  # same IVF kernels, recall-gated
+        "service_token_stats",  # mapUsingService is by definition an Arrow stage
         "kv_hash_snapshot",
         "sorted_set_range",
         "docstore_find_pushdown",
