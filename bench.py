@@ -57,27 +57,25 @@ def main() -> None:
         "p", _warm(F.col("id").cast("double"))
     ).groupBy().sum("p").collect()
 
-    # The heaviest generated-code paths (the 128-column min-aggregate +
-    # banding joins of MinHash, the 64-vote SimHash aggregate, the
-    # composed curation pipeline) pay ~10s of one-time Janino
-    # compilation. Warm each IMMEDIATELY before its timed run against
-    # the SMALLEST scale factor: the generated Java is keyed by
-    # expression structure, not input path, so the ~100-row warmup
-    # compiles exactly the classes the timed run needs — and doing it
-    # just-in-time (not up front) stops other queries' codegen from
-    # evicting the warmed classes out of the bounded codegen cache.
+    # Generated-code paths (the 128-column min-aggregate + banding joins
+    # of MinHash, the 64-vote SimHash aggregate, the composed curation
+    # pipeline, the n-gram HOF pipelines, ...) pay up to ~10s of
+    # one-time Janino compilation. Warm EVERY query IMMEDIATELY before
+    # its timed run against the SMALLEST scale factor: the generated
+    # Java is keyed by expression structure, not input path, so the
+    # ~100-row warmup compiles exactly the classes the timed run needs —
+    # and doing it just-in-time (not up front) stops other queries'
+    # codegen from evicting the warmed classes out of the bounded
+    # codegen cache. The timed number is therefore steady-state
+    # execution at SF_DIR, which is the quantity that scales to a real
+    # cluster (where JIT cost amortizes to zero over a 100 TB scan).
     warm_dir = str(Path(SF_DIR).parent / "sf0.001")
-    codegen_heavy = {
-        "minhash_lsh_near_dup",
-        "simhash_near_dup",
-        "curation_pipeline_end2end",
-        "neardup_clusters",
-    }
+    can_warm = Path(warm_dir).is_dir() and warm_dir != SF_DIR
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        if name in codegen_heavy and Path(warm_dir).is_dir() and warm_dir != SF_DIR:
+        if can_warm:
             try:
                 fn(spark, warm_dir).count()
             except Exception:
