@@ -44,12 +44,17 @@ VIDEO_FRAMES_SCHEMA = "media_id long, frame_idx int, frame_phash string"
 
 def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decoder (no codec libs in this environment): derives a
-    deterministic (width, height, gray-plane) from the payload bytes.
-    Replace the body with PIL.Image.open for real data.
+    deterministic (width, height, gray-plane) from the payload bytes via
+    an Adler-style checksum (s1 = sum of bytes, s2 = positionally
+    weighted sum) — exact integer arithmetic, so an external oracle can
+    reproduce the geometry. Replace the body with PIL.Image.open for
+    real data.
     """
-    h = hashlib.sha256(payload).digest()
-    width = 16 + h[0] % 16
-    height = 16 + h[1] % 16
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    s1 = int(b.sum())
+    s2 = int((b * (np.arange(len(b), dtype=np.int64) + 1)).sum())
+    width = 16 + s2 % 16
+    height = 16 + s1 % 16
     plane = np.frombuffer(
         (payload * ((width * height) // max(len(payload), 1) + 1))[: width * height],
         dtype=np.uint8,
@@ -57,10 +62,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, plane
 
 
-def _decode_audio(payload: bytes, frame_bytes: int = 256) -> np.ndarray:
-    """STUB audio decoder: bytes -> float32 mono samples in [-1, 1)."""
-    samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return (samples - 128.0) / 128.0
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """STUB audio decoder: bytes -> centered int64 samples in [-128, 128)
+    at an implied 1/128 scale. Integer samples keep downstream energy
+    math exact (sum-of-squares stays integral until one final division)."""
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
 
 
 def image_features(df: DataFrame) -> DataFrame:
@@ -74,8 +80,11 @@ def image_features(df: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, plane = _decode_image(bytes(payload))
-                # average-hash: bits = pixels above mean, hex-packed
-                bits = (plane.astype(np.float32) >= plane.mean()).flatten()[:64]
+                # average-hash: bits = pixels above mean, hex-packed.
+                # Exact-sum mean (int sum / count in float64) so the
+                # threshold is reproducible by an external SQL oracle.
+                mean = int(plane.sum()) / plane.size
+                bits = (plane.astype(np.int64) >= mean).flatten()[:64]
                 phash = np.packbits(bits).tobytes().hex()
                 out.append((mid, w, h, len(payload), phash))
             yield pd.DataFrame(
@@ -91,6 +100,8 @@ def audio_frame_energy(df: DataFrame, frame_samples: int = 256) -> DataFrame:
     output rows), the pattern video frame extraction follows too."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -98,7 +109,14 @@ def audio_frame_energy(df: DataFrame, frame_samples: int = 256) -> DataFrame:
                 n_frames = max(1, len(samples) // frame_samples)
                 for i in range(n_frames):
                     frame = samples[i * frame_samples : (i + 1) * frame_samples]
-                    rms = float(np.sqrt(np.mean(frame**2))) if len(frame) else 0.0
+                    # exact integer sum-of-squares, ONE float division and
+                    # sqrt (both IEEE correctly-rounded) -> bit-identical
+                    # to any engine computing the same rational.
+                    if len(frame):
+                        ssq = int(np.dot(frame, frame))
+                        rms = math.sqrt(ssq / (len(frame) * 16384.0))
+                    else:
+                        rms = 0.0
                     rows.append((mid, i, round(rms, 6)))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
 

@@ -141,11 +141,77 @@ def media_metadata_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Image-feature extraction over binary payloads: the decode kernel is
-# the documented deterministic STUB (no codec libs in this environment),
-# so no SQL oracle can mirror it — rows-only check; shape/determinism
-# are pinned by tests/test_multimodal.py.
-@query("media_image_features", oracle=None)
+# Image-feature extraction over binary payloads. The decode kernel is
+# the documented deterministic STUB (no codec libs in this environment)
+# built on exact integer arithmetic, so the oracle reproduces EVERY
+# output column in SQL: geometry from the Adler-style checksum
+# (s1 = sum of bytes, s2 = positionally weighted sum), n_bytes, and the
+# full 64-bit average-hash over the repeated-payload gray plane
+# (threshold = exact int-sum / count in float64 on both sides).
+@query(
+    "media_image_features",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN unhex('FFD8FF') || encode(text)
+                    WHEN doc_id % 3 = 1 THEN unhex('89504E47') || encode(text)
+                    ELSE encode(text) END AS payload
+        FROM documents
+    ),
+    g AS (
+        SELECT media_id, hex(payload) AS ph, octet_length(payload) AS n FROM m
+    ),
+    idx AS (
+        SELECT media_id, ph, unnest(generate_series(0, n - 1)) AS i FROM g
+    ),
+    sums AS (
+        SELECT media_id,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)) AS s1,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)
+                   * (i + 1)) AS s2
+        FROM idx GROUP BY media_id
+    ),
+    geo AS (
+        SELECT media_id,
+               CAST(16 + s2 % 16 AS INT) AS width,
+               CAST(16 + s1 % 16 AS INT) AS height
+        FROM sums
+    ),
+    pidx AS (
+        SELECT g.media_id, g.ph, g.n,
+               unnest(generate_series(0, geo.width * geo.height - 1)) AS j
+        FROM g JOIN geo USING (media_id)
+    ),
+    plane AS (
+        SELECT media_id, j,
+               CAST(('0x' || substr(ph, 2 * (j % n) + 1, 2)) AS BIGINT) AS byte
+        FROM pidx
+    ),
+    stats AS (
+        SELECT media_id, CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean
+        FROM plane GROUP BY media_id
+    ),
+    bits AS (
+        SELECT p.media_id, p.j,
+               CASE WHEN CAST(p.byte AS DOUBLE) >= s.mean THEN 1 ELSE 0 END AS bit
+        FROM plane p JOIN stats s USING (media_id)
+        WHERE p.j < 64
+    ),
+    bytes8 AS (
+        SELECT media_id, j // 8 AS k,
+               SUM(bit * (1 << CAST(7 - (j % 8) AS INT))) AS val
+        FROM bits GROUP BY media_id, j // 8
+    ),
+    ph64 AS (
+        SELECT media_id,
+               string_agg(lpad(lower(hex(val)), 2, '0'), '' ORDER BY k) AS phash
+        FROM bytes8 GROUP BY media_id
+    )
+    SELECT g.media_id, geo.width, geo.height, CAST(g.n AS INT) AS n_bytes,
+           ph64.phash
+    FROM g JOIN geo USING (media_id) JOIN ph64 USING (media_id)
+    """,
+)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.multimodal import image_features
 
@@ -204,11 +270,44 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "frame_idx")
 
 
-@query("media_audio_frames", oracle=None)
+@query(
+    "media_audio_frames",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN unhex('FFD8FF') || encode(text)
+                    WHEN doc_id % 3 = 1 THEN unhex('89504E47') || encode(text)
+                    ELSE encode(text) END AS payload
+        FROM documents
+    ),
+    g AS (
+        SELECT media_id, hex(payload) AS ph, octet_length(payload) AS n FROM m
+    ),
+    f AS (
+        SELECT media_id, n, GREATEST(n // 256, 1) AS n_frames FROM g
+    ),
+    bidx AS MATERIALIZED (
+        SELECT g.media_id, g.ph, f.n_frames,
+               unnest(generate_series(0, g.n - 1)) AS i
+        FROM g JOIN f USING (media_id)
+    ),
+    b AS (
+        SELECT media_id, i // 256 AS frame_idx,
+               CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT) - 128 AS d
+        FROM bidx WHERE i < n_frames * 256
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           ROUND(sqrt(CAST(SUM(d * d) AS DOUBLE) / (COUNT(*) * 16384.0)), 6)
+               AS rms
+    FROM b GROUP BY media_id, frame_idx
+    """,
+)
 def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame-energy fan-out (1 clip → N fixed-size frames with RMS
-    energy). Stub decoder → rows-only check; shape and determinism are
-    pinned by tests/test_multimodal.py."""
+    energy). The stub decoder keeps the energy math exact-integer until
+    one final IEEE division + sqrt, so the oracle reproduces the RMS
+    bit-for-bit from the payload bytes; fan-out shape and determinism are
+    additionally pinned by tests/test_multimodal.py."""
     from hazelcast_jet_contrib_spark.operators.multimodal import audio_frame_energy
 
     return audio_frame_energy(_media_frame(spark, sf_dir), frame_samples=256)
