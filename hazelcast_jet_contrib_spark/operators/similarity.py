@@ -177,11 +177,21 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     # --- train centroids on a bounded sample (driver-side numpy kmeans:
-    # nlist x dim x few iterations — microscopic next to the corpus scan)
+    # nlist x dim x few iterations — microscopic next to the corpus scan).
+    # The sample is hash-ordered, NOT an arbitrary partition prefix: a
+    # plain .limit() takes whatever file Spark scans first, which on a
+    # sorted-by-source corpus trains centroids on one source. Ordering by
+    # xxhash64(id, seed) is a deterministic pseudo-random draw that is
+    # independent of partition layout, and Spark executes the
+    # orderBy+limit as TakeOrderedAndProject (per-partition top-N, then a
+    # single bounded merge — no full sort of the corpus).
     sample = np.array(
         [
             row["v"]
-            for row in corpus.select(as_double(vec_col).alias("v"))
+            for row in corpus.select(
+                F.col(corpus_id).alias("sid"), as_double(vec_col).alias("v")
+            )
+            .orderBy(F.xxhash64(F.col("sid"), F.lit(seed)), F.col("sid"))
             .limit(sample_rows)
             .collect()
         ],
