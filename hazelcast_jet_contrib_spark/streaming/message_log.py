@@ -30,7 +30,15 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-SCHEMA = "stream string, seq long, key string, value string"
+#: Full message schema (PulsarSources.java:84-92 parity): alongside the
+#: routing key and payload, every message surfaces its properties map
+#: and producer-assigned event time (epoch millis; null if the producer
+#: set none) so consumers can watermark on eventTime rather than arrival
+#: time (SURVEY.md §2.7 timestamp policies).
+SCHEMA = (
+    "stream string, seq long, key string, value string, "
+    "properties map<string,string>, event_time long"
+)
 
 
 @dataclass
@@ -107,7 +115,18 @@ class MessageLogStreamReader(DataSourceStreamReader):
             with open(seg) as f:
                 for line in f:
                     rec = json.loads(line)
-                    yield (partition.stream, seq, rec.get("key"), rec.get("value"))
+                    props = rec.get("properties")
+                    et = rec.get("event_time")
+                    yield (
+                        partition.stream,
+                        seq,
+                        rec.get("key"),
+                        rec.get("value"),
+                        {str(k): str(v) for k, v in props.items()}
+                        if props is not None
+                        else None,
+                        int(et) if et is not None else None,
+                    )
 
     def commit(self, end: dict) -> None:
         # nothing to acknowledge: the log is immutable and replayable;

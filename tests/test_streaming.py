@@ -88,6 +88,75 @@ def test_message_log_offsets_are_replayable(spark, tmp_path):
     assert len(rows1) == N_STREAMS * 2 * MSGS_PER_SEGMENT
 
 
+def test_producer_roundtrip_properties_and_event_time(spark, tmp_path):
+    """producer_sink → message_log stream round-trips the FULL message:
+    key, value, properties map, and event_time (PulsarSources.java:84-92
+    parity — Pulsar messages carry key/properties/eventTime into the
+    pipeline), and a streaming consumer can watermark + window on the
+    read-back event_time instead of arrival time."""
+    from hazelcast_jet_contrib_spark.sinks.connectors import producer_sink
+
+    root = str(tmp_path / "log")
+    rows = [(1, "a", 10_000), (2, "b", 12_000), (3, "c", 41_000)]
+    df = spark.createDataFrame(rows, "id long, v string, ts long")
+    producer_sink(
+        df.coalesce(1),
+        root,
+        "t",
+        value_fn=lambda r: r["v"],
+        key_fn=lambda r: f"k{r['id']}",
+        props_fn=lambda r: {"origin": "probe", "id": str(r["id"])},
+        event_time_fn=lambda r: r["ts"],
+    )
+    message_log.register(spark)
+
+    stream = spark.readStream.format("message_log").option("path", root).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rt_msgs")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = {r["key"]: r for r in spark.sql("SELECT * FROM rt_msgs").collect()}
+    assert set(got) == {"k1", "k2", "k3"}
+    assert got["k1"]["properties"] == {"origin": "probe", "id": "1"}
+    assert got["k2"]["event_time"] == 12_000
+    assert {r["value"] for r in got.values()} == {"a", "b", "c"}
+
+    # watermark on the read-back event_time: 10s tumbling windows,
+    # 5s delay. Batch 1 ends with watermark 41s-5s=36s > window [10,20)'s
+    # end, so appending one more late-ish segment (a new batch) flushes
+    # the closed window to the append-mode sink.
+    windowed = (
+        stream.withColumn("et", F.timestamp_millis(F.col("event_time")))
+        .withWatermark("et", "5 seconds")
+        .groupBy(F.window("et", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q2 = (
+        windowed.writeStream.format("memory")
+        .queryName("rt_windows")
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    message_log.append_segment(
+        root, "t", [{"key": "k4", "value": "d", "event_time": 45_000}]
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    closed = {
+        r["ws"].second + r["ws"].minute * 60: r["n"]
+        for r in spark.sql("SELECT * FROM rt_windows").collect()
+    }
+    assert closed.get(10) == 2, f"window [10s,20s) must close with 2 events: {closed}"
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Tumbling-window streaming aggregation in append mode: windows
     close once the watermark passes; a record arriving later than the
