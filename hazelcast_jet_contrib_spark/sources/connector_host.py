@@ -32,10 +32,16 @@ from __future__ import annotations
 
 import importlib
 import json
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def load_task(task_class: str, task_config: dict[str, Any]):
@@ -124,6 +130,256 @@ class ConnectorHostDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(ConnectorHostDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Kafka-Connect-shaped poll host: map-shaped (sourcePartition -> sourceOffset)
+# offsets, OffsetStorageReader feedback, SourceRecord adapter.
+# ---------------------------------------------------------------------------
+
+
+def _pkey(partition: dict[str, Any]) -> str:
+    """Canonical JSON key for a sourcePartition map (key order must not
+    matter, exactly as Connect's offset storage keys by the map value)."""
+    return json.dumps(partition, sort_keys=True)
+
+
+@dataclass
+class SourceRecord:
+    """The Kafka Connect SourceRecord surface the host consumes
+    (KafkaConnectSources.java:77-80 maps records to key/value/timestamp
+    items): a map-shaped sourcePartition identifying the upstream shard,
+    a map-shaped sourceOffset (the task's resume state for that shard),
+    and the record payload."""
+
+    source_partition: dict[str, Any]
+    source_offset: dict[str, Any]
+    topic: str
+    key: str | None = None
+    value: str | None = None
+    timestamp_ms: int | None = None
+    headers: dict[str, str] = field(default_factory=dict)
+
+
+class OffsetStorageReader:
+    """The restart-feedback half of the reference's contract
+    (AbstractKafkaConnectSource.java:101-136: the engine snapshots the
+    task's Map<partition, offset> state and serves it back through an
+    OffsetStorageReader shim): ``offset(partition_map)`` returns the last
+    committed sourceOffset for that sourcePartition, or None."""
+
+    def __init__(self, offsets: dict[str, dict[str, Any]]):
+        self._offsets = dict(offsets)
+
+    def offset(self, partition: dict[str, Any]) -> dict[str, Any] | None:
+        got = self._offsets.get(_pkey(partition))
+        return dict(got) if got is not None else None
+
+    def offsets(self, partitions: list[dict[str, Any]]) -> list[dict[str, Any] | None]:
+        return [self.offset(p) for p in partitions]
+
+
+#: SourceRecord adapter schema: schema'd key/value + timestamp columns
+#: (KafkaConnectSources.java:77-80), plus the sourcePartition map for
+#: lineage/debugging. sourceOffsets live in Spark's offset WAL, not rows.
+CONNECT_SCHEMA = (
+    "topic string, key string, value string, timestamp long, "
+    "source_partition map<string,string>"
+)
+
+
+class ConnectTaskStreamReader(SimpleDataSourceStreamReader):
+    """Host for a poll-style Connect task (``configure(props)`` +
+    ``initialize(offset_storage_reader)`` + ``poll() -> [SourceRecord]``
+    — the SourceTask loop, no replayable range reads required).
+
+    Spark-first split of the reference's duties: the offset dict Spark
+    WALs per micro-batch IS the Connect offset store —
+    ``{"seq": n, "offsets": {sourcePartitionJson: sourceOffsetMap}}`` —
+    so on restart the task is re-initialized with exactly the committed
+    map-of-maps through OffsetStorageReader (parity with
+    AbstractKafkaConnectSource.java:101-136). Polled batches are spooled
+    (one JSON file per batch seq) so a planned-but-uncommitted batch
+    replays byte-identically after a crash (readBetweenOffsets), which
+    the reference gets from its in-memory snapshot + broker redelivery.
+
+    Driver-side poll loop by design: a Connect SourceTask is a
+    single-threaded poll loop in the reference too (one task instance
+    per connector); Spark distributes the downstream processing.
+    """
+
+    def __init__(self, task_class: str, task_config: dict[str, Any], spool_dir: str):
+        self.task_class = task_class
+        self.task_config = task_config
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._task = None
+
+    # -- task lifecycle -----------------------------------------------------
+    def _ensure_task(self, offsets: dict[str, dict[str, Any]]):
+        """Lazily instantiate + initialize the task with the offsets of
+        the first batch that actually polls — NOT construction time,
+        because a restart may first replay a spooled batch whose offsets
+        are ahead of this reader's initial state."""
+        if self._task is None:
+            self._task = load_task(self.task_class, self.task_config)
+            init = getattr(self._task, "initialize", None)
+            if init is not None:
+                init(OffsetStorageReader(offsets))
+        return self._task
+
+    # -- spool --------------------------------------------------------------
+    def _spool_path(self, seq: int) -> str:
+        return os.path.join(self.spool_dir, f"batch-{seq:09d}.json")
+
+    def _spool_write(self, seq: int, rows: list, end: dict) -> None:
+        tmp = self._spool_path(seq) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"rows": rows, "end": end}, f)
+        os.replace(tmp, self._spool_path(seq))
+
+    def _spool_read(self, seq: int) -> dict | None:
+        try:
+            with open(self._spool_path(seq)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    # -- stream reader contract --------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"seq": 0, "offsets": {}}
+
+    def read(self, start: dict):
+        seq = int(start.get("seq", 0))
+        spooled = self._spool_read(seq)
+        if spooled is not None:
+            # a crashed run already polled this batch: replay it rather
+            # than advancing the upstream past never-committed records
+            return iter(map(tuple, spooled["rows"])), spooled["end"]
+
+        task = self._ensure_task(start.get("offsets", {}))
+        records = list(task.poll() or [])
+        if not records:
+            return iter(()), start  # unchanged offset -> no batch
+
+        offsets = dict(start.get("offsets", {}))
+        rows = []
+        for r in records:
+            offsets[_pkey(r.source_partition)] = dict(r.source_offset)
+            rows.append(
+                (
+                    r.topic,
+                    r.key,
+                    r.value,
+                    int(r.timestamp_ms) if r.timestamp_ms is not None else None,
+                    {str(k): str(v) for k, v in r.source_partition.items()},
+                )
+            )
+        end = {"seq": seq + 1, "offsets": offsets}
+        self._spool_write(seq, rows, end)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        spooled = self._spool_read(int(start.get("seq", 0)))
+        if spooled is None:
+            raise RuntimeError(
+                f"connect host: no spool for replay of batch {start} -> {end}"
+            )
+        return iter(map(tuple, spooled["rows"]))
+
+    def commit(self, end: dict) -> None:
+        # batches below the committed seq can never be replayed: prune
+        committed = int(end.get("seq", 0))
+        for f in os.listdir(self.spool_dir):
+            if f.startswith("batch-") and f.endswith(".json"):
+                if int(f[len("batch-") : -len(".json")]) < committed - 1:
+                    os.unlink(os.path.join(self.spool_dir, f))
+        cb = getattr(self._task, "commit", None) if self._task else None
+        if cb is not None:
+            cb()
+
+
+class ConnectTaskDataSource(DataSource):
+    """``spark.readStream.format("kafka_connect_host")
+    .option("task_class", "pkg.module:Cls")
+    .option("task_config", json.dumps({...}))
+    .option("spool_dir", "/path/for/replay/spool")``.
+
+    Register once per session:
+        spark.dataSource.register(ConnectTaskDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_connect_host"
+
+    def schema(self) -> str:
+        return CONNECT_SCHEMA
+
+    def simpleStreamReader(self, schema) -> ConnectTaskStreamReader:
+        task_class = self.options.get("task_class")
+        spool = self.options.get("spool_dir")
+        if not task_class or not spool:
+            raise ValueError(
+                "kafka_connect_host requires options 'task_class' and 'spool_dir'"
+            )
+        return ConnectTaskStreamReader(
+            task_class, json.loads(self.options.get("task_config", "{}")), spool
+        )
+
+
+def register_connect(spark) -> None:
+    spark.dataSource.register(ConnectTaskDataSource)
+
+
+class FileTailSourceTask:
+    """Bundled Connect-shaped demo task, the FileStreamSource connector
+    shape: tail every ``*.txt`` file under ``dir``, one sourcePartition
+    map ``{"filename": name}`` per file, sourceOffset ``{"position":
+    line_index}``. Resumes mid-file from whatever OffsetStorageReader
+    returns — the restart-parity probe records what it was given so
+    tests can assert exact offset feedback."""
+
+    def configure(self, config: dict[str, Any]) -> None:
+        self.dir = config["dir"]
+        self.topic = config.get("topic", "file-lines")
+        self.probe_path = config.get("probe_path")
+        self._positions: dict[str, int] = {}
+
+    def initialize(self, offset_reader: OffsetStorageReader) -> None:
+        seen: dict[str, Any] = {}
+        for name in self._files():
+            off = offset_reader.offset({"filename": name})
+            if off is not None:
+                self._positions[name] = int(off["position"])
+                seen[name] = off
+        if self.probe_path:
+            with open(self.probe_path, "w") as f:
+                json.dump(seen, f, sort_keys=True)
+
+    def _files(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.dir) if f.endswith(".txt"))
+
+    def poll(self) -> list[SourceRecord]:
+        out: list[SourceRecord] = []
+        for name in self._files():
+            pos = self._positions.get(name, 0)
+            with open(os.path.join(self.dir, name)) as f:
+                lines = f.read().splitlines()
+            for i, line in enumerate(lines[pos:], start=pos):
+                out.append(
+                    SourceRecord(
+                        source_partition={"filename": name},
+                        source_offset={"position": i + 1},
+                        topic=self.topic,
+                        key=f"{name}:{i}",
+                        value=line,
+                        timestamp_ms=1_000 + i,
+                    )
+                )
+            if lines:
+                self._positions[name] = len(lines)
+        return out
 
 
 class SeededCounterTask:

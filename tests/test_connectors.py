@@ -119,6 +119,76 @@ def test_connector_host_streams_task_records(spark, tmp_path):
     assert dupes == 0
 
 
+def test_kafka_connect_host_map_offsets_across_restart(spark, tmp_path):
+    """The reference's real Connect contract
+    (AbstractKafkaConnectSource.java:101-136): the engine snapshots the
+    task's Map<sourcePartition, sourceOffset> state and feeds it back
+    through an OffsetStorageReader on restart. Phase 1 tails two files;
+    phase 2 appends to one and adds a third, restarts from the same
+    checkpoint, and asserts (a) every line exactly once, and (b) the
+    restarted task's OffsetStorageReader served EXACTLY the committed
+    map-of-maps."""
+    from hazelcast_jet_contrib_spark.sources import connector_host
+
+    src = tmp_path / "files"
+    src.mkdir()
+    (src / "a.txt").write_text("a1\na2\n")
+    (src / "b.txt").write_text("b1\n")
+    probe = str(tmp_path / "probe.json")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    connector_host.register_connect(spark)
+
+    def run():
+        stream = (
+            spark.readStream.format("kafka_connect_host")
+            .option(
+                "task_class",
+                "hazelcast_jet_contrib_spark.sources.connector_host:FileTailSourceTask",
+            )
+            .option(
+                "task_config",
+                json.dumps({"dir": str(src), "topic": "lines", "probe_path": probe}),
+            )
+            .option("spool_dir", str(tmp_path / "spool"))
+            .load()
+        )
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run()
+    with open(src / "a.txt", "a") as f:
+        f.write("a3\na4\n")
+    (src / "c.txt").write_text("c1\n")
+    run()
+
+    got = spark.read.parquet(out)
+    values = sorted(r["value"] for r in got.collect())
+    assert values == ["a1", "a2", "a3", "a4", "b1", "c1"], values
+    dupes = got.groupBy("key").count().filter(F.col("count") > 1).count()
+    assert dupes == 0
+    # SourceRecord adapter columns
+    row = got.filter(F.col("value") == "a3").collect()[0]
+    assert row["topic"] == "lines"
+    assert row["source_partition"] == {"filename": "a.txt"}
+    assert row["timestamp"] is not None
+    # exact offset feedback on restart: the committed map-of-maps
+    with open(probe) as f:
+        served = json.load(f)
+    assert served == {
+        "a.txt": {"position": 2},
+        "b.txt": {"position": 1},
+    }, served
+
+
 # ---------------------------------------------------------------------------
 # S12/S14 — ack-based at-least-once subscription
 # ---------------------------------------------------------------------------
