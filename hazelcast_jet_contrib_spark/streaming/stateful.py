@@ -70,6 +70,37 @@ def streaming_dedup(
     )
 
 
+def streaming_rolling_hll(
+    df: DataFrame,
+    value_col: str,
+    key_col: str | None = None,
+    precision: int | None = None,
+) -> DataFrame:
+    """Running HLL++ distinct-count over a stream — the reference's
+    flagship streaming usage (HyperLogLogTest.java:79-86:
+    ``rollingAggregate(hll)`` emitting a continuously updated estimate to
+    a KV sink). Spark-first: ``approx_count_distinct`` IS HLL++ and its
+    sketch lives in the checkpointed streaming state store, so an
+    update-mode aggregation emits the running estimate per micro-batch
+    (per batch rather than per event — the documented semantic
+    difference) and survives restart. Pair with ``kv_hash_sink`` inside
+    ``foreachBatch`` for the reference's Sinks.map target.
+
+    Global estimate when ``key_col`` is None, per-key otherwise.
+    Output column: ``distinct_estimate``.
+    """
+    from hazelcast_jet_contrib_spark.functions.probabilistic import (
+        DEFAULT_PRECISION,
+        hyper_log_log,
+    )
+
+    est = hyper_log_log(
+        value_col, precision if precision is not None else DEFAULT_PRECISION
+    ).alias("distinct_estimate")
+    grouped = df.groupBy(key_col) if key_col is not None else df.groupBy()
+    return grouped.agg(est)
+
+
 def streaming_running_count(
     df: DataFrame,
     key_col: str,

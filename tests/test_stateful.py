@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hazelcast_jet_contrib_spark.streaming import message_log
 from hazelcast_jet_contrib_spark.streaming.stateful import (
     streaming_dedup,
+    streaming_rolling_hll,
     streaming_running_count,
 )
 
@@ -82,3 +83,65 @@ def test_streaming_running_count_updates_per_batch(spark, tmp_path):
     # batch 0 emits x=2, y=1; batch 1 emits the updated x=3
     assert max(n for k, n in rows if k == "x") == 3
     assert max(n for k, n in rows if k == "y") == 1
+
+
+def test_streaming_rolling_hll_to_kv_sink(spark, tmp_path):
+    """The reference's flagship streaming usage (HyperLogLogTest.java:
+    79-86): rollingAggregate(HLL) emitting a running distinct-user
+    estimate to a KV map sink. Update-mode streaming HLL over three
+    overlapping arrival waves: every per-batch emission is captured,
+    intermediates must be non-decreasing (HLL registers only grow) and
+    plausible for the data seen so far, and the final estimate must be
+    within ±5%% of the exact distinct count (the reference's own accuracy
+    gate, HyperLogLogTest.java:70-127)."""
+    from hazelcast_jet_contrib_spark.sinks.connectors import (
+        kv_hash_sink,
+        read_kv_hash,
+    )
+
+    root = str(tmp_path / "log")
+    kv = str(tmp_path / "kv")
+    emissions: list[int] = []
+
+    def to_kv(bdf, epoch_id):
+        rows = bdf.collect()
+        if not rows:
+            return
+        est = int(rows[0]["distinct_estimate"])
+        emissions.append(est)
+        kv_hash_sink(
+            bdf.select(F.lit("users").alias("k"), F.col("distinct_estimate").alias("v")),
+            kv,
+            key_col="k",
+            value_col="v",
+        )
+
+    waves = [range(0, 1000), range(500, 2000), range(1500, 3000)]
+    message_log.append_segment(
+        root, "s", [{"key": str(u), "value": str(u)} for u in waves[0]]
+    )
+    q = (
+        streaming_rolling_hll(_log_stream(spark, root), "value", precision=14)
+        .writeStream.foreachBatch(to_kv)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for wave in waves[1:]:
+            message_log.append_segment(
+                root, "s", [{"key": str(u), "value": str(u)} for u in wave]
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert len(emissions) >= 3, emissions
+    assert emissions == sorted(emissions), f"running HLL must not shrink: {emissions}"
+    # exact distincts after each wave: 1000, 2000, 3000
+    for est, exact in zip(emissions[:3], [1000, 2000, 3000]):
+        assert abs(est - exact) / exact <= 0.05, (est, exact)
+    final = int(read_kv_hash(kv)["users"])
+    assert abs(final - 3000) / 3000 <= 0.05, final
