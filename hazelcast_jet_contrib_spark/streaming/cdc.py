@@ -75,6 +75,102 @@ def _merge(prev: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
+def _versions_of(coll_dir: str) -> list[int]:
+    try:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(coll_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+    except FileNotFoundError:
+        return []
+
+
+def database_state(spark: SparkSession, root_dir: str, collection: str) -> DataFrame:
+    """Newest committed materialization of one collection in a
+    database-scoped CDC apply (empty frame before any). A collection
+    untouched since epoch K serves vK as long as the database marker has
+    advanced past K; version dirs beyond the marker (crash leftovers)
+    are never served."""
+    committed = _read_current_version(root_dir)
+    if committed is None:
+        return spark.createDataFrame([], STATE_SCHEMA)
+    vs = [v for v in _versions_of(os.path.join(root_dir, collection)) if v <= committed]
+    if not vs:
+        return spark.createDataFrame([], STATE_SCHEMA)
+    return spark.read.parquet(
+        os.path.join(root_dir, collection, f"v{vs[-1]}")
+    ).select("key", "value", "seq")
+
+
+def cdc_apply_database_foreach_batch(root_dir: str, keep_versions: int = 2):
+    """Database-scope CDC apply — the reference's ``streamDatabase`` /
+    ``streamAll`` (MongoDBSourceBuilder.java:162-270): ONE change stream
+    carries events for many collections and resumes from a SINGLE token.
+
+    Change records carry ``collection`` alongside (key, op, value, seq).
+    State materializes per collection under ``root_dir/<collection>/
+    v{epoch}`` but the commit marker is one file for the whole scope:
+    every collection touched by an epoch is rewritten first, then the
+    marker flips — all collections advance atomically, exactly the
+    one-resume-token semantics. A crash mid-epoch leaves some
+    collections with an uncommitted v{epoch} dir that readers ignore
+    (``database_state`` serves only versions <= marker) and the replay
+    rewrites deterministically.
+
+    The only driver-side step is the per-batch distinct collection list
+    (bounded by the number of collections in the database, not data
+    volume). Same epoch no-op / rewind guards as the single-table apply.
+    """
+    os.makedirs(root_dir, exist_ok=True)
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = _read_current_version(root_dir)
+        if committed is not None and committed == epoch_id:
+            return
+        if committed is not None and committed > epoch_id:
+            raise RuntimeError(
+                f"cdc_apply_database: epoch {epoch_id} rewinds behind committed "
+                f"version {committed} in {root_dir!r} — the streaming query "
+                "restarted with a fresh checkpoint against existing state. "
+                "Resume with the original checkpointLocation, or use a new "
+                "root_dir."
+            )
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select("collection", "key", "op", "value", "seq").persist()
+        try:
+            colls = [r["collection"] for r in batch_df.select("collection").distinct().collect()]
+            for coll in sorted(colls):
+                if not coll or any(c in coll for c in ("/", "\\", "..")):
+                    raise ValueError(f"unsafe collection name: {coll!r}")
+                prev = database_state(spark, root_dir, coll)
+                merged = _merge(
+                    prev,
+                    batch_df.filter(F.col("collection") == coll).select(
+                        "key", "op", "value", "seq"
+                    ),
+                )
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(root_dir, coll, f"v{epoch_id}")
+                )
+        finally:
+            batch_df.unpersist()
+        tmp = _marker(root_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, _marker(root_dir))
+        import shutil
+
+        for coll in os.listdir(root_dir):
+            cdir = os.path.join(root_dir, coll)
+            if not os.path.isdir(cdir):
+                continue
+            for v in _versions_of(cdir)[:-keep_versions]:
+                shutil.rmtree(os.path.join(cdir, f"v{v}"), ignore_errors=True)
+
+    return fn
+
+
 def cdc_apply_foreach_batch(state_dir: str, keep_versions: int = 2):
     """foreachBatch adapter: maintain the state table from a stream of
     change records (cols: key, op, value, seq). Idempotent per epoch:

@@ -97,3 +97,90 @@ def test_cdc_replay_of_committed_epoch_is_noop(spark, tmp_path):
     apply_fn(stale, 1)
     final = {r["key"]: r["value"] for r in current_state(spark, state).collect()}
     assert final["a"] == "a1"
+
+
+def test_cdc_database_scope_two_collections_across_restart(spark, tmp_path):
+    """streamDatabase parity (MongoDBSourceBuilder.java:162-270): one
+    change stream carries events for TWO collections with a single
+    resume marker. Restart from the same checkpoint applies new changes
+    to both collections with no loss and no duplicates; untouched
+    collections keep serving their last committed state."""
+    import json
+    import os
+
+    from hazelcast_jet_contrib_spark.streaming.cdc import (
+        cdc_apply_database_foreach_batch,
+        database_state,
+    )
+
+    root = str(tmp_path / "log")
+    state = str(tmp_path / "dbstate")
+    ckpt = str(tmp_path / "ckpt")
+    message_log.register(spark)
+
+    def append(changes):
+        message_log.append_segment(
+            root, "cdc", [{"key": None, "value": json.dumps(c)} for c in changes]
+        )
+
+    def stream():
+        raw = spark.readStream.format("message_log").option("path", root).load()
+        return raw.select(
+            F.get_json_object("value", "$.coll").alias("collection"),
+            F.get_json_object("value", "$.key").alias("key"),
+            F.get_json_object("value", "$.op").alias("op"),
+            F.get_json_object("value", "$.val").alias("value"),
+            F.get_json_object("value", "$.seq").cast("long").alias("seq"),
+        )
+
+    def run():
+        q = (
+            stream()
+            .writeStream.foreachBatch(cdc_apply_database_foreach_batch(state))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    append([
+        {"coll": "users", "key": "u1", "op": "I", "val": "alice", "seq": 1},
+        {"coll": "orders", "key": "o1", "op": "I", "val": "pending", "seq": 2},
+        {"coll": "users", "key": "u2", "op": "I", "val": "bob", "seq": 3},
+    ])
+    run()
+    users1 = {r["key"]: r["value"] for r in database_state(spark, state, "users").collect()}
+    orders1 = {r["key"]: r["value"] for r in database_state(spark, state, "orders").collect()}
+    assert users1 == {"u1": "alice", "u2": "bob"}
+    assert orders1 == {"o1": "pending"}
+
+    # restart: update in users, delete + insert in orders
+    append([
+        {"coll": "users", "key": "u1", "op": "U", "val": "alice2", "seq": 4},
+        {"coll": "orders", "key": "o1", "op": "D", "val": None, "seq": 5},
+        {"coll": "orders", "key": "o2", "op": "I", "val": "shipped", "seq": 6},
+    ])
+    run()
+    users2 = {r["key"]: r["value"] for r in database_state(spark, state, "users").collect()}
+    orders2 = {r["key"]: r["value"] for r in database_state(spark, state, "orders").collect()}
+    assert users2 == {"u1": "alice2", "u2": "bob"}
+    assert orders2 == {"o2": "shipped"}
+
+    # single resume marker for the whole scope
+    assert os.path.exists(os.path.join(state, "_CURRENT"))
+    markers = [f for f in os.listdir(state) if f.startswith("_CURRENT") and not f.endswith(".tmp")]
+    assert markers == ["_CURRENT"]
+
+    # a replayed committed epoch is a no-op in BOTH collections
+    apply_fn = cdc_apply_database_foreach_batch(state)
+    replay = spark.createDataFrame(
+        [("users", "u9", "I", "ghost", 99)],
+        "collection string, key string, op string, value string, seq long",
+    )
+    with open(os.path.join(state, "_CURRENT")) as f:
+        committed = int(f.read())
+    apply_fn(replay, committed)  # same epoch: must not apply
+    assert "u9" not in {
+        r["key"] for r in database_state(spark, state, "users").collect()
+    }
