@@ -96,42 +96,34 @@ from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 # permanently unchecked.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # no CORRECTNESS row in r01 (registry positions 50-59)
-    "simhash_near_dup",
-    "media_metadata_sniff",
+    # changed in round 3 (exact-integer stub decoders + new SQL oracles;
+    # IVF hash-ordered centroid sampling): re-prove first
     "media_image_features",
+    "media_audio_frames",
     "media_image_resize",
     "media_video_frame_sample",
-    "media_audio_frames",
+    "media_metadata_sniff",
     "ivf_cosine_topk",
-    # new this round: no CORRECTNESS row yet
     "ivf_recall_at_nprobe",
-    "stratified_sample_by_lang",
-    "pack_token_budget_shards",
-    "ngram_vocab_top100",
-    "pii_redaction_stats",
-    "curation_pipeline_end2end",
-    # new this round: clusters, contamination, repetition, service map
-    "neardup_clusters",
-    "contamination_ngram_overlap",
-    "repetition_dup_ngrams",
-    "service_token_stats",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "snapshot_diff_statuses",
-    # changed this round (64/32 banding): re-prove
-    "minhash_lsh_near_dup",
-    "json_props_extraction",
-    "asof_last_purchase_before_click",
-    "range_join_value_bands",
-    # changed this round (oracle type cast / scan pre-filter rewrite)
-    "q12_late_shipment_priority",
-    "q19_discounted_revenue",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r01, implementation and oracle untouched since
+    # r01-green only — their last driver row is two rounds old; the ones
+    # whose implementation files changed in round 2 (window_*, text_*)
+    # lead
+    "window_tumbling_daily",
+    "window_sliding_12h",
+    "window_session_30m",
+    "text_stats",
+    "text_quality_scores",
+    "lang_id_distribution",
+    "token_length_profile",
+    "fingerprint_dedup",
+    "rolling_running_total",
+    "measurement_timeseries_read",
+    "paged_rest_parts",
+    "dedup_exact_keepfirst",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "q2_min_cost_supplier",
     "q4_priority_with_returns",
     "q7_nation_pair_volume",
     "q8_market_share",
@@ -139,9 +131,36 @@ _DEMOTED = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q2_min_cost_supplier",
     "q20_concentrated_suppliers",
     "q21_waiting_suppliers",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r02, implementation and oracle untouched since
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q14_promo_effect",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "rollup_order_status",
+    "cube_status_priority",
+    "top10_parts_by_price",
+    "setop_building_urgent_customers",
+    "parts_never_bulk_ordered",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+    "hll_events_users_accuracy",
+    "kv_hash_snapshot",
+    "sorted_set_range",
+    "docstore_find_pushdown",
+    "json_props_extraction",
 ]
 
 

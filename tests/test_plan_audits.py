@@ -60,29 +60,34 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
     where the operator declares them (multimodal decode, LSH sketch)."""
     # vectorized Arrow boundaries that ARE the operator's declared
     # design: connector client reads (mapInPandas partition functions)
-    # and the two Python kernels (LSH hyperplane sketch, stub decode)
+    # and the Python kernels (LSH hyperplane sketch, stub decode, IVF
+    # cell assignment). Counts are PINNED, not just allowlisted: a
+    # regression adding an extra undeclared Arrow stage to an exempted
+    # query fails here too.
     allowed_arrow = {
-        "media_image_features",
-        "media_image_resize",
-        "media_video_frame_sample",
-        "media_audio_frames",
-        "embedding_near_dup",
-        "ivf_cosine_topk",  # numpy cell-assignment kernels
-        "ivf_recall_at_nprobe",  # same IVF kernels, recall-gated
-        "service_token_stats",  # mapUsingService is by definition an Arrow stage
-        "kv_hash_snapshot",
-        "sorted_set_range",
-        "docstore_find_pushdown",
-        "measurement_timeseries_read",
-        "paged_rest_parts",
+        "media_image_features": 2,
+        "media_image_resize": 2,
+        "media_video_frame_sample": 2,
+        "media_audio_frames": 2,
+        "embedding_near_dup": 3,  # shared persisted sketch + 2 vector join-backs
+        "ivf_cosine_topk": 6,  # cell_of + probe_cells kernels across both sides
+        "ivf_recall_at_nprobe": 6,
+        "service_token_stats": 2,  # mapUsingService is by definition an Arrow stage
+        "kv_hash_snapshot": 2,
+        "sorted_set_range": 2,
+        "docstore_find_pushdown": 2,
+        "measurement_timeseries_read": 2,
+        "paged_rest_parts": 2,
     }
     offenders = []
     for name, fn in QUERIES.items():
         a = audit(fn(spark, SF))
         if a.python_stages() > 0:
             offenders.append(name)
-        if a.arrow_python_stages() > 0 and name not in allowed_arrow:
-            offenders.append(f"{name} (arrow)")
+        arrow = a.arrow_python_stages()
+        expected = allowed_arrow.get(name, 0)
+        if arrow != expected:
+            offenders.append(f"{name} (arrow {arrow} != pinned {expected})")
     assert not offenders, f"row-at-a-time/undeclared Python stages in: {offenders}"
 
 
