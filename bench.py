@@ -77,7 +77,10 @@ def main() -> None:
         fn = QUERIES[name]
         if can_warm:
             try:
-                fn(spark, warm_dir).count()
+                # warm with .collect(), not .count(): count() plans a
+                # column-pruned aggregate whose generated classes can
+                # differ from the collect() the timed run executes
+                fn(spark, warm_dir).collect()
             except Exception:
                 pass
             spark.catalog.clearCache()
@@ -91,8 +94,14 @@ def main() -> None:
             print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
         # per-query isolation: the dedup/similarity queries persist
         # shared relations; letting them pile up makes later queries'
-        # timings depend on accumulated executor memory pressure
+        # timings depend on accumulated executor memory pressure. The
+        # explicit JVM GC drains the freed cache/shuffle buffers NOW so
+        # a later heavy query doesn't absorb a full-GC pause that is
+        # really the previous 70 queries' garbage (measured: the media
+        # trio and the curation pipeline run 2x slower late in a full
+        # sweep than in isolation without this).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
@@ -103,6 +112,14 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
+        # Measurement policy markers. "warmed" records whether each query
+        # got a just-in-time sf0.001 codegen warmup before its timed run
+        # (introduced round 2; round-1 numbers warmed only 4 queries, so
+        # totals are not directly comparable across that boundary).
+        # "cache_isolated" records the per-query clearCache() (also
+        # round 2+): persisted relations don't carry between queries.
+        "warmed": can_warm,
+        "cache_isolated": True,
     }
     print(json.dumps(out))
     spark.stop()

@@ -114,6 +114,35 @@ def test_minhash_shuffle_budget(spark):
     assert a.exchanges() <= 6, f"minhash shuffle count grew: {a.exchanges()}"
 
 
+def test_neardup_clusters_shuffle_budget(spark):
+    """Label propagation accumulates one join+agg round per iteration in
+    the final plan (per-round persist bounds recompute, not plan size).
+    At sf0.001 convergence takes a handful of rounds — a budget of 20
+    exchanges catches an edit that loses the per-round persist or adds a
+    corpus-wide shuffle per round (which would explode multiplicatively
+    with iteration count at scale)."""
+    a = audit(QUERIES["neardup_clusters"](spark, SF))
+    assert a.exchanges() <= 20, f"neardup_clusters shuffle count grew: {a.exchanges()}"
+
+
+def test_sketch_queries_shuffle_budget(spark):
+    """Mergeable-sketch queries must keep their exchange inventory flat:
+    partial sketches merge at the exchange, so each query's shuffle
+    count is a small constant regardless of data volume. Budgets pinned
+    at the PLANS.md-recorded counts (+0 slack — these plans are stable)."""
+    budgets = {
+        "sketch_hll_rollup_union": 4,
+        "sketch_theta_retention_overlap": 5,
+        "sketch_kll_price_quantiles": 3,
+        "sketch_topk_event_types": 1,
+    }
+    for name, budget in budgets.items():
+        a = audit(QUERIES[name](spark, SF))
+        assert a.exchanges() <= budget, (
+            f"{name} shuffle count grew: {a.exchanges()} > {budget}"
+        )
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     """Both sides bucketed by the join key -> the join plans with no
     Exchange at all: the shuffle was paid once at write time. This is
