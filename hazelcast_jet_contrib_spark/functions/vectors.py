@@ -61,3 +61,39 @@ def vec_dim(df, vec_col: str) -> int | None:
     frame is empty. Use to feed `dim=` for the unrolled fast path."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return None if row is None else row["d"]
+
+
+def quantize_symmetric(df, id_col: str, vec_col: str, levels: int = 127):
+    """Symmetric linear quantization of an embedding column to signed-int
+    levels (int8 range when levels=127): scale = max(|v|)/levels,
+    q_i = round(v_i / scale). The training-data staple for shrinking an
+    embedding corpus ~4-8x before ANN indexing; reconstruction is
+    q_i * scale.
+
+    Pure Catalyst, and reproducible by any SQL engine: one max, one
+    division per element, one HALF_UP round — no transcendentals, so an
+    external oracle pins the exact quantized values. The scale is
+    materialized as its own column BEFORE the per-element transform
+    (computing it inside the lambda would re-run the array_max per
+    element — the HOF re-evaluation pitfall). All-zero vectors quantize
+    to all-zero (scale clamps to a tiny epsilon rather than dividing by
+    zero).
+
+    Output: (id, scale double, q array<int>).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("__v__")
+    ).withColumn(
+        "__scale__",
+        F.greatest(
+            F.array_max(F.transform("__v__", F.abs)) / F.lit(float(levels)),
+            F.lit(1e-12),
+        ),
+    )
+    return base.select(
+        "id",
+        F.round("__scale__", 6).alias("scale"),
+        F.transform(
+            "__v__", lambda x: F.round(x / F.col("__scale__"), 0).cast("int")
+        ).alias("q"),
+    )

@@ -287,3 +287,93 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("key").alias(key_col), status.alias("status"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    context-window chunking every embedding/pretraining pipeline runs
+    before tokenizer-level packing. Chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens); the last chunk may be short; a
+    document shorter than one chunk yields exactly one chunk.
+
+    Scale shape: pure Catalyst — split once, posexplode a bounded
+    sequence (ceil((n - chunk)/stride) + 1 entries), slice the token
+    array per chunk. Linear in corpus size, no shuffle at all; output
+    row count is input tokens x (chunk/stride) overlap factor, known in
+    advance. ``stride < chunk_tokens`` gives overlapping windows;
+    ``stride == chunk_tokens`` gives disjoint blocks.
+
+    Output: (id, chunk_idx int, chunk_text string, n_tokens int).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks__")).withColumn(
+        "__n__", F.size("__toks__")
+    )
+    n_chunks = F.when(
+        F.col("__n__") <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((F.col("__n__") - chunk_tokens) / F.lit(stride)).cast("int") + 1
+    )
+    exploded = base.select(
+        "id",
+        "__toks__",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__s__"),
+    )
+    piece = F.slice(
+        F.col("__toks__"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )
+
+
+def rarity_weighted_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k salient terms by tf x corpus-rarity — the
+    tf-idf-style keyword extraction used for corpus exploration and
+    topic balancing. The rarity weight is the BM25-style rational
+    (N - df + 0.5) / (df + 0.5) instead of an ln()-based idf:
+    transcendental functions are not bit-reproducible across engines'
+    libm implementations, while one rational division is — so an
+    external SQL oracle can pin every score exactly.
+
+    Scale shape: tokenize once (linear), aggregate (doc, term) counts
+    (one shuffle), aggregate term document-frequencies from that (one
+    more shuffle over distinct terms — already reduced, tiny next to
+    the corpus), broadcast-join the term weights back, per-doc top-k via
+    window. Ties break by term for determinism.
+
+    Output: (id, term, tf bigint, score double, rank int).
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    weight = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "id", "term", "tf", F.round(F.col("tf") * weight, 6).alias("score")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "term", "tf", "score", "rank")
+    )

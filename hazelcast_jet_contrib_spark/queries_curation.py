@@ -436,3 +436,115 @@ def snapshot_diff_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return snapshot_diff(v1, v2, "doc_id", ["text"])
+
+
+# --- round 3 additions: chunking, quantization, salient terms ------------
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 64 THEN 1
+                    ELSE CAST(CEIL((len(toks) - 64) / 48.0) AS INT) + 1 END
+                   AS n_chunks
+        FROM t
+    ),
+    e AS (
+        SELECT id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM c
+    )
+    SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+               AS chunk_text,
+           CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT)
+               AS n_tokens
+    FROM e
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks, stride 48 (16-token
+    overlap). The oracle reproduces the stride/cap arithmetic and the
+    exact chunk text from the same whitespace tokenization — pure
+    Catalyst on the Spark side, no shuffle (operators/curation.py
+    chunk_documents)."""
+    from hazelcast_jet_contrib_spark.operators.curation import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT id, v,
+               GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                        1e-12) AS sc
+        FROM v
+    )
+    SELECT id, ROUND(sc, 6) AS scale,
+           list_transform(v, x -> CAST(ROUND(x / sc, 0) AS INT)) AS q
+    FROM s
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus: scale =
+    max(|v|)/127, q = round(v/scale). No transcendentals anywhere, so
+    the oracle pins every quantized element exactly (the division uses
+    identical operands on both engines; HALF_UP rounding matches
+    DuckDB's half-away-from-zero on these values)."""
+    from hazelcast_jet_contrib_spark.functions.vectors import quantize_symmetric
+
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize_symmetric(emb, "vec_id", "embedding", levels=127)
+
+
+@query(
+    "tfidf_salient_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM terms
+        WHERE term <> '' GROUP BY id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.id, tf.term, tf.tf,
+               ROUND(tf.tf * ((CAST(n.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6) AS score
+        FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    )
+    SELECT id, term, tf, score, CAST(rank AS INT) AS rank FROM (
+        SELECT id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 salient terms by tf x BM25-style corpus rarity
+    — rational arithmetic instead of ln-based idf so the score is
+    bit-reproducible cross-engine (libm transcendentals are not). The
+    term-weight side is reduced (distinct terms) and broadcast back
+    (operators/curation.py rarity_weighted_terms)."""
+    from hazelcast_jet_contrib_spark.operators.curation import rarity_weighted_terms
+
+    docs = table(spark, sf_dir, "documents")
+    return rarity_weighted_terms(docs, "doc_id", "text", top_k=5)

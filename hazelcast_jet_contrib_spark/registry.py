@@ -96,6 +96,10 @@ from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 # permanently unchecked.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # new in round 3: no CORRECTNESS row yet
+    "doc_chunking_overlap",
+    "embedding_quantization",
+    "tfidf_salient_terms",
     # changed in round 3 (exact-integer stub decoders + new SQL oracles;
     # IVF hash-ordered centroid sampling): re-prove first
     "media_image_features",

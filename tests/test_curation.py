@@ -217,3 +217,71 @@ def test_snapshot_diff_joins_fingerprints_not_payloads(spark):
     joins = plan.split("Join")[1:]
     assert joins, plan
     assert "md5" in plan
+
+
+def test_chunk_documents_stride_overlap_and_short_docs(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=10, stride=5)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: ceil((100-10)/5)+1 = 19 chunks; doc 2 and 3: one each
+    assert len([k for k in rows if k[0] == 1]) == 19
+    assert rows[(2, 0)]["chunk_text"] == "only three tokens"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert rows[(3, 0)]["n_tokens"] == 1
+    # overlap: chunk k starts at token 5k
+    assert rows[(1, 0)]["chunk_text"].split()[:5] == ["w0", "w1", "w2", "w3", "w4"]
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "w5"
+    # every full chunk has exactly chunk_tokens tokens; the tail may be short
+    sizes = [rows[(1, i)]["n_tokens"] for i in range(19)]
+    assert all(s == 10 for s in sizes[:-1]) and 0 < sizes[-1] <= 10
+    # no shuffle: chunking is a pure linear transform
+    a = audit(out)
+    assert a.exchanges() == 0, a.plan
+
+
+def test_quantize_symmetric_roundtrip_and_zero_vector(spark):
+    from hazelcast_jet_contrib_spark.functions.vectors import quantize_symmetric
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r for r in quantize_symmetric(df, "vec_id", "embedding").collect()}
+    # max|v|=1.0 -> scale ~ 1/127; q = round(v*127)
+    assert out[1]["q"] == [64, -127, 32, 0]
+    assert abs(out[1]["scale"] - 1.0 / 127) < 1e-6
+    # reconstruction error bounded by scale/2 per element
+    s = out[1]["scale"]
+    for orig, q in zip([0.5, -1.0, 0.25, 0.0], out[1]["q"]):
+        assert abs(orig - q * s) <= s / 2 + 1e-9
+    # all-zero vector: no division blowup, quantizes to zeros
+    assert out[2]["q"] == [0, 0, 0, 0]
+
+
+def test_rarity_weighted_terms_ranks_rare_terms_first(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import rarity_weighted_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words here"),
+            (3, "common words again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rarity_weighted_terms(df, "doc_id", "text", top_k=2)
+    top1 = {
+        r["id"]: r["term"] for r in out.collect() if r["rank"] == 1
+    }
+    # 'zebra' (df=1) outranks 'common' (df=3) in doc 1 despite tf 1 vs 3:
+    # rarity (3-1+0.5)/(1+0.5)=1.667 vs (3-3+0.5)/(3+0.5)=0.143
+    assert top1[1] == "zebra"
+    # deterministic tie-break: same score -> lexicographic term order
+    again = rarity_weighted_terms(df, "doc_id", "text", top_k=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
