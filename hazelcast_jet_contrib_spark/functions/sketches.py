@@ -96,8 +96,15 @@ def kll_sketch_double(col: Column | str, k: int = 200) -> Column:
 def kll_merge_double(sketch_col: Column | str) -> Column:
     """Aggregate-merge of KLL sketches. Spark ships only the two-sketch
     scalar ``kll_sketch_merge_double``, so the aggregate form collects
-    the group's sketches (one fixed-size binary per input group — small
-    by construction) and left-folds the pairwise merge over them."""
+    the group's sketches and left-folds the pairwise merge over them.
+
+    BOUND: the collected array materializes one row holding ALL of the
+    group's sketches (~1 KB each at k=200), so this form is for groups
+    of up to ~thousands of sketches — rollup rows merging per-partition
+    or per-day partials, the intended shape. A group with millions of
+    sketches must go through ``kll_merge_grouped`` (two-level tree
+    merge) instead, which caps every collected array at ~group/fanout
+    and fanout elements respectively."""
     arr = F.collect_list(_c(sketch_col))
     rest = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
     return F.reduce(
@@ -105,6 +112,34 @@ def kll_merge_double(sketch_col: Column | str) -> Column:
         F.element_at(arr, 1),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
+
+
+def kll_merge_grouped(
+    df,
+    group_cols: list[str],
+    sketch_col: str,
+    out_col: str = "kll",
+    fanout: int = 64,
+):
+    """Two-level tree merge of KLL sketches per group — the scale path
+    for groups holding unbounded sketch counts. Level 1 salts each
+    group into ``fanout`` sub-groups (deterministic hash of the sketch
+    bytes) and folds each sub-group; level 2 folds the ≤ fanout
+    partials. No collected array ever exceeds max(group_size/fanout,
+    fanout) elements, vs. group_size for the single-level fold. KLL
+    merge is associative-and-commutative in distribution (rank-error
+    guarantees hold for any merge tree), so the estimate contract is
+    unchanged. Pick fanout ≈ sqrt(expected sketches per group).
+
+    Output: one row per group with ``out_col`` = merged sketch.
+    """
+    partial = (
+        df.select(*group_cols, _c(sketch_col).alias("__sk__"))
+        .withColumn("__salt__", F.pmod(F.xxhash64(F.col("__sk__")), F.lit(fanout)))
+        .groupBy(*group_cols, "__salt__")
+        .agg(kll_merge_double("__sk__").alias("__sk__"))
+    )
+    return partial.groupBy(*group_cols).agg(kll_merge_double("__sk__").alias(out_col))
 
 
 def kll_quantile(sketch_col: Column | str, rank: float) -> Column:

@@ -74,6 +74,33 @@ def test_kll_merged_quantiles_rank_accuracy(spark):
     assert abs(q["q99"] - 99_000) / 100_000 <= 0.02
 
 
+def test_kll_two_level_tree_merge_matches_flat_merge(spark):
+    """kll_merge_grouped (the unbounded-group scale path: salt -> fold
+    -> fold) must keep the same rank-accuracy contract as the flat
+    fold; no collected array exceeds max(group/fanout, fanout)."""
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 500).alias("part"),
+        F.col("id").cast("double").alias("v"),
+    )
+    # 500 partial sketches per grp — the shape where a flat collect_list
+    # would hold all 500 in one row; the tree caps arrays at ~500/16, 16
+    partials = df.groupBy("grp", "part").agg(
+        SK.kll_sketch_double("v", k=200).alias("sk")
+    )
+    merged = SK.kll_merge_grouped(partials, ["grp"], "sk", out_col="m", fanout=16)
+    rows = {
+        r["grp"]: r["q50"]
+        for r in merged.select(
+            "grp", SK.kll_quantile("m", 0.5).alias("q50")
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    for grp, q50 in rows.items():
+        # each grp holds ~50k values spread uniformly over 0..99999
+        assert abs(q50 - 50_000) / 100_000 <= 0.03, (grp, q50)
+
+
 def test_sketch_aggs_stay_jvm_side(spark):
     """The whole sketch pipeline is JVM aggregation — no Python stage."""
     df = spark.range(0, 100).withColumn("g", (F.col("id") % 3).cast("int"))
