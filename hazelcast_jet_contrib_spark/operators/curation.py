@@ -366,7 +366,9 @@ def rarity_weighted_terms(
     ).filter(F.col("term") != "")
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.col(id_col)).distinct().count()
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # tf rows are unique per (id, term) by construction, so document
+    # frequency is a plain count — no distinct-aggregate expansion
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     weight = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "id", "term", "tf", F.round(F.col("tf") * weight, 6).alias("score")

@@ -521,7 +521,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE term <> '' GROUP BY id, term
     ),
     dfreq AS (
-        SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY term
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
     ),
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
