@@ -97,3 +97,37 @@ def test_word_shingles_match_python_reference(spark, docs):
             {" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)}
         ) if len(toks) >= 2 else []
         assert got[i] == expect, (t, got[i], expect)
+
+
+@given(
+    st.lists(st.integers(1, 200), min_size=1, max_size=6),
+    st.integers(2, 12),
+    st.integers(1, 12),
+)
+@_settings
+def test_chunking_covers_every_token_exactly(spark, doc_lens, chunk, stride):
+    """For ANY document lengths and any (chunk_tokens, stride <=
+    chunk_tokens): chunk 0 starts at token 0; consecutive chunks start
+    exactly stride apart; every token of every document appears in at
+    least one chunk; full chunks are exactly chunk_tokens long; and
+    reassembling stride-aligned prefixes reproduces the document."""
+    from hazelcast_jet_contrib_spark.operators.curation import chunk_documents
+
+    stride = min(stride, chunk)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, stride=stride)
+    got: dict[int, dict[int, list[str]]] = {}
+    for r in out.collect():
+        got.setdefault(r["id"], {})[r["chunk_idx"]] = r["chunk_text"].split()
+    for i, n in enumerate(doc_lens):
+        chunks = got[i]
+        assert set(chunks) == set(range(len(chunks)))  # contiguous idx
+        covered = set()
+        for idx, toks in chunks.items():
+            assert toks == [f"t{i}_{j}" for j in range(idx * stride,
+                                                       min(idx * stride + chunk, n))]
+            covered.update(range(idx * stride, idx * stride + len(toks)))
+        assert covered == set(range(n)), f"doc {i}: token gap"
