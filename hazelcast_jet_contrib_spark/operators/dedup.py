@@ -144,6 +144,42 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def minhash_signatures(shingle_sets: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature + verification set per id from a
+    ``_shingle_sets``-shaped frame (id, sh): hash each shingle string
+    ONCE to 64 bits, derive the ``num_hashes`` family members by
+    re-hashing the 8-byte value (seeded xxhash64 of a long is ~4x
+    cheaper than of a ~30-char string), min-aggregate per id (map-side
+    partial min → one shuffle on id). Output: (id, h0..h{n-1}, hs) —
+    the shared relation both batch LSH and the streaming near-dup index
+    build on."""
+    exploded = shingle_sets.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h0")
+    )
+    return exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("h0").alias("hs"),
+    )
+
+
+def band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Unpivot a signature frame to (id, band, bh): hash each
+    ``num_hashes/bands``-wide signature slice into one 64-bit band key —
+    one row per band per id, the only relation the LSH candidate join
+    ever shuffles."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -183,7 +219,6 @@ def minhash_lsh_pairs(
     dropping is the sane behavior; dedup the exact-duplicate cluster
     with dedup_exact first).
     """
-    rows = num_hashes // bands
     base = _shingle_sets(df, id_col, text_col, shingle_words)
 
     # 1. hash once per shingle string, then num_hashes long re-hashes.
@@ -196,26 +231,11 @@ def minhash_lsh_pairs(
     # disk rather than OOMing on wide documents.
     from pyspark import StorageLevel
 
-    exploded = base.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h0")
-    )
-    agg = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("h0").alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    agg = minhash_signatures(base, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     sig = agg
 
     # 2. band keys from signature slices (multi-column xxhash64)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    banded = band_keys(sig, num_hashes, bands)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
     # 3. candidates: ids only through the join

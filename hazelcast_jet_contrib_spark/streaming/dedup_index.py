@@ -1,0 +1,215 @@
+"""Streaming near-dup rejection against a persistent MinHash index —
+the production ingestion shape: documents arrive in micro-batches and
+are admitted only if they are not near-duplicates of anything already
+indexed (or of an earlier document in the same batch).
+
+The batch operators (operators/dedup.py) answer "which pairs in this
+corpus are near-dups"; this module answers the incremental question a
+streaming corpus build needs, with the index surviving restarts.
+
+Design (same idempotence discipline as streaming/cdc.py):
+- the index is an append-only store under ``state_dir``:
+  ``bands/e{N}/`` (id, band, bh) and ``sets/e{N}/`` (id, hs) parquet
+  per epoch, plus ``accepted/e{N}/`` holding the admitted rows; a
+  ``_CURRENT`` marker commits an epoch atomically AFTER its three
+  directories are written. Crash leftovers above the marker are
+  invisible and a replay rewrites them deterministically.
+- admission = two LSH probes, both candidate-bounded: the batch's band
+  keys self-join (within-batch dedup, min-id wins) and join the
+  committed band index (history dedup); only candidate pairs are
+  verified with exact Jaccard over hashed shingle sets. The index side
+  the join touches is (band, bh, id) — ~24-byte rows, never documents.
+- at scale the per-epoch directory count grows with trigger count;
+  compact by unioning ``bands/e*`` into one bucketed table during a
+  maintenance window (the marker protocol is unaffected — compaction
+  rewrites committed epochs only).
+
+Reference lineage: composes S8-style replayable sources with the
+near-dup operators; the reference has no streaming dedup (its dedup
+story is batch), so this is an extension, not a port.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import (
+    _shingle_sets,
+    band_keys,
+    minhash_signatures,
+)
+
+
+class StreamingNearDupIndex:
+    """Persistent MinHash index with exactly-once micro-batch admission.
+
+    Use inside ``foreachBatch``::
+
+        index = StreamingNearDupIndex(state_dir, "doc_id", "text")
+        q = stream.writeStream.foreachBatch(index.foreach_batch()).start()
+
+    Admitted rows accumulate under ``accepted/``; read them back with
+    :meth:`accepted`.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.6,
+        num_hashes: int = 64,
+        bands: int = 32,
+        shingle_words: int = 3,
+    ):
+        self.state_dir = state_dir
+        self._id_col = id_col
+        self._text_col = text_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_words = shingle_words
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- marker -------------------------------------------------------------
+    def _marker_path(self) -> str:
+        return os.path.join(self.state_dir, "_CURRENT")
+
+    def _committed(self) -> int | None:
+        try:
+            with open(self._marker_path()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _epoch_dirs(self, kind: str) -> list[str]:
+        committed = self._committed()
+        if committed is None:
+            return []
+        root = os.path.join(self.state_dir, kind)
+        try:
+            listing = os.listdir(root)
+        except FileNotFoundError:
+            return []
+        return [
+            os.path.join(root, d)
+            for d in sorted(listing)
+            if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= committed
+        ]
+
+    def _read(self, spark: SparkSession, kind: str, schema: str) -> DataFrame:
+        dirs = self._epoch_dirs(kind)
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    # -- admission ----------------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Admit the batch's non-near-dup rows and extend the index.
+        Replay of a committed epoch is a no-op; an epoch below the
+        marker with a FRESH checkpoint raises (silent loss guard, same
+        contract as cdc.py)."""
+        committed = self._committed()
+        if committed is not None and committed == epoch_id:
+            return
+        if committed is not None and committed > epoch_id:
+            raise RuntimeError(
+                f"neardup index: epoch {epoch_id} rewinds behind committed "
+                f"{committed} in {self.state_dir!r} — restart with the original "
+                "checkpointLocation or use a fresh state_dir."
+            )
+        spark = batch_df.sparkSession
+        from pyspark import StorageLevel
+
+        id_col, text_col = self._id_col, self._text_col
+        base = _shingle_sets(batch_df, id_col, text_col, self.shingle_words)
+        sig = minhash_signatures(base, self.num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            banded = band_keys(sig, self.num_hashes, self.bands)
+
+            sets_b = sig.select("id", "hs")
+            inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+            union = (
+                F.size("hs_a") + F.size("hs_b")
+                - F.size(F.array_intersect("hs_a", "hs_b"))
+            )
+
+            # (a) within-batch: banding self-join, min id survives
+            a, b = banded.alias("a"), banded.alias("b")
+            intra = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") < F.col("b.id")),
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"])
+                .join(sets_b.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+                .join(sets_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+                .filter(inter / union >= self.threshold)
+                .select(F.col("id_b").alias("id"))
+            )
+
+            # (b) vs history: batch bands join the committed band index
+            hist_bands = self._read(spark, "bands", "id long, band int, bh long")
+            hist_sets = self._read(spark, "sets", "id long, hs array<bigint>")
+            vs_hist = (
+                banded.alias("n")
+                .join(
+                    hist_bands.alias("h"),
+                    (F.col("n.band") == F.col("h.band"))
+                    & (F.col("n.bh") == F.col("h.bh")),
+                )
+                .select(F.col("n.id").alias("id_n"), F.col("h.id").alias("id_h"))
+                .dropDuplicates(["id_n", "id_h"])
+                .join(sets_b.select(F.col("id").alias("id_n"), F.col("hs").alias("hs_a")), "id_n")
+                .join(hist_sets.select(F.col("id").alias("id_h"), F.col("hs").alias("hs_b")), "id_h")
+                .filter(inter / union >= self.threshold)
+                .select(F.col("id_n").alias("id"))
+            )
+
+            dropped = intra.unionByName(vs_hist).distinct()
+            survivor_ids = sig.select("id").join(dropped, "id", "left_anti")
+            survivors = batch_df.join(
+                survivor_ids.withColumnRenamed("id", id_col), id_col
+            )
+
+            e = f"e{epoch_id:09d}"
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "accepted", e)
+            )
+            surv_sig = sig.join(survivor_ids, "id")
+            band_keys(surv_sig, self.num_hashes, self.bands).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.state_dir, "bands", e))
+            surv_sig.select("id", "hs").write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "sets", e)
+            )
+        finally:
+            sig.unpersist()
+
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, self._marker_path())
+
+    def foreach_batch(self):
+        """The ``foreachBatch`` callable."""
+        return self.apply_batch
+
+    # -- readers ------------------------------------------------------------
+    def accepted(self, spark: SparkSession, schema: str | None = None) -> DataFrame:
+        """All rows admitted by committed epochs (empty frame before
+        any). ``schema`` is required only for the empty case."""
+        dirs = self._epoch_dirs("accepted")
+        if not dirs:
+            if schema is None:
+                raise ValueError("no committed epochs yet; pass schema")
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)

@@ -1,0 +1,105 @@
+"""Streaming near-dup rejection against a persistent MinHash index:
+documents arriving across micro-batches (and across a query RESTART)
+are admitted only if nothing near-identical was admitted before —
+within the batch or in any earlier epoch. Exactly-once: committed-epoch
+replay is a no-op; the marker protocol hides crash leftovers."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.streaming import message_log
+from hazelcast_jet_contrib_spark.streaming.dedup_index import StreamingNearDupIndex
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the afternoon sun slowly fades away"
+)
+OTHER = (
+    "completely different content about distributed query engines and "
+    "shuffle partitioning strategies for very large analytical workloads"
+)
+THIRD = (
+    "a third unrelated document discussing tokenizer vocabularies and "
+    "byte pair encoding merge tables for language model pretraining runs"
+)
+
+
+def _doc_stream(spark, root):
+    message_log.register(spark)
+    raw = spark.readStream.format("message_log").option("path", root).load()
+    return raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+
+
+def _append_docs(root, docs):
+    message_log.append_segment(
+        root,
+        "docs",
+        [{"key": None, "value": json.dumps({"doc_id": i, "text": t})} for i, t in docs],
+    )
+
+
+def test_streaming_neardup_index_across_batches_and_restart(spark, tmp_path):
+    root = str(tmp_path / "log")
+    state = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    index = StreamingNearDupIndex(state, "doc_id", "text", threshold=0.6)
+
+    def run():
+        q = (
+            _doc_stream(spark, root)
+            .writeStream.foreachBatch(index.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # batch 1: original + exact copy (within-batch dup) + unrelated doc
+    _append_docs(root, [(1, BASE), (2, BASE), (3, OTHER)])
+    run()
+    got1 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got1 == {1, 3}, f"min-id survives within batch: {got1}"
+
+    # batch 2 (after restart): near-copy of doc 1 (one word changed),
+    # exact copy of doc 3, and a genuinely new doc
+    near = BASE.replace("lazy", "sleepy")
+    _append_docs(root, [(10, near), (11, OTHER), (12, THIRD)])
+    run()
+    got2 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got2 == {1, 3, 12}, f"history dedup must reject 10 and 11: {got2}"
+
+    # committed-epoch replay is a no-op (idempotence half)
+    committed = index._committed()
+    replay = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    index.apply_batch(replay, committed)
+    got3 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got3 == got2
+
+    # rewind guard: a fresh-checkpoint epoch id below the marker raises
+    import pytest
+
+    with pytest.raises(RuntimeError, match="rewinds behind"):
+        index.apply_batch(replay, committed - 1)
+
+
+def test_streaming_neardup_index_distinct_docs_all_admitted(spark, tmp_path):
+    """No false drops on a corpus of distinct documents — the admission
+    path must not reject unrelated content (candidate pairs that fail
+    exact-Jaccard verification are kept)."""
+    state = str(tmp_path / "index")
+    index = StreamingNearDupIndex(state, "doc_id", "text", threshold=0.6)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame([(3, THIRD)], "doc_id long, text string")
+    index.apply_batch(b1, 0)
+    index.apply_batch(b2, 1)
+    got = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got == {1, 2, 3}
