@@ -299,11 +299,41 @@ class ConnectTaskStreamReader(SimpleDataSourceStreamReader):
             cb()
 
 
+def resolve_connector(
+    connector_class: str, connector_config: dict[str, Any], max_tasks: int = 1
+) -> tuple[str, dict[str, Any]]:
+    """Connector-level resolution, the reference's entry contract
+    (KafkaConnectSources.java:59-83: instantiate the SourceConnector
+    from a properties map, ``start(props)``, then derive the task from
+    ``taskClass()`` + ``taskConfigs(maxTasks)``). One task instance per
+    connector, same as the reference (it pins tasks.max=1)."""
+    mod_name, _, cls_name = connector_class.partition(":")
+    if not cls_name:
+        raise ValueError(
+            f"connector_class must be 'pkg.module:ClassName', got {connector_class!r}"
+        )
+    conn = getattr(importlib.import_module(mod_name), cls_name)()
+    conn.start(connector_config)
+    configs = conn.task_configs(max_tasks)
+    if not configs:
+        raise ValueError(f"{connector_class} produced no task configs")
+    return conn.task_class(), dict(configs[0])
+
+
 class ConnectTaskDataSource(DataSource):
-    """``spark.readStream.format("kafka_connect_host")
-    .option("task_class", "pkg.module:Cls")
-    .option("task_config", json.dumps({...}))
-    .option("spool_dir", "/path/for/replay/spool")``.
+    """``spark.readStream.format("kafka_connect_host")`` with EITHER a
+    task directly::
+
+        .option("task_class", "pkg.module:Cls")
+        .option("task_config", json.dumps({...}))
+
+    or a Connect-shaped connector, resolved via start/taskConfigs/
+    taskClass exactly as the reference hosts one::
+
+        .option("connector_class", "pkg.module:ConnectorCls")
+        .option("connector_config", json.dumps({...}))
+
+    plus ``.option("spool_dir", "/path/for/replay/spool")`` either way.
 
     Register once per session:
         spark.dataSource.register(ConnectTaskDataSource)
@@ -317,15 +347,24 @@ class ConnectTaskDataSource(DataSource):
         return CONNECT_SCHEMA
 
     def simpleStreamReader(self, schema) -> ConnectTaskStreamReader:
-        task_class = self.options.get("task_class")
         spool = self.options.get("spool_dir")
-        if not task_class or not spool:
-            raise ValueError(
-                "kafka_connect_host requires options 'task_class' and 'spool_dir'"
+        if not spool:
+            raise ValueError("kafka_connect_host requires option 'spool_dir'")
+        task_class = self.options.get("task_class")
+        connector_class = self.options.get("connector_class")
+        if task_class:
+            task_config = json.loads(self.options.get("task_config", "{}"))
+        elif connector_class:
+            task_class, task_config = resolve_connector(
+                connector_class,
+                json.loads(self.options.get("connector_config", "{}")),
             )
-        return ConnectTaskStreamReader(
-            task_class, json.loads(self.options.get("task_config", "{}")), spool
-        )
+        else:
+            raise ValueError(
+                "kafka_connect_host requires option 'task_class' or "
+                "'connector_class'"
+            )
+        return ConnectTaskStreamReader(task_class, task_config, spool)
 
 
 def register_connect(spark) -> None:
@@ -380,6 +419,32 @@ class FileTailSourceTask:
             if lines:
                 self._positions[name] = len(lines)
         return out
+
+
+class FileTailSourceConnector:
+    """Connect-shaped demo connector wrapping :class:`FileTailSourceTask`
+    — the FileStreamSource connector surface: ``start(props)`` validates
+    and keeps the properties, ``task_configs(max_tasks)`` derives the
+    (single) task's property map, ``task_class()`` names the task."""
+
+    def start(self, props: dict[str, Any]) -> None:
+        if "dir" not in props:
+            raise ValueError("FileTailSourceConnector requires 'dir'")
+        self._props = dict(props)
+
+    def task_class(self) -> str:
+        return (
+            "hazelcast_jet_contrib_spark.sources.connector_host:FileTailSourceTask"
+        )
+
+    def task_configs(self, max_tasks: int) -> list[dict[str, Any]]:
+        # file tailing is inherently single-task (one directory scan
+        # order); max_tasks is capped at 1, as the reference caps
+        # tasks.max for its hosted connectors
+        return [dict(self._props)]
+
+    def stop(self) -> None:
+        pass
 
 
 class SeededCounterTask:

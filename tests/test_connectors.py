@@ -189,6 +189,45 @@ def test_kafka_connect_host_map_offsets_across_restart(spark, tmp_path):
     }, served
 
 
+def test_kafka_connect_host_resolves_connector_class(spark, tmp_path):
+    """Connector-level hosting (KafkaConnectSources.java:59-83 parity):
+    the host instantiates the CONNECTOR from a properties map, calls
+    start/taskConfigs/taskClass, and runs the derived task — the caller
+    never names the task class."""
+    from hazelcast_jet_contrib_spark.sources import connector_host
+
+    src = tmp_path / "files"
+    src.mkdir()
+    (src / "a.txt").write_text("x1\nx2\n")
+
+    connector_host.register_connect(spark)
+    stream = (
+        spark.readStream.format("kafka_connect_host")
+        .option(
+            "connector_class",
+            "hazelcast_jet_contrib_spark.sources.connector_host:FileTailSourceConnector",
+        )
+        .option(
+            "connector_config", json.dumps({"dir": str(src), "topic": "lines"})
+        )
+        .option("spool_dir", str(tmp_path / "spool"))
+        .load()
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted(r["value"] for r in got.collect()) == ["x1", "x2"]
+    assert {r["topic"] for r in got.collect()} == {"lines"}
+
+
 # ---------------------------------------------------------------------------
 # S12/S14 — ack-based at-least-once subscription
 # ---------------------------------------------------------------------------
