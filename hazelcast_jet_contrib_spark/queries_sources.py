@@ -95,3 +95,33 @@ def measurement_timeseries_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_from="2024-01-10 00:00:00",
         time_to="2024-01-12 00:00:00",
     )
+
+
+# DSv2 optimizer-driven pushdown: same store and range as
+# sorted_set_range, but the range arrives as a plain .filter() and
+# Catalyst hands it to the source via pushFilters — proving the
+# composable pushdown path (SURVEY.md §7 "Custom Catalyst/DSv2").
+@query(
+    "zset_range_catalyst_pushdown",
+    oracle="""
+    SELECT value AS score, CAST(event_id AS VARCHAR) AS member
+    FROM events
+    WHERE value BETWEEN 10.0 AND 50.0
+    """,
+)
+def zset_range_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    # runtime-settable, so this works under the driver's bare session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    df = (
+        spark.read.format("zset_store")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("score_col", "value")
+        .option("member_col", "event_id")
+        .load()
+    )
+    return df.filter((F.col("score") >= 10.0) & (F.col("score") <= 50.0))

@@ -100,6 +100,7 @@ _PRIORITY = [
     "doc_chunking_overlap",
     "embedding_quantization",
     "tfidf_salient_terms",
+    "zset_range_catalyst_pushdown",
     # changed in round 3 (exact-integer stub decoders + new SQL oracles;
     # IVF hash-ordered centroid sampling): re-prove first
     "media_image_features",

@@ -1,0 +1,157 @@
+"""Catalyst-driven pushdown for external-store reads — the Python
+DataSource V2 path (SURVEY.md §7 "Custom Catalyst/DSv2, optional"):
+where `sources/kv.py` does MANUAL pushdown (the caller passes the range
+to the source builder, the reference's own mechanism), this source lets
+the OPTIMIZER do it. The user writes a plain ``.filter(col("score")
+>= x)``; Spark hands the predicates to ``pushFilters()`` during
+planning; the source absorbs the score-range comparisons into the
+client read (parquet row-group statistics pruning + arrow filter — the
+ZRANGEBYSCORE analog, RedisSources.java:200-256,479) and returns only
+the predicates it cannot execute for Spark to re-check.
+
+At 100 TB the difference matters: manual pushdown couples query shape
+to call sites; optimizer pushdown composes — any view/join/subquery
+that narrows the score range narrows the store read, with zero changes
+to reading code.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+@dataclass
+class _RowGroup(InputPartition):
+    index: int
+
+
+def _attr_name(f: Filter) -> str:
+    a = f.attribute
+    return a[-1] if isinstance(a, (tuple, list)) else str(a)
+
+
+class ZSetStoreReader(DataSourceReader):
+    """Sorted-set store reader with optimizer-driven range pushdown.
+
+    Bounds state: [lo, hi] with per-end strictness; pushFilters absorbs
+    >, >=, <, <=, = comparisons on the score column and KEEPS everything
+    else (returned filters are re-evaluated by Spark — correctness never
+    depends on what the store can do)."""
+
+    def __init__(self, path: str, score_col: str, member_col: str):
+        self.path = path
+        self.score_col = score_col
+        self.member_col = member_col
+        self.lo = -math.inf
+        self.hi = math.inf
+        self.lo_strict = False
+        self.hi_strict = False
+
+    # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            if _attr_name(f) == "score" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo)
+            ) and isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
+                v = float(f.value)
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    strict = isinstance(f, GreaterThan)
+                    if v > self.lo or (v == self.lo and strict):
+                        self.lo, self.lo_strict = v, strict
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    strict = isinstance(f, LessThan)
+                    if v < self.hi or (v == self.hi and strict):
+                        self.hi, self.hi_strict = v, strict
+                else:  # EqualTo
+                    if v > self.lo or (v == self.lo and self.lo_strict):
+                        self.lo, self.lo_strict = v, False
+                    if v < self.hi or (v == self.hi and self.hi_strict):
+                        self.hi, self.hi_strict = v, False
+            else:
+                yield f  # not pushable: Spark evaluates it post-scan
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = max(1, pq.ParquetFile(self.path).metadata.num_row_groups)
+        return [_RowGroup(i) for i in range(n)]
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: _RowGroup):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        col_idx = md.schema.names.index(self.score_col)
+        stats = md.row_group(partition.index).column(col_idx).statistics
+        # conservative stats pruning (non-strict bounds are safe for
+        # strict predicates too)
+        if (
+            stats is not None
+            and stats.has_min_max
+            and (stats.min > self.hi or stats.max < self.lo)
+        ):
+            return
+        tbl = pf.read_row_group(
+            partition.index, columns=[self.score_col, self.member_col]
+        )
+        score = tbl[self.score_col]
+        mask = None
+        if self.lo != -math.inf:
+            m = (pc.greater if self.lo_strict else pc.greater_equal)(score, self.lo)
+            mask = m
+        if self.hi != math.inf:
+            m = (pc.less if self.hi_strict else pc.less_equal)(score, self.hi)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        for s, m in zip(
+            tbl[self.score_col].to_pylist(), tbl[self.member_col].to_pylist()
+        ):
+            yield (float(s), str(m))
+
+
+class ZSetStoreDataSource(DataSource):
+    """``spark.read.format("zset_store").option("path", p)
+    .option("score_col", c).option("member_col", m).load()`` →
+    ``(score double, member string)`` with score comparisons pushed into
+    the store read by the optimizer.
+
+    Register once per session:
+        spark.dataSource.register(ZSetStoreDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "zset_store"
+
+    def schema(self) -> str:
+        return "score double, member string"
+
+    def reader(self, schema) -> ZSetStoreReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("zset_store requires option 'path'")
+        return ZSetStoreReader(
+            path,
+            self.options.get("score_col", "score"),
+            self.options.get("member_col", "member"),
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ZSetStoreDataSource)

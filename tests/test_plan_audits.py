@@ -37,6 +37,25 @@ def test_sorted_set_range_pushdown_is_inside_the_client_read(spark):
     assert "Filter" not in a.plan, "range must not be re-evaluated Spark-side"
 
 
+def test_zset_catalyst_pushdown_removes_range_from_plan(spark):
+    """DSv2 path: the user's .filter() range comparisons must be
+    absorbed by pushFilters — the executed plan keeps only the isnotnull
+    residual; the range constants appearing in a post-scan Filter means
+    Spark re-evaluated what the store already did."""
+    a = audit(QUERIES["zset_range_catalyst_pushdown"](spark, SF))
+    pushed = a.pushed_filters()
+    assert any("GreaterThanOrEqual(score" in p for p in pushed), pushed
+    assert any("LessThanOrEqual(score" in p for p in pushed), pushed
+    # the residual Filter node may keep only the null check — the range
+    # constants in it would mean Spark re-evaluated what the store did
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Filter.*\n((?:.+\n)*?)\n", a.plan, re.M):
+        assert "10.0" not in m.group(1) and "50.0" not in m.group(1), (
+            f"score range re-evaluated Spark-side:\n{m.group(1)}"
+        )
+
+
 def test_text_stats_stays_jvm_side(spark):
     a = audit(QUERIES["text_stats"](spark, SF))
     assert a.python_stages() == 0, "text functions must be Catalyst expressions"
