@@ -1,0 +1,84 @@
+"""DSv2 optimizer-pushdown source: bound-tightening semantics of
+pushFilters and the safety contract that unsupported predicates are
+returned to Spark and still enforced."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+from hazelcast_jet_contrib_spark.sources.dsv2 import ZSetStoreReader
+
+
+def _reader() -> ZSetStoreReader:
+    return ZSetStoreReader("/dev/null", "value", "event_id")
+
+
+def test_pushfilters_tightens_bounds_and_keeps_strictness():
+    r = _reader()
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("score",), 10.0),
+                GreaterThan(("score",), 10.0),  # tighter: strict wins at same value
+                LessThan(("score",), 80.0),
+                LessThanOrEqual(("score",), 50.0),  # tighter value wins
+            ]
+        )
+    )
+    assert residual == []
+    assert (r.lo, r.lo_strict) == (10.0, True)
+    assert (r.hi, r.hi_strict) == (50.0, False)
+
+
+def test_pushfilters_equal_to_pins_both_bounds():
+    r = _reader()
+    assert list(r.pushFilters([EqualTo(("score",), 42.0)])) == []
+    assert (r.lo, r.lo_strict) == (42.0, False)
+    assert (r.hi, r.hi_strict) == (42.0, False)
+
+
+def test_pushfilters_returns_unsupported_predicates():
+    r = _reader()
+    other = StringStartsWith(("member",), "a")
+    residual = list(r.pushFilters([GreaterThan(("score",), 1.0), other]))
+    assert residual == [other]
+    assert (r.lo, r.lo_strict) == (1.0, True)
+    assert r.hi == math.inf
+
+
+def test_unsupported_filter_still_enforced_end_to_end(spark):
+    """A member predicate the store cannot push must come back correct:
+    Spark re-evaluates the residual post-scan, so results match the
+    parquet ground truth exactly."""
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = (
+        spark.read.format("zset_store")
+        .option("path", path)
+        .option("score_col", "value")
+        .option("member_col", "event_id")
+        .load()
+        .filter((F.col("score") > 20.0) & (F.col("member").startswith("1")))
+    )
+    got = {(r["score"], r["member"]) for r in df.collect()}
+    truth = {
+        (float(r["value"]), str(r["event_id"]))
+        for r in spark.read.parquet(path)
+        .filter((F.col("value") > 20.0) & (F.col("event_id").cast("string").startswith("1")))
+        .select("value", "event_id")
+        .collect()
+    }
+    assert got == truth and len(got) > 0
