@@ -119,9 +119,13 @@ def main() -> None:
         # a later heavy query doesn't absorb a full-GC pause that is
         # really the previous 70 queries' garbage (measured: the media
         # trio and the curation pipeline run 2x slower late in a full
-        # sweep than in isolation without this).
+        # sweep than in isolation without this). Gated on queries that
+        # actually created pressure — a sub-half-second query's garbage
+        # is negligible and 79 unconditional GCs would cost ~a minute of
+        # harness wall time.
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        if timings[name] > 0.5:
+            spark.sparkContext._jvm.System.gc()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
