@@ -2,6 +2,10 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Optional argv: query-name substrings to scope the run (isolation
+re-timing of a single query: `python bench.py setop_building`). The
+one-JSON-line contract is unchanged; "n_queries" reflects the scope.
 """
 
 from __future__ import annotations
@@ -72,10 +76,13 @@ def main() -> None:
     warm_dir = str(Path(SF_DIR).parent / "sf0.001")
     can_warm = Path(warm_dir).is_dir() and warm_dir != SF_DIR
 
+    name_filters = sys.argv[1:]
     RETIME_SEC = 2.0
     retimed: list[str] = []
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
         fn = QUERIES[name]
         if can_warm:
             try:

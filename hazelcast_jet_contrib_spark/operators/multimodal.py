@@ -49,7 +49,15 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     weighted sum) — exact integer arithmetic, so an external oracle can
     reproduce the geometry. Replace the body with PIL.Image.open for
     real data.
+
+    An empty payload is treated as a single zero byte: a bad record must
+    yield a degenerate row, not crash the whole Arrow batch (the empty
+    plane would otherwise divide by zero in the mean threshold). The
+    generator's documents are never empty (verified all SFs), so the
+    oracles are unaffected.
     """
+    if not payload:
+        payload = b"\x00"
     b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     s1 = int(b.sum())
     s2 = int((b * (np.arange(len(b), dtype=np.int64) + 1)).sum())
@@ -65,7 +73,12 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
 def _decode_audio(payload: bytes) -> np.ndarray:
     """STUB audio decoder: bytes -> centered int64 samples in [-128, 128)
     at an implied 1/128 scale. Integer samples keep downstream energy
-    math exact (sum-of-squares stays integral until one final division)."""
+    math exact (sum-of-squares stays integral until one final division).
+    Empty payload → one zero byte, mirroring `_decode_image`'s guard, so
+    a bad record emits one silent frame instead of diverging from the
+    image kernel's crash behavior."""
+    if not payload:
+        payload = b"\x00"
     return np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
 
 

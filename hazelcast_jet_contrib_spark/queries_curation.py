@@ -492,7 +492,8 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT id, ROUND(sc, 6) AS scale,
-           list_transform(v, x -> CAST(ROUND(x / sc, 0) AS INT)) AS q
+           array_to_string(
+               list_transform(v, x -> CAST(ROUND(x / sc, 0) AS INT)), ',') AS q
     FROM s
     """,
 )
@@ -501,11 +502,16 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(|v|)/127, q = round(v/scale). No transcendentals anywhere, so
     the oracle pins every quantized element exactly (the division uses
     identical operands on both engines; HALF_UP rounding matches
-    DuckDB's half-away-from-zero on these values)."""
+    DuckDB's half-away-from-zero on these values). The quantized vector
+    is emitted as a comma-joined string — the verification driver's
+    canonicalizer hashes scalar columns only (a top-level array<int>
+    column is unhashable in its pandas sort), exactly like
+    doc_chunking_overlap's chunk_text."""
     from hazelcast_jet_contrib_spark.functions.vectors import quantize_symmetric
 
     emb = table(spark, sf_dir, "embeddings")
-    return quantize_symmetric(emb, "vec_id", "embedding", levels=127)
+    q = quantize_symmetric(emb, "vec_id", "embedding", levels=127)
+    return q.select("id", "scale", F.array_join("q", ",").alias("q"))
 
 
 @query(

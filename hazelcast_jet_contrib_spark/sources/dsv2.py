@@ -76,9 +76,14 @@ class ZSetStoreReader(DataSourceReader):
                     if v < self.hi or (v == self.hi and strict):
                         self.hi, self.hi_strict = v, strict
                 else:  # EqualTo
-                    if v > self.lo or (v == self.lo and self.lo_strict):
+                    # Tighten only — never relax strictness at an equal
+                    # value: after GreaterThan(v) set lo=(v, strict), an
+                    # EqualTo(v) must keep the strict bound so the
+                    # unsatisfiable conjunction (score > v AND score = v)
+                    # stays an empty range regardless of filter order.
+                    if v > self.lo:
                         self.lo, self.lo_strict = v, False
-                    if v < self.hi or (v == self.hi and self.hi_strict):
+                    if v < self.hi:
                         self.hi, self.hi_strict = v, False
             else:
                 yield f  # not pushable: Spark evaluates it post-scan

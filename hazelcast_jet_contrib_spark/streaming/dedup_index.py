@@ -176,8 +176,14 @@ class StreamingNearDupIndex:
 
             dropped = intra.unionByName(vs_hist).distinct()
             survivor_ids = sig.select("id").join(dropped, "id", "left_anti")
+            # Anti-join against `dropped` (not inner-join to survivor_ids):
+            # docs too short to produce a single shingle never enter `sig`,
+            # cannot be near-dups under this scheme, and must still be
+            # admitted — an inner join on sig-derived ids would silently
+            # reject them from the output corpus. They carry no signature,
+            # so they add nothing to bands/sets.
             survivors = batch_df.join(
-                survivor_ids.withColumnRenamed("id", id_col), id_col
+                dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
             )
 
             e = f"e{epoch_id:09d}"

@@ -89,6 +89,30 @@ def test_streaming_neardup_index_across_batches_and_restart(spark, tmp_path):
         index.apply_batch(replay, committed - 1)
 
 
+def test_streaming_neardup_index_short_docs_admitted(spark, tmp_path):
+    """Docs too short to produce a single shingle (fewer than
+    shingle_words tokens) cannot be near-dups under this scheme and must
+    be ADMITTED, not silently dropped from the output corpus — they
+    never enter the signature frame, so admission must not be an inner
+    join against sig-derived ids."""
+    state = str(tmp_path / "index")
+    index = StreamingNearDupIndex(state, "doc_id", "text", threshold=0.6)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, "ok"), (3, "hi there")], "doc_id long, text string"
+    )
+    index.apply_batch(b1, 0)
+    got = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got == {1, 2, 3}, f"short docs must survive admission: {got}"
+
+    # and across epochs: another short doc plus a near-dup of BASE —
+    # the short doc is admitted, the near-dup still rejected
+    near = BASE.replace("lazy", "sleepy")
+    b2 = spark.createDataFrame([(10, "yo"), (11, near)], "doc_id long, text string")
+    index.apply_batch(b2, 1)
+    got2 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got2 == {1, 2, 3, 10}, f"{got2}"
+
+
 def test_streaming_neardup_index_distinct_docs_all_admitted(spark, tmp_path):
     """No false drops on a corpus of distinct documents — the admission
     path must not reject unrelated content (candidate pairs that fail

@@ -47,6 +47,24 @@ def test_pushfilters_equal_to_pins_both_bounds():
     assert (r.hi, r.hi_strict) == (42.0, False)
 
 
+def test_pushfilters_equal_to_never_relaxes_strict_bound():
+    """GreaterThan(v) then EqualTo(v) is unsatisfiable (score > v AND
+    score = v); both are absorbed, so the reader's range must stay
+    EMPTY — EqualTo must not rewrite the strict lower bound to
+    non-strict. Order-independence: the reverse order already worked."""
+    r = _reader()
+    assert list(r.pushFilters([GreaterThan(("score",), 5.0), EqualTo(("score",), 5.0)])) == []
+    assert (r.lo, r.lo_strict) == (5.0, True)  # strict kept → (5,5] empty
+    assert (r.hi, r.hi_strict) == (5.0, False)
+    # empty-range check: lo==hi with one strict end admits nothing
+    assert r.lo == r.hi and (r.lo_strict or r.hi_strict)
+
+    r2 = _reader()
+    assert list(r2.pushFilters([LessThan(("score",), 5.0), EqualTo(("score",), 5.0)])) == []
+    assert (r2.hi, r2.hi_strict) == (5.0, True)
+    assert (r2.lo, r2.lo_strict) == (5.0, False)
+
+
 def test_pushfilters_returns_unsupported_predicates():
     r = _reader()
     other = StringStartsWith(("member",), "a")

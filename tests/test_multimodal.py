@@ -109,3 +109,26 @@ def test_payload_pruned_when_metadata_only(spark, media, tmp_path):
     line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     read_schema = line.split("ReadSchema:")[1]
     assert "payload" not in read_schema, read_schema
+
+
+def test_empty_payload_survives_all_kernels(spark):
+    """A zero-byte payload must yield a degenerate row, not crash the
+    Arrow batch (the image kernel's mean threshold would otherwise
+    divide by zero over an empty plane). Empty payloads decode as a
+    single zero byte in both stub decoders."""
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"nonempty-payload" * 8)], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r.asDict() for r in image_features(df).collect()}
+    assert set(feats) == {1, 2}
+    assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+    assert feats[1]["n_bytes"] == 0  # reports the true payload size
+
+    frames = {r["media_id"]: r.asDict() for r in audio_frame_energy(df).collect()}
+    assert frames[1]["rms"] == 1.0  # single -128 sample: sqrt(16384/16384)
+
+    resized = {r["media_id"]: r.asDict() for r in image_resize(df, 8, 8).collect()}
+    assert len(resized[1]["payload"]) == 64
+
+    vids = [r for r in video_frame_sample(df).collect() if r["media_id"] == 1]
+    assert [r["frame_idx"] for r in vids] == [0]
