@@ -125,3 +125,41 @@ def zset_range_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter((F.col("score") >= 10.0) & (F.col("score") <= 50.0))
+
+
+# DSv2 optimizer-driven find() pushdown over the document store: the
+# same Mongo-ish contract as docstore_find_pushdown, but the filter
+# document is BUILT from plain .filter() predicates by pushFilters —
+# $gte/$lte/$eq execute inside the store; the startswith predicate has
+# no counterpart in the find language and comes back as a residual that
+# Spark re-checks post-scan (both halves audited in
+# tests/test_plan_audits.py).
+@query(
+    "docstore_catalyst_pushdown",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars >= 100 AND n_chars <= 400 AND lang = 'en'
+      AND source LIKE 'src1%'
+    """,
+)
+def docstore_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    # runtime-settable, so this works under the driver's bare session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    df = (
+        spark.read.format("doc_store")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("ddl", "doc_id long, lang string, source string, n_chars long")
+        .load()
+    )
+    return df.filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 400)
+        & (F.col("lang") == "en")
+        & F.col("source").startswith("src1")
+    )

@@ -96,51 +96,26 @@ from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 # permanently unchecked.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # new in round 3: no CORRECTNESS row yet
-    "doc_chunking_overlap",
+    # red in round 3 (driver canonicalizer crash) — output reshaped to a
+    # scalar q column this round; re-prove FIRST
     "embedding_quantization",
-    "tfidf_salient_terms",
-    "zset_range_catalyst_pushdown",
-    # changed in round 3 (exact-integer stub decoders + new SQL oracles;
-    # IVF hash-ordered centroid sampling): re-prove first
+    # new in round 4: no CORRECTNESS row yet
+    "docstore_catalyst_pushdown",
+    # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
+    # bound tightening): re-prove even though generator behavior is
+    # unchanged
     "media_image_features",
     "media_audio_frames",
     "media_image_resize",
     "media_video_frame_sample",
     "media_metadata_sniff",
-    "ivf_cosine_topk",
-    "ivf_recall_at_nprobe",
-    # r01-green only — their last driver row is two rounds old; the ones
-    # whose implementation files changed in round 2 (window_*, text_*)
-    # lead
-    "window_tumbling_daily",
-    "window_sliding_12h",
-    "window_session_30m",
-    "text_stats",
-    "text_quality_scores",
-    "lang_id_distribution",
-    "token_length_profile",
-    "fingerprint_dedup",
-    "rolling_running_total",
-    "measurement_timeseries_read",
-    "paged_rest_parts",
-    "dedup_exact_keepfirst",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "ann_cosine_topk",
-    "q2_min_cost_supplier",
-    "q4_priority_with_returns",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_concentrated_suppliers",
-    "q21_waiting_suppliers",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r02, implementation and oracle untouched since
+    "zset_range_catalyst_pushdown",
+    # r02-green only — the 29 queries the r03 rotation demoted; their
+    # last driver row is one round old, retire the debt now
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
     "q1_pricing_summary",
     "q3_order_revenue",
     "q5_local_supplier_volume",
@@ -166,6 +141,54 @@ _DEMOTED = [
     "sorted_set_range",
     "docstore_find_pushdown",
     "json_props_extraction",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r03, implementation and oracle untouched
+    # since. Ordered so the overflow INTO the checked-50 (the first ~13)
+    # re-proves the heaviest/most-algorithmic queries preferentially.
+    "minhash_lsh_near_dup",
+    "neardup_clusters",
+    "simhash_near_dup",
+    "ivf_cosine_topk",
+    "ivf_recall_at_nprobe",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "doc_chunking_overlap",
+    "tfidf_salient_terms",
+    "curation_pipeline_end2end",
+    "asof_last_purchase_before_click",
+    "range_join_value_bands",
+    "window_session_30m",
+    "window_tumbling_daily",
+    "window_sliding_12h",
+    "text_stats",
+    "text_quality_scores",
+    "lang_id_distribution",
+    "token_length_profile",
+    "fingerprint_dedup",
+    "rolling_running_total",
+    "measurement_timeseries_read",
+    "paged_rest_parts",
+    "dedup_exact_keepfirst",
+    "ngram_jaccard_pairs",
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    "service_token_stats",
+    "stratified_sample_by_lang",
+    "pack_token_budget_shards",
+    "ngram_vocab_top100",
+    "pii_redaction_stats",
+    "contamination_ngram_overlap",
+    "repetition_dup_ngrams",
+    "snapshot_diff_statuses",
 ]
 
 

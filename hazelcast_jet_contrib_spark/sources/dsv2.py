@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -158,5 +159,101 @@ class ZSetStoreDataSource(DataSource):
         )
 
 
+_FIND_OPS: dict[type, str] = {
+    EqualTo: "$eq",
+    GreaterThan: "$gt",
+    GreaterThanOrEqual: "$gte",
+    LessThan: "$lt",
+    LessThanOrEqual: "$lte",
+    In: "$in",
+}
+
+
+class DocStoreReader(DataSourceReader):
+    """Document-store reader with optimizer-driven find() pushdown.
+
+    Where `sources/docstore.py` takes the Mongo-ish filter document as a
+    manual argument (the reference's own mechanism,
+    MongoDBSources.java:80-96), this reader BUILDS that document from the
+    predicates Catalyst hands to ``pushFilters()``: each absorbed
+    comparison becomes a `{field: {$op: value}}` entry executed inside
+    the store client (row-group stats pruning + arrow filter), and
+    everything else is returned for Spark to re-check. One op per
+    (field, op) slot — a duplicate (e.g. two `$gte` on one field from a
+    non-folded conjunction) is yielded back rather than merged, so there
+    is no bound arithmetic to get wrong; Spark re-checking an absorbed
+    predicate is always safe, only the reverse is not."""
+
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+        self.find: dict[str, dict[str, object]] = {}
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            op = _FIND_OPS.get(type(f))
+            name = _attr_name(f)
+            if op is None or name not in self.columns:
+                yield f
+                continue
+            v = list(f.value) if isinstance(f, In) else f.value
+            if isinstance(v, bool) or not isinstance(v, (int, float, str, list)):
+                yield f
+                continue
+            slot = self.find.setdefault(name, {})
+            if op in slot:
+                yield f
+            else:
+                slot[op] = v
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = max(1, pq.ParquetFile(self.path).metadata.num_row_groups)
+        return [_RowGroup(i) for i in range(n)]
+
+    def read(self, partition: _RowGroup):
+        import pyarrow.dataset as ds
+
+        from hazelcast_jet_contrib_spark.sources.docstore import _compile_filter
+
+        dataset = ds.dataset(self.path, format="parquet")
+        expr = _compile_filter(self.find) if self.find else None
+        fragment = next(iter(dataset.get_fragments())).split_by_row_group()[
+            partition.index
+        ]
+        tbl = fragment.to_table(columns=self.columns, filter=expr)
+        yield from tbl.to_batches()
+
+
+class DocStoreDataSource(DataSource):
+    """``spark.read.format("doc_store").option("path", p)
+    .option("ddl", "doc_id long, lang string").load()`` — the declared
+    DDL is both the projection (only those columns are read from the
+    store) and the pushdown surface (comparisons on those columns are
+    absorbed into the find document).
+
+    Register once per session:
+        spark.dataSource.register(DocStoreDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "doc_store"
+
+    def schema(self) -> str:
+        ddl = self.options.get("ddl")
+        if not ddl:
+            raise ValueError("doc_store requires option 'ddl'")
+        return ddl
+
+    def reader(self, schema) -> DocStoreReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("doc_store requires option 'path'")
+        return DocStoreReader(path, list(schema.fieldNames()))
+
+
 def register(spark) -> None:
     spark.dataSource.register(ZSetStoreDataSource)
+    spark.dataSource.register(DocStoreDataSource)

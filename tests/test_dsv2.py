@@ -100,3 +100,47 @@ def test_unsupported_filter_still_enforced_end_to_end(spark):
         .collect()
     }
     assert got == truth and len(got) > 0
+
+
+def test_docstore_pushfilters_builds_find_document():
+    from hazelcast_jet_contrib_spark.sources.dsv2 import DocStoreReader
+
+    r = DocStoreReader("/dev/null", ["doc_id", "lang", "n_chars"])
+    other = StringStartsWith(("lang",), "e")  # no find-language counterpart
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("n_chars",), 100),
+                LessThanOrEqual(("n_chars",), 400),
+                EqualTo(("lang",), "en"),
+                other,
+            ]
+        )
+    )
+    assert residual == [other]
+    assert r.find == {
+        "n_chars": {"$gte": 100, "$lte": 400},
+        "lang": {"$eq": "en"},
+    }
+
+
+def test_docstore_pushfilters_duplicate_slot_and_unknown_column_yielded():
+    from pyspark.sql.datasource import In
+
+    from hazelcast_jet_contrib_spark.sources.dsv2 import DocStoreReader
+
+    r = DocStoreReader("/dev/null", ["doc_id", "lang"])
+    dup = GreaterThanOrEqual(("doc_id",), 20)
+    off_schema = EqualTo(("other_col",), 1)
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 10),
+                dup,  # second $gte on the same field: re-checked by Spark
+                off_schema,  # not a declared column: re-checked by Spark
+                In(("lang",), ("en", "de")),
+            ]
+        )
+    )
+    assert residual == [dup, off_schema]
+    assert r.find == {"doc_id": {"$gte": 10}, "lang": {"$in": ["en", "de"]}}

@@ -56,6 +56,30 @@ def test_zset_catalyst_pushdown_removes_range_from_plan(spark):
         )
 
 
+def test_docstore_catalyst_pushdown_splits_pushed_and_residual(spark):
+    """DSv2 docstore: the range + equality comparisons are absorbed into
+    the store's find document (PushedFilters); the startswith predicate
+    has no find-language counterpart and MUST come back as a residual the
+    Spark-side Filter re-checks — while the absorbed constants must NOT
+    reappear there."""
+    a = audit(QUERIES["docstore_catalyst_pushdown"](spark, SF))
+    pushed = a.pushed_filters()
+    assert any("GreaterThanOrEqual(n_chars" in p for p in pushed), pushed
+    assert any("LessThanOrEqual(n_chars" in p for p in pushed), pushed
+    assert any("EqualTo(lang" in p for p in pushed), pushed
+    import re
+
+    residuals = [
+        m.group(1)
+        for m in re.finditer(r"^\(\d+\) Filter.*\n((?:.+\n)*?)\n", a.plan, re.M)
+    ]
+    assert residuals, "expected a residual Filter node for the startswith"
+    body = "\n".join(residuals)
+    assert "StartsWith" in body, body
+    for absorbed in ("100", "400", "= en", ", en)"):
+        assert absorbed not in body, f"absorbed predicate re-evaluated:\n{body}"
+
+
 def test_text_stats_stays_jvm_side(spark):
     a = audit(QUERIES["text_stats"](spark, SF))
     assert a.python_stages() == 0, "text functions must be Catalyst expressions"
