@@ -155,6 +155,16 @@ def main() -> None:
         # and were re-timed (min of 2 reported) — see loop comment
         "retime_threshold_sec": 2.0,
         "retimed": sorted(retimed),
+        # Sub-second queries are NOT retimed, so they carry documented
+        # host-interference noise. r03 flagged setop_building_urgent_-
+        # customers 0.30->0.84s; r04 isolation runs (bench.py single-query
+        # mode, 5 samples) reproduce 0.49-0.65s on a host where ALL
+        # sub-second queries measured 1.5-2x their r03 sweep numbers
+        # (q14_promo_effect 0.46->0.75, parts_never_bulk_ordered
+        # 0.27->0.60). Plan re-audited: pushed filters, broadcast semi
+        # join, single distinct exchange — no regression; attributed to
+        # measurement noise at the sub-second floor.
+        "policy_notes": "sub-second queries exposed to host noise; setop r03 delta attributed (see bench.py)",
     }
     print(json.dumps(out))
     spark.stop()

@@ -19,10 +19,15 @@ Design (same idempotence discipline as streaming/cdc.py):
   committed band index (history dedup); only candidate pairs are
   verified with exact Jaccard over hashed shingle sets. The index side
   the join touches is (band, bh, id) — ~24-byte rows, never documents.
-- at scale the per-epoch directory count grows with trigger count;
-  compact by unioning ``bands/e*`` into one bucketed table during a
-  maintenance window (the marker protocol is unaffected — compaction
-  rewrites committed epochs only).
+- at scale the per-epoch directory count grows with trigger count and
+  the history probe degrades into a small-files scan; :meth:`compact`
+  rewrites all committed epochs into one size-targeted generation under
+  ``compacted/g{N}/`` and commits it by atomically replacing a
+  ``_COMPACTED`` marker holding ``(floor_epoch, generation)``. Readers
+  take the referenced generation plus epochs above the floor, so a
+  crash mid-compaction leaves an unreferenced generation that is simply
+  invisible — admission decisions are identical before, during, and
+  after (tests/test_dedup_index.py).
 
 Reference lineage: composes S8-style replayable sources with the
 near-dup operators; the reference has no streaming dedup (its dedup
@@ -85,20 +90,44 @@ class StreamingNearDupIndex:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _compaction_marker_path(self) -> str:
+        return os.path.join(self.state_dir, "_COMPACTED")
+
+    def _compaction_state(self) -> tuple[int, int] | None:
+        """(floor_epoch, generation) of the live compacted snapshot, or
+        None. Epochs <= floor live in ``compacted/g{generation}``."""
+        try:
+            with open(self._compaction_marker_path()) as f:
+                floor_s, gen_s = f.read().split()
+                return int(floor_s), int(gen_s)
+        except (FileNotFoundError, ValueError):
+            return None
+
     def _epoch_dirs(self, kind: str) -> list[str]:
         committed = self._committed()
         if committed is None:
             return []
+        comp = self._compaction_state()
+        floor = -1
+        dirs: list[str] = []
+        if comp is not None:
+            floor, gen = comp
+            gdir = os.path.join(self.state_dir, "compacted", f"g{gen}", kind)
+            if os.path.isdir(gdir):
+                dirs.append(gdir)
         root = os.path.join(self.state_dir, kind)
         try:
             listing = os.listdir(root)
         except FileNotFoundError:
-            return []
-        return [
+            return dirs
+        dirs += [
             os.path.join(root, d)
             for d in sorted(listing)
-            if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= committed
+            if d.startswith("e")
+            and d[1:].isdigit()
+            and floor < int(d[1:]) <= committed
         ]
+        return dirs
 
     def _read(self, spark: SparkSession, kind: str, schema: str) -> DataFrame:
         dirs = self._epoch_dirs(kind)
@@ -208,6 +237,75 @@ class StreamingNearDupIndex:
     def foreach_batch(self):
         """The ``foreachBatch`` callable."""
         return self.apply_batch
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> bool:
+        """Rewrite all committed epochs (and any prior compacted
+        generation) into one size-targeted generation, then atomically
+        point the ``_COMPACTED`` marker at it. Returns False if there is
+        nothing new to compact (idempotent re-run).
+
+        Safe to run between micro-batches: epochs ABOVE the captured
+        floor are untouched and stay visible; a crash before the marker
+        swap leaves an unreferenced generation (invisible, rewritten by
+        the next run); cleanup of superseded directories is best-effort
+        because readers never look at epochs at or below the floor nor
+        at non-referenced generations. Bands are repartitioned on
+        (band, bh) so a probe join's shuffle reads clustered files."""
+        import math
+        import shutil
+
+        committed = self._committed()
+        if committed is None:
+            return False
+        comp = self._compaction_state()
+        if comp is not None and comp[0] >= committed:
+            return False  # everything committed is already compacted
+        next_gen = comp[1] + 1 if comp is not None else 0
+
+        repart = {"bands": ("band", "bh")}
+        for kind in ("bands", "sets", "accepted"):
+            dirs = self._epoch_dirs(kind)
+            if not dirs:
+                continue
+            n_bytes = 0
+            for d in dirs:
+                for root, _, files in os.walk(d):
+                    n_bytes += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
+            n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+            df = spark.read.parquet(*dirs)
+            cols = repart.get(kind)
+            df = df.repartition(n_files, *cols) if cols else df.coalesce(n_files)
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "compacted", f"g{next_gen}", kind)
+            )
+
+        tmp = self._compaction_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{committed} {next_gen}")
+        os.replace(tmp, self._compaction_marker_path())
+
+        # best-effort cleanup of superseded storage (invisible either way)
+        for kind in ("bands", "sets", "accepted"):
+            root = os.path.join(self.state_dir, kind)
+            try:
+                listing = os.listdir(root)
+            except FileNotFoundError:
+                continue
+            for d in listing:
+                if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= committed:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        croot = os.path.join(self.state_dir, "compacted")
+        for d in os.listdir(croot):
+            if d.startswith("g") and d[1:].isdigit() and int(d[1:]) != next_gen:
+                shutil.rmtree(os.path.join(croot, d), ignore_errors=True)
+        return True
 
     # -- readers ------------------------------------------------------------
     def accepted(self, spark: SparkSession, schema: str | None = None) -> DataFrame:

@@ -127,3 +127,60 @@ def test_streaming_neardup_index_distinct_docs_all_admitted(spark, tmp_path):
     index.apply_batch(b2, 1)
     got = {r["doc_id"] for r in index.accepted(spark).collect()}
     assert got == {1, 2, 3}
+
+
+def test_compaction_preserves_admission_and_bounds_files(spark, tmp_path):
+    """Compaction must be invisible to admission: the same probe batch
+    is rejected/admitted identically before and after; the epoch
+    directory count collapses to one generation; re-running compact is
+    a no-op; and an unreferenced (crashed) generation is ignored."""
+    import os
+
+    state = str(tmp_path / "index")
+    index = StreamingNearDupIndex(state, "doc_id", "text", threshold=0.6)
+    index.apply_batch(
+        spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string"), 0
+    )
+    index.apply_batch(
+        spark.createDataFrame([(3, THIRD)], "doc_id long, text string"), 1
+    )
+    index.apply_batch(
+        spark.createDataFrame(
+            [(4, BASE.replace("dog", "hound"))], "doc_id long, text string"
+        ),
+        2,
+    )
+    before = {r["doc_id"] for r in index.accepted(spark).collect()}
+    n_epoch_dirs_before = len(os.listdir(os.path.join(state, "bands")))
+    assert n_epoch_dirs_before == 3
+
+    assert index.compact(spark) is True
+    # accepted corpus identical, band dirs collapsed to the generation
+    assert {r["doc_id"] for r in index.accepted(spark).collect()} == before
+    assert index._epoch_dirs("bands") == [
+        os.path.join(state, "compacted", "g0", "bands")
+    ]
+    assert index.compact(spark) is False  # idempotent re-run: no-op
+
+    # post-compaction admission: near-dup of history still rejected,
+    # fresh doc still admitted — via the compacted probe path
+    near = BASE.replace("lazy", "sleepy")
+    fresh = (
+        "entirely new material on parquet row group statistics and "
+        "predicate pushdown for columnar scans at very large scale"
+    )
+    index.apply_batch(
+        spark.createDataFrame([(10, near), (11, fresh)], "doc_id long, text string"), 3
+    )
+    after = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert after == before | {11}, after
+
+    # a second compaction folds the new epoch in; file count stays bounded
+    assert index.compact(spark) is True
+    assert len(index._epoch_dirs("bands")) == 1
+    assert {r["doc_id"] for r in index.accepted(spark).collect()} == after
+
+    # crash simulation: an unreferenced generation directory is invisible
+    ghost = os.path.join(state, "compacted", "g99", "bands")
+    os.makedirs(ghost)
+    assert ghost not in index._epoch_dirs("bands")
