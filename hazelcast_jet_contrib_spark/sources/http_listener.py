@@ -5,7 +5,17 @@ Reference behavior (http/.../HttpListenerSourceBuilder.java:36-254):
 an embedded HTTP server accepts POST/PUT payloads, maps them to String /
 JSON bean / custom type, and feeds the pipeline; malformed JSON returns
 HTTP 400 (HttpListenerSourceContext.java:103-107); SSL and mutual
-(client-cert) auth are supported (HttpListenerSourceTest.java:76-113).
+(client-cert) auth are supported (HttpListenerSourceTest.java:76-113);
+HTTP/2 is enabled unconditionally (HttpListenerSourceContext.java:80,
+HttpListenerSinkContext.java:86). Here both the listener source and the
+SSE push sink speak HTTP/2 via the embedded RFC 7540/7541
+implementation in `sources/http2.py` — h2c prior-knowledge on
+cleartext, ALPN-negotiated h2 on TLS — detected per-connection by
+preface sniffing, with HTTP/1.1 as the fallback. The WebSocket sink
+remains an HTTP/1.1 upgrade by design: RFC 6455's handshake is
+1.1-only, and h2 WebSockets (RFC 8441 extended CONNECT) is a separate
+opt-in protocol that the reference's ENABLE_HTTP2 flag does not grant
+either.
 The sink side pushes results to connected WebSocket or SSE clients
 (HttpListenerSinks.java:41-146) with bounded drop-oldest accumulation
 while nobody is connected (HttpListenerSinkContext.java:128-152).
@@ -32,7 +42,67 @@ import threading
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from hazelcast_jet_contrib_spark.sources import http2
 from hazelcast_jet_contrib_spark.streaming import message_log
+
+
+class _PrefixedReader:
+    """rfile wrapper replaying already-sniffed bytes before the raw
+    stream — lets the handler fall back to HTTP/1.1 after peeking for
+    the HTTP/2 preface."""
+
+    def __init__(self, prefix: bytes, raw):
+        self._buf = prefix
+        self._raw = raw
+
+    def read(self, n: int = -1):
+        if n is None or n < 0:
+            out, self._buf = self._buf, b""
+            return out + self._raw.read()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        if len(out) < n:
+            out += self._raw.read(n - len(out))
+        return out
+
+    def readline(self, limit: int = -1):
+        # the prefix never contains a newline (it is at most the first
+        # bytes of a request line), so drain it then delegate
+        out, self._buf = self._buf, b""
+        rest = self._raw.readline(limit - len(out) if limit >= 0 else -1)
+        return out + rest
+
+    def __getattr__(self, attr):
+        return getattr(self._raw, attr)
+
+
+class _H2SniffingHandler(BaseHTTPRequestHandler):
+    """HTTP/1.1 handler that switches the connection to the embedded
+    HTTP/2 server when the client opens with the h2 preface — h2c
+    prior-knowledge on cleartext, ALPN-negotiated h2 on TLS (both send
+    the same preface; reference parity with Undertow's ENABLE_HTTP2,
+    HttpListenerSourceContext.java:80). Subclasses define `_h2_request`
+    (headers, body) -> (status, body|chunk-iter) for the h2 path and the
+    usual do_* methods for 1.1."""
+
+    def _h2_request(self, headers, body):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def handle(self):
+        first = self.rfile.read(3)
+        if first == b"PRI":
+            rest = first + self.rfile.read(len(http2.PREFACE) - 3)
+            if rest != http2.PREFACE:
+                return
+            try:
+                http2.serve_connection(
+                    self.rfile, self.wfile, self._h2_request, preface_consumed=True
+                )
+            except (ValueError, EOFError, BrokenPipeError, ConnectionResetError):
+                pass
+            self.close_connection = True
+            return
+        self.rfile = _PrefixedReader(first, self.rfile)
+        super().handle()
 
 
 class HttpListenerSource:
@@ -89,6 +159,10 @@ class HttpListenerSource:
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(certfile=tls[0], keyfile=tls[1])
+            # offer h2 via ALPN (reference parity: ENABLE_HTTP2); an
+            # h2-negotiated client then sends the same preface the
+            # cleartext sniffing path detects
+            ctx.set_alpn_protocols(["h2", "http/1.1"])
             if client_ca is not None:
                 ctx.verify_mode = ssl.CERT_REQUIRED
                 ctx.load_verify_locations(cafile=client_ca)
@@ -106,7 +180,7 @@ class HttpListenerSource:
     def _handler_class(self):
         source = self
 
-        class Handler(BaseHTTPRequestHandler):
+        class Handler(_H2SniffingHandler):
             def _accept(self):
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode("utf-8", errors="replace")
@@ -126,6 +200,19 @@ class HttpListenerSource:
 
             do_POST = _accept
             do_PUT = _accept
+
+            def _h2_request(self, headers, body):
+                # same contract as _accept, over an HTTP/2 stream
+                if headers.get(":method") not in ("POST", "PUT"):
+                    return 405, b"POST or PUT required"
+                text = body.decode("utf-8", errors="replace")
+                if source.require_json:
+                    try:
+                        json.loads(text)
+                    except json.JSONDecodeError:
+                        return 400, b"malformed JSON"
+                source._enqueue(text)
+                return 200, b""
 
             def log_message(self, *args):  # quiet
                 pass
@@ -266,22 +353,30 @@ class SsePushSink(_PushSinkBase):
     def _handler_class(self):
         sink = self
 
-        class Handler(BaseHTTPRequestHandler):
+        def _events():
+            seq = 0
+            while True:
+                rows, seq = sink._buffer.rows_from(seq, timeout=5)
+                if not rows:
+                    return
+                for r in rows:
+                    yield f"data: {r}\n\n".encode()
+
+        class Handler(_H2SniffingHandler):
             def do_GET(self):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
-                seq = 0
                 try:
-                    while True:
-                        rows, seq = sink._buffer.rows_from(seq, timeout=5)
-                        if not rows:
-                            break
-                        for r in rows:
-                            self.wfile.write(f"data: {r}\n\n".encode())
+                    for chunk in _events():
+                        self.wfile.write(chunk)
                         self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
                     pass
+
+            def _h2_request(self, headers, body):
+                # same event stream, each chunk its own h2 DATA frame
+                return 200, _events()
 
             def log_message(self, *args):
                 pass
