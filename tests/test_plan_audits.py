@@ -186,6 +186,27 @@ def test_sketch_queries_shuffle_budget(spark):
         )
 
 
+def test_round3_curation_queries_plan_budgets(spark):
+    """Budgets for the round-3/4 additions (PLANS.md-recorded counts):
+    chunking and quantization are pure per-row Catalyst (ZERO exchanges,
+    zero Python — a shuffle appearing means someone grouped what should
+    be a projection); tf-idf plans 4 exchanges (tf aggregate, df
+    aggregate, n_docs aggregate, top-5 window) with the term-weight side
+    broadcast back — an SMJ here would mean the doc-sized side started
+    shuffling for the join."""
+    for name in ("doc_chunking_overlap", "embedding_quantization",
+                 "docstore_catalyst_pushdown"):
+        a = audit(QUERIES[name](spark, SF))
+        assert a.exchanges() == 0, f"{name} grew a shuffle: {a.exchanges()}"
+        assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+    a = audit(QUERIES["tfidf_salient_terms"](spark, SF))
+    assert a.exchanges() <= 4, f"tfidf shuffle count grew: {a.exchanges()}"
+    assert a.broadcast_joins() >= 2, "term-weight sides must broadcast"
+    assert a.shuffle_joins() == 0, "no doc-sized side may shuffle for a join"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     """Both sides bucketed by the join key -> the join plans with no
     Exchange at all: the shuffle was paid once at write time. This is
