@@ -131,6 +131,67 @@ def _codegen_subtree_count(df: DataFrame, execute: bool) -> int | None:
         return None
 
 
+def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
+    """Measured shuffle totals of THIS DataFrame's finished execution,
+    read from the executed plan's SQL metrics (the same accumulators the
+    SparkListener bus publishes to the UI): summed ``shuffleRecordsWritten``
+    / ``shuffleBytesWritten`` over every ShuffleExchange in the final
+    adaptive plan, descending into query stages and cached (InMemoryScan)
+    subtrees. The caller must have run an action on ``df`` itself
+    (``collect()``; ``count()`` plans a different query). ReusedExchange
+    and repeated scans of one cached relation are counted once — a reused
+    shuffle is exactly the rewrite that was avoided.
+
+    This is what turns "the LSH shuffle grows linearly" from a docstring
+    claim into an executable assertion (tests/test_scale_rehearsal.py).
+    """
+    totals = {"shuffle_records": 0, "shuffle_bytes": 0, "exchanges": 0}
+    jvm = df.sparkSession._jvm
+    seen: set[int] = set()
+
+    def ident(node) -> int:
+        return jvm.System.identityHashCode(node)
+
+    def metrics(node) -> dict[str, int]:
+        out: dict[str, int] = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return out
+
+    def walk(node) -> None:
+        if ident(node) in seen:
+            return
+        seen.add(ident(node))
+        cname = node.getClass().getSimpleName()
+        if cname.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in cname:
+            walk(node.plan())
+            return
+        if "ReusedExchange" in cname:
+            return  # its child is the original exchange, already counted
+        if "ShuffleExchange" in cname:
+            m = metrics(node)
+            totals["exchanges"] += 1
+            totals["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
+            totals["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
+        if "InMemoryTableScan" in cname:
+            # the cache-build pipeline ran once; count its shuffles once
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
+
+
 def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
     """Audit `df`'s physical plan. With `execute=True` the query is run
     first (use a small scale factor) so AQE-finalized facts — the

@@ -1,0 +1,146 @@
+"""Scale rehearsal for the dedup family: measured evidence (not a
+docstring claim) that MinHash-LSH work grows LINEARLY with corpus size.
+
+All other dedup bench evidence is sf0.1 (~60 k docs). Here we generate a
+synthetic corpus twice — at 1x and 8x — with an identical near-dup rate,
+run the full `minhash_lsh_pairs` pipeline on both, and assert from the
+executed plan's shuffle metrics (the SparkListener-bus accumulators) and
+the band-bucket distribution that an 8x corpus costs ~8x, not 64x:
+
+  * shuffled records grow ≤ 2·8x (and far below the 64x a quadratic
+    candidate join would show),
+  * the in-bucket join work Σ |bucket|·(|bucket|−1)/2 grows ≤ 2·8x,
+  * the max band-bucket size stays O(duplicate-cluster size), scale-free,
+  * the verified pair count is exactly the planted n/10 at both scales.
+
+The corpus is generated with pure Catalyst expressions (xxhash64-driven
+word choice), so the generator itself is scale-independent and
+deterministic across runs; near-dups are planted by giving every 10th
+doc the same word sequence as its predecessor plus one extra word
+(Jaccard 28/29 ≈ 0.97 on 3-word shingles — solidly above the 0.6
+threshold), while unrelated docs share shingles only by 64-bit hash
+accident. Measured 1x/8x numbers are recorded in SCALE.md §dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import (
+    _shingle_sets,
+    band_keys,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+N1 = 2_000  # 1x corpus size; 8x = 16_000
+WORDS = 30  # words per document
+VOCAB = 5_000  # word universe ("w0".."w4999")
+
+
+def _write_corpus(spark, path: str, n_docs: int) -> None:
+    """n_docs documents of WORDS hash-random words; every 10th document
+    repeats its predecessor's words plus one unique extra word (a planted
+    near-dup pair). Pure Catalyst — no driver-side text generation."""
+    is_dup = (F.col("id") % 10) == 9
+    src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS - 1)),
+        lambda p: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(src, p), F.lit(VOCAB)).cast("string")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        is_dup, F.concat(text, F.lit(" extra"), F.col("id").cast("string"))
+    ).otherwise(text)
+    (
+        spark.range(n_docs)
+        .select("id", text.alias("text"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _bucket_stats(spark, path: str) -> tuple[int, int]:
+    """(max band-bucket size, Σ C(size,2)) of the LSH banding — the
+    in-bucket candidate-join work the self-join actually performs."""
+    df = spark.read.parquet(path)
+    sig = minhash_signatures(_shingle_sets(df, "id", "text", 3), 128)
+    sizes = band_keys(sig, 128, 64).groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = sizes.agg(
+        F.max("n").alias("maxb"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("work"),
+    ).collect()[0]
+    return int(row["maxb"]), int(row["work"])
+
+
+def _run_scale(spark, path: str, n_docs: int) -> dict[str, int]:
+    _write_corpus(spark, path, n_docs)
+    df = spark.read.parquet(path)
+    pairs = minhash_lsh_pairs(
+        df, "id", "text", threshold=0.6, max_bucket_size=64
+    )
+    rows = pairs.collect()
+    shuffles = executed_shuffle_stats(pairs)
+    maxb, work = _bucket_stats(spark, path)
+    spark.catalog.clearCache()  # drop the pipeline's internal persist()
+    return {
+        "n_docs": n_docs,
+        "pairs": len(rows),
+        "pair_set_ok": all(b == a + 1 and a % 10 == 8 for a, b in rows),
+        "shuffle_records": shuffles["shuffle_records"],
+        "shuffle_bytes": shuffles["shuffle_bytes"],
+        "max_bucket": maxb,
+        "join_work": work,
+    }
+
+
+@pytest.mark.slow
+def test_minhash_lsh_scales_linearly(spark, tmp_path):
+    # Disable auto-broadcast for the measurement: at 1x the per-id
+    # aggregate fits under the broadcast threshold (the verify join
+    # ships no shuffle) while at 8x it doesn't, so the two scales would
+    # run different plan shapes and the ratio would measure the plan
+    # change, not the growth law. At 100 TB nothing broadcasts — the
+    # all-shuffle shape IS the one whose linearity matters.
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        s1 = _run_scale(spark, str(tmp_path / "c1"), N1)
+        s8 = _run_scale(spark, str(tmp_path / "c8"), N1 * 8)
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    # correctness at both scales: exactly the planted pairs, nothing else
+    assert s1["pairs"] == N1 // 10 and s1["pair_set_ok"]
+    assert s8["pairs"] == N1 * 8 // 10 and s8["pair_set_ok"]
+
+    # shuffle volume: linear in corpus size. A quadratic candidate join
+    # would be ~64x; allow 2x slack over the ideal 8x for partial-agg
+    # ratio drift between scales.
+    rec_ratio = s8["shuffle_records"] / max(1, s1["shuffle_records"])
+    assert 4 <= rec_ratio <= 16, f"shuffle records grew {rec_ratio:.1f}x for 8x docs"
+    byte_ratio = s8["shuffle_bytes"] / max(1, s1["shuffle_bytes"])
+    assert byte_ratio <= 16, f"shuffle bytes grew {byte_ratio:.1f}x for 8x docs"
+
+    # in-bucket join work: Σ C(|bucket|,2) must scale with the planted
+    # duplicate count (linear), and bucket sizes must stay cluster-sized
+    # (≈2 for planted pairs), independent of corpus size.
+    work_ratio = s8["join_work"] / max(1, s1["join_work"])
+    assert work_ratio <= 16, f"candidate-join work grew {work_ratio:.1f}x for 8x docs"
+    assert s8["max_bucket"] <= 4, f"band bucket of {s8['max_bucket']} docs at 8x"
+
+    # executable record of the measured numbers (mirrored into SCALE.md)
+    print(f"scale rehearsal: 1x={s1} 8x={s8}")
