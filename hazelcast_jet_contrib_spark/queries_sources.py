@@ -163,3 +163,40 @@ def docstore_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang") == "en")
         & F.col("source").startswith("src1")
     )
+
+
+# DSv2 optimizer-driven key pushdown over the KV/hash store: where
+# kv_hash_snapshot is HGETALL (full snapshot), a plain .filter() on the
+# key column narrows the store read to the server-side key ops a hash
+# store has — startswith becomes a SCAN MATCH "p*" cursor scan executed
+# inside the client (row-group stats pruning + arrow mask), while the
+# contains predicate on the VALUE has no key-op counterpart and comes
+# back as a residual Spark re-checks post-scan (both halves audited in
+# tests/test_plan_audits.py).
+@query(
+    "kv_hash_catalyst_pushdown",
+    oracle="""
+    SELECT c_name AS key, CAST(c_custkey AS VARCHAR) AS value
+    FROM customer
+    WHERE c_name LIKE 'Customer#0000001%'
+      AND CAST(c_custkey AS VARCHAR) LIKE '%5%'
+    """,
+)
+def kv_hash_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    # runtime-settable, so this works under the driver's bare session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    df = (
+        spark.read.format("kv_store")
+        .option("path", f"{sf_dir}/customer.parquet")
+        .option("key_col", "c_name")
+        .option("value_col", "c_custkey")
+        .load()
+    )
+    return df.filter(
+        F.col("key").startswith("Customer#0000001") & F.col("value").contains("5")
+    )

@@ -101,6 +101,7 @@ _PRIORITY = [
     "embedding_quantization",
     # new in round 4: no CORRECTNESS row yet
     "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -159,6 +159,126 @@ class ZSetStoreDataSource(DataSource):
         )
 
 
+class KVStoreReader(DataSourceReader):
+    """KV/hash-store reader with optimizer-driven key pushdown — the
+    third store to adopt the pushFilters pattern (after zset and
+    docstore). The manual `sources/kv.py` hash source is HGETALL-only
+    (full snapshot, RedisSources.java:100-183); here Catalyst narrows
+    the read to the server-side key operations a hash store actually
+    has:
+
+      * ``EqualTo(key, k)``        → single-field HGET
+      * ``In(key, [k...])``        → HMGET
+      * ``StringStartsWith(key,p)``→ SCAN MATCH "p*" cursor scan
+
+    Conjunction semantics: absorbed key filters INTERSECT (an
+    ``EqualTo`` after an ``In`` narrows the key set; every absorbed
+    prefix must match). Filters on the value column or with non-string
+    operands are returned for Spark to re-check — correctness never
+    depends on what the store can do. The parquet stand-in executes the
+    absorbed filters server-side as row-group statistics pruning + an
+    arrow mask, mirroring the zset reader."""
+
+    def __init__(self, path: str, key_col: str, value_col: str):
+        self.path = path
+        self.key_col = key_col
+        self.value_col = value_col
+        self.keys: set[str] | None = None  # None = unconstrained (HGETALL)
+        self.prefixes: list[str] = []
+
+    # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        from pyspark.sql.datasource import StringStartsWith
+
+        for f in filters:
+            if _attr_name(f) != "key":
+                yield f
+            elif isinstance(f, EqualTo) and isinstance(f.value, str):
+                ks = {f.value}
+                self.keys = ks if self.keys is None else self.keys & ks
+            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+                ks = set(f.value)
+                self.keys = ks if self.keys is None else self.keys & ks
+            elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
+                self.prefixes.append(f.value)
+            else:
+                yield f  # not a server-side key op: Spark re-checks it
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = max(1, pq.ParquetFile(self.path).metadata.num_row_groups)
+        return [_RowGroup(i) for i in range(n)]
+
+    # -- execution ---------------------------------------------------------
+    def _prune(self, stats) -> bool:
+        """True if the row group's key statistics exclude every absorbed
+        key/prefix (safe-only: string stats, conservative bounds)."""
+        if stats is None or not stats.has_min_max:
+            return False
+        mn, mx = stats.min, stats.max
+        if not (isinstance(mn, str) and isinstance(mx, str)):
+            return False  # non-string physical key column: no pruning
+        if self.keys is not None and all(k < mn or k > mx for k in self.keys):
+            return True
+        # a key matching prefix p is >= p; if the group max sorts below
+        # p no key in it can carry the prefix
+        return any(mx < p for p in self.prefixes)
+
+    def read(self, partition: _RowGroup):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if self.keys is not None and not self.keys:
+            return  # intersected to the empty key set: no store I/O at all
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        col_idx = md.schema.names.index(self.key_col)
+        if self._prune(md.row_group(partition.index).column(col_idx).statistics):
+            return
+        tbl = pf.read_row_group(partition.index, columns=[self.key_col, self.value_col])
+        key = pc.cast(tbl[self.key_col], pa.string())
+        val = pc.cast(tbl[self.value_col], pa.string())
+        mask = None
+        if self.keys is not None:
+            mask = pc.is_in(key, value_set=pa.array(sorted(self.keys), pa.string()))
+        for p in self.prefixes:
+            m = pc.starts_with(key, p)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            key, val = pc.filter(key, mask), pc.filter(val, mask)
+        yield from zip(key.to_pylist(), val.to_pylist())
+
+
+class KVStoreDataSource(DataSource):
+    """``spark.read.format("kv_store").option("path", p)
+    .option("key_col", k).option("value_col", v).load()`` →
+    ``(key string, value string)`` with key equality / membership /
+    prefix predicates pushed into the store read by the optimizer.
+
+    Register once per session:
+        spark.dataSource.register(KVStoreDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kv_store"
+
+    def schema(self) -> str:
+        return "key string, value string"
+
+    def reader(self, schema) -> KVStoreReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kv_store requires option 'path'")
+        return KVStoreReader(
+            path,
+            self.options.get("key_col", "key"),
+            self.options.get("value_col", "value"),
+        )
+
+
 _FIND_OPS: dict[type, str] = {
     EqualTo: "$eq",
     GreaterThan: "$gt",
@@ -257,3 +377,4 @@ class DocStoreDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(ZSetStoreDataSource)
     spark.dataSource.register(DocStoreDataSource)
+    spark.dataSource.register(KVStoreDataSource)

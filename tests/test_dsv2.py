@@ -144,3 +144,81 @@ def test_docstore_pushfilters_duplicate_slot_and_unknown_column_yielded():
     )
     assert residual == [dup, off_schema]
     assert r.find == {"doc_id": {"$gte": 10}, "lang": {"$in": ["en", "de"]}}
+
+
+def test_kv_pushfilters_intersects_key_sets():
+    """Conjunction semantics: EqualTo after In must INTERSECT (narrow),
+    never union; disjoint sets intersect to empty and read() emits
+    nothing without touching the store."""
+    from pyspark.sql.datasource import In
+
+    from hazelcast_jet_contrib_spark.sources.dsv2 import KVStoreReader
+
+    r = KVStoreReader("/dev/null", "k", "v")
+    assert list(r.pushFilters([In(("key",), ("a", "b", "c")), EqualTo(("key",), "b")])) == []
+    assert r.keys == {"b"}
+
+    r2 = KVStoreReader("/dev/null", "k", "v")
+    assert list(r2.pushFilters([EqualTo(("key",), "a"), EqualTo(("key",), "z")])) == []
+    assert r2.keys == set()
+    assert list(r2.read(type("P", (), {"index": 0})())) == []  # no store I/O
+
+
+def test_kv_pushfilters_prefixes_conjoin_and_value_filters_return():
+    from hazelcast_jet_contrib_spark.sources.dsv2 import KVStoreReader
+
+    r = KVStoreReader("/dev/null", "k", "v")
+    on_value = StringStartsWith(("value",), "x")
+    not_a_key_op = GreaterThan(("key",), "m")
+    residual = list(
+        r.pushFilters(
+            [StringStartsWith(("key",), "ab"), StringStartsWith(("key",), "abc"),
+             on_value, not_a_key_op]
+        )
+    )
+    assert residual == [on_value, not_a_key_op]
+    assert r.prefixes == ["ab", "abc"] and r.keys is None
+
+
+def test_kv_prune_is_conservative():
+    """Row-group stats pruning: prune only when the key range provably
+    excludes every absorbed key/prefix; non-string stats never prune."""
+    from hazelcast_jet_contrib_spark.sources.dsv2 import KVStoreReader
+
+    class S:
+        has_min_max = True
+
+        def __init__(self, mn, mx):
+            self.min, self.max = mn, mx
+
+    r = KVStoreReader("/dev/null", "k", "v")
+    r.keys = {"mm"}
+    assert r._prune(S("aa", "cc")) is True  # mm > max
+    assert r._prune(S("ma", "mz")) is False  # in range
+    assert r._prune(S(1, 9)) is False  # non-string stats: keep
+    r2 = KVStoreReader("/dev/null", "k", "v")
+    r2.prefixes = ["zz"]
+    assert r2._prune(S("aa", "cc")) is True  # max sorts below prefix
+    assert r2._prune(S("aa", "zz9")) is False
+
+
+def test_kv_store_end_to_end_matches_ground_truth(spark):
+    """HMGET shape (In on key) + residual on value, checked against the
+    parquet ground truth; the key column is numeric in the store and
+    stringly-typed at the API — the cast happens inside the client."""
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    path = "/root/testdata/sf0.001/customer.parquet"
+    wanted = ["Customer#000000007", "Customer#000000011", "Customer#nope"]
+    df = (
+        spark.read.format("kv_store")
+        .option("path", path)
+        .option("key_col", "c_name")
+        .option("value_col", "c_custkey")
+        .load()
+        .filter(F.col("key").isin(wanted))
+    )
+    got = {(r["key"], r["value"]) for r in df.collect()}
+    assert got == {("Customer#000000007", "7"), ("Customer#000000011", "11")}

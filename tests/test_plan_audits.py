@@ -80,6 +80,28 @@ def test_docstore_catalyst_pushdown_splits_pushed_and_residual(spark):
         assert absorbed not in body, f"absorbed predicate re-evaluated:\n{body}"
 
 
+def test_kv_hash_catalyst_pushdown_splits_pushed_and_residual(spark):
+    """DSv2 kv/hash store: the key-prefix predicate is absorbed as a
+    server-side SCAN MATCH (PushedFilters); the contains predicate on the
+    VALUE has no key-op counterpart and MUST come back as a residual the
+    Spark-side Filter re-checks — while the absorbed prefix must NOT
+    reappear there."""
+    a = audit(QUERIES["kv_hash_catalyst_pushdown"](spark, SF))
+    pushed = a.pushed_filters()
+    assert any("StringStartsWith(key" in p for p in pushed), pushed
+    import re
+
+    residuals = [
+        m.group(1)
+        for m in re.finditer(r"^\(\d+\) Filter.*\n((?:.+\n)*?)\n", a.plan, re.M)
+    ]
+    assert residuals, "expected a residual Filter node for the value contains"
+    body = "\n".join(residuals)
+    assert "Contains(value" in body, body
+    assert "Customer#0000001" not in body, f"absorbed prefix re-evaluated:\n{body}"
+    assert a.exchanges() == 0 and a.python_stages() == 0
+
+
 def test_text_stats_stays_jvm_side(spark):
     a = audit(QUERIES["text_stats"](spark, SF))
     assert a.python_stages() == 0, "text functions must be Catalyst expressions"
