@@ -279,3 +279,33 @@ def test_salted_join_matches_plain_join(spark):
 
     left_rows = salted_join(left, right, "k", salt=8, how="left").count()
     assert left_rows == 502  # 'miss' preserved by the left join
+
+
+def test_bucketed_aggregation_has_zero_exchanges(spark):
+    """groupBy on the bucket key rides the same write-time layout: the
+    partial+final aggregation collapses into one stage with no shuffle
+    between (vs exactly one Exchange for the plain read) — and produces
+    identical results."""
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.operators.skew import bucketed, write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(li, "li_agg_bkt", "l_orderkey", num_buckets=8)
+    try:
+        agg = (
+            bucketed(spark, "li_agg_bkt")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        a = audit(agg)
+        assert a.exchanges() == 0, f"bucketed aggregation still shuffles:\n{a.plan}"
+        plain = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        assert audit(plain).exchanges() == 1
+        got = {(r["l_orderkey"], float(r["qty"])) for r in agg.collect()}
+        want = {(r["l_orderkey"], float(r["qty"])) for r in plain.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_agg_bkt")
