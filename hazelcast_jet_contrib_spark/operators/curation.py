@@ -338,6 +338,65 @@ def chunk_documents(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Unigram-LM quality scoring — the CCNet/Gopher-style perplexity
+    filter every pretraining pipeline runs: train a smoothed unigram
+    language model on the corpus token counts, score each document by
+    its per-token surprise. Documents far above the corpus median are
+    rare-token noise (mojibake, hex dumps); far below are boilerplate.
+
+    Emits per document:
+      * ``n_tokens``        — scored token occurrences,
+      * ``bits_per_token``  — cross-entropy avg(-log2 p(tok)) under the
+        additive-smoothed model p = (c + α) / (N + αV),
+      * ``mean_inv_p``      — avg(1/p), a fully rational perplexity
+        proxy (monotone in token rarity) for consumers that need
+        bit-reproducible scores across engines (libm log2 is not).
+
+    Scale shape: tokenize + explode once (linear); token counts are one
+    shuffle that REDUCES to the vocabulary; the model (token → p) is
+    broadcast back, so scoring adds zero shuffle beyond the per-doc
+    aggregation. Two scalar actions (N, V) are driver-side but O(1).
+    At open-web scale the raw vocabulary is unbounded (typos, hashes) —
+    pass ``min_count`` to collapse tokens below the threshold into one
+    OOV bucket, which bounds the broadcast at the true vocabulary size
+    (the same move CCNet makes by scoring with a fixed tokenizer).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = int(tot["n"]), int(tot["v"])
+    denom = float(n_total) + alpha * (vocab + (1 if min_count else 0))
+    model = counts if min_count is None else counts.filter(F.col("c") >= min_count)
+    probs = model.select(
+        "tok", ((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("p")
+    )
+    if min_count is None:
+        scored = toks.join(F.broadcast(probs), "tok")
+    else:
+        # rare tokens fall back to the OOV bucket's smoothed mass
+        oov_p = alpha / denom
+        scored = toks.join(F.broadcast(probs), "tok", "left").withColumn(
+            "p", F.coalesce(F.col("p"), F.lit(oov_p))
+        )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.avg(-F.log2("p")).alias("bits_per_token"),
+        F.avg(F.lit(1.0) / F.col("p")).alias("mean_inv_p"),
+    )
+
+
 def rarity_weighted_terms(
     df: DataFrame,
     id_col: str,

@@ -515,6 +515,47 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_lm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    clean AS (SELECT id, tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, COUNT(*) AS c FROM clean GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+    probs AS (
+        SELECT tok, (c + 0.5) / (CAST(n AS DOUBLE) + 0.5 * v) AS p
+        FROM counts, tot
+    )
+    SELECT id, CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(AVG(-LOG2(p)), 4) AS bits_per_token,
+           ROUND(AVG(1.0 / p), 2) AS mean_inv_p
+    FROM clean JOIN probs USING (tok)
+    GROUP BY id
+    """,
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scores: per-document cross-entropy
+    (bits/token) under the corpus's own additive-smoothed unigram model,
+    plus the rational mean-inverse-probability perplexity proxy. The
+    model side reduces to the vocabulary and is broadcast back, so the
+    corpus text is read and shuffled exactly once
+    (operators/curation.py unigram_lm_score)."""
+    from hazelcast_jet_contrib_spark.operators.curation import unigram_lm_score
+
+    docs = table(spark, sf_dir, "documents")
+    out = unigram_lm_score(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "id",
+        "n_tokens",
+        F.round("bits_per_token", 4).alias("bits_per_token"),
+        F.round("mean_inv_p", 2).alias("mean_inv_p"),
+    )
+
+
+@query(
     "tfidf_salient_terms",
     oracle="""
     WITH terms AS (

@@ -102,6 +102,7 @@ _PRIORITY = [
     # new in round 4: no CORRECTNESS row yet
     "docstore_catalyst_pushdown",
     "kv_hash_catalyst_pushdown",
+    "unigram_lm_quality",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -285,3 +285,46 @@ def test_rarity_weighted_terms_ranks_rare_terms_first(spark):
     # deterministic tie-break: same score -> lexicographic term order
     again = rarity_weighted_terms(df, "doc_id", "text", top_k=2)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_unigram_lm_score_flags_rare_token_docs(spark):
+    """The rare-token document must score strictly higher (more bits per
+    token, higher mean inverse probability) than documents made of the
+    corpus's common tokens; token counts are exact."""
+    from hazelcast_jet_contrib_spark.operators.curation import unigram_lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [
+        (9, "zqx jvw qkp zqx")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    assert got[0]["n_tokens"] == 6 and got[9]["n_tokens"] == 4
+    common = got[0]
+    rare = got[9]
+    assert rare["bits_per_token"] > common["bits_per_token"]
+    assert rare["mean_inv_p"] > common["mean_inv_p"]
+    # all nine common docs identical text -> identical scores
+    assert len({round(got[i]["bits_per_token"], 9) for i in range(9)}) == 1
+
+
+def test_unigram_lm_min_count_collapses_rare_tokens_to_oov(spark):
+    """min_count bounds the broadcast model: tokens under the threshold
+    score with the single OOV bucket's smoothed mass — every rare token
+    gets the SAME probability, and no document is dropped."""
+    from hazelcast_jet_contrib_spark.operators.curation import unigram_lm_score
+
+    rows = [(i, "alpha beta gamma") for i in range(5)] + [
+        (5, "unique1 unique2"),
+        (6, "unique3 unique4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in unigram_lm_score(df, "doc_id", "text", min_count=2).collect()
+    }
+    assert set(got) == set(range(7))  # OOV-only docs still scored
+    # both all-OOV docs see identical per-token probability
+    assert got[5]["bits_per_token"] == got[6]["bits_per_token"]
+    assert got[5]["mean_inv_p"] == got[6]["mean_inv_p"]
+    # and OOV mass is below any in-model token's probability
+    assert got[5]["bits_per_token"] > got[0]["bits_per_token"]

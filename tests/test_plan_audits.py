@@ -309,3 +309,14 @@ def test_bucketed_aggregation_has_zero_exchanges(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS li_agg_bkt")
+
+
+def test_unigram_lm_quality_broadcasts_model_two_shuffles(spark):
+    """LM scoring reads/shuffles the corpus exactly twice (token counts,
+    per-doc aggregation); the vocabulary model comes back as a broadcast,
+    never a shuffle join; everything stays JVM-side."""
+    a = audit(QUERIES["unigram_lm_quality"](spark, SF))
+    assert a.exchanges() <= 2, f"LM scoring shuffle count grew:\n{a.plan}"
+    assert a.broadcast_joins() >= 1, "vocabulary model must broadcast"
+    assert a.shuffle_joins() == 0, "corpus-side shuffle join crept in"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
