@@ -266,6 +266,65 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup probe — benchmark decontamination: flag every
+    corpus document that is a near-duplicate (Jaccard >= threshold over
+    word shingles) of ANY probe document. `contamination_overlap`
+    (curation.py) catches verbatim n-gram leakage; this catches the
+    paraphrased/reformatted eval questions that slip past exact
+    matching — the standard companion check before training.
+
+    The asymmetry is the scale story: probes (an eval set) are small by
+    definition, so their band keys and shingle hash-sets BROADCAST. The
+    corpus pays exactly the signature aggregation it already pays for
+    self-dedup (one shuffle on id) and then never shuffles again — the
+    band probe and the verification both join against broadcast
+    relations, and only candidate ids flow between them. Corpus-side
+    cost is O(corpus) + O(matches), independent of probe pairing.
+
+    Output: (id, probe_id, jaccard double) for verified matches, exact
+    up to the (1-threshold^2)^bands escape probability (4e-13 at the
+    defaults) — the verification Jaccard itself is exact.
+    """
+    from pyspark import StorageLevel
+
+    base_c = _shingle_sets(corpus, id_col, text_col, shingle_words)
+    base_p = _shingle_sets(probes, id_col, text_col, shingle_words)
+    # corpus aggregate feeds banding + verification: persist like
+    # minhash_lsh_pairs so the scan -> explode -> min-agg runs once
+    agg_c = minhash_signatures(base_c, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    agg_p = minhash_signatures(base_p, num_hashes)
+
+    bands_c = band_keys(agg_c, num_hashes, bands)
+    bands_p = band_keys(agg_p, num_hashes, bands).withColumnRenamed("id", "probe_id")
+    candidates = (
+        bands_c.join(F.broadcast(bands_p), ["band", "bh"])
+        .select("id", "probe_id")
+        .dropDuplicates(["id", "probe_id"])
+    )
+
+    sh_c = agg_c.select("id", F.col("hs").alias("hs_c"))
+    sh_p = agg_p.select(F.col("id").alias("probe_id"), F.col("hs").alias("hs_p"))
+    inter = F.size(F.array_intersect("hs_c", "hs_p")).cast("double")
+    union = F.size("hs_c") + F.size("hs_p") - F.size(F.array_intersect("hs_c", "hs_p"))
+    return (
+        candidates.join(sh_c, "id")
+        .join(F.broadcast(sh_p), "probe_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id", "probe_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs
 # ---------------------------------------------------------------------------

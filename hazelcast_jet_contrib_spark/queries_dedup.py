@@ -243,3 +243,74 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy(F.col("component").alias("component_id")).agg(
         F.count(F.lit(1)).alias("size")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination by NEAR-duplicate: docs with doc_id % 97 == 0
+# play the eval set (suffix-mutated so the match is near, not exact, and
+# re-keyed +5,000,000); every corpus document within Jaccard 0.6 of any
+# eval doc is flagged. The eval side's band keys and shingle sets are
+# broadcast — the corpus shuffles once (its signature aggregation) and
+# never again; see operators/dedup.py minhash_decontaminate.
+# --------------------------------------------------------------------------
+@query(
+    "decontamination_near_dup",
+    oracle=r"""
+    WITH probes AS (
+        SELECT doc_id + 5000000 AS probe_id, text || ' zz yy' AS text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    ctoks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    ptoks AS (
+        SELECT probe_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM probes
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id, s FROM ctoks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    psh AS (
+        SELECT DISTINCT probe_id, s FROM ptoks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
+    psz AS (SELECT probe_id, COUNT(*) AS sz FROM psh GROUP BY probe_id),
+    inter AS (
+        SELECT c.doc_id AS id, p.probe_id, COUNT(*) AS i
+        FROM csh c JOIN psh p ON c.s = p.s
+        GROUP BY 1, 2
+    )
+    SELECT id, inter.probe_id AS probe_id,
+           ROUND(CAST(i AS DOUBLE) / (csz.sz + psz.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN csz ON csz.doc_id = id
+    JOIN psz ON psz.probe_id = inter.probe_id
+    WHERE CAST(i AS DOUBLE) / (csz.sz + psz.sz - i) >= 0.6
+    """,
+)
+def decontamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by near-duplicate: every corpus doc
+    within word-3-gram Jaccard 0.6 of a (mutated) eval doc is flagged
+    with the exact verified Jaccard. Probe bands + shingle sets are
+    broadcast; the corpus shuffles only for its signature aggregation
+    (plan-audited)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import minhash_decontaminate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy")).alias("text"),
+    )
+    # 64 hashes / 32 bands x 2 rows, same trade as minhash_lsh_near_dup:
+    # a J>=0.6 pair escapes with prob (1-0.36)^32 ~= 6e-7 — still
+    # oracle-exact at half the min-aggregate cost, which dominates
+    return minhash_decontaminate(
+        docs, probes, "doc_id", "text", threshold=0.6, num_hashes=64, bands=32
+    )

@@ -103,6 +103,7 @@ _PRIORITY = [
     "docstore_catalyst_pushdown",
     "kv_hash_catalyst_pushdown",
     "unigram_lm_quality",
+    "decontamination_near_dup",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -240,3 +240,30 @@ def test_dedup_canonical_per_cluster_keeps_min_and_singletons(spark):
     )
     # cluster {1,2,3} -> keep 1; 4, 7, 9 untouched (no near-dup)
     assert kept == [1, 4, 7, 9]
+
+
+def test_minhash_decontaminate_flags_only_near_probes(spark):
+    """A corpus doc that shares a mutated eval doc's shingles is flagged
+    with the exact Jaccard; unrelated docs are not; an eval doc with no
+    corpus counterpart flags nothing."""
+    from hazelcast_jet_contrib_spark.operators.dedup import minhash_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different words about astronomy and telescopes and stars and planets orbiting"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, base + " zz yy"),  # near-dup of doc 1
+            (101, "an eval question nobody in the corpus resembles at all in any way whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = minhash_decontaminate(corpus, probes, "doc_id", "text").collect()
+    assert {(r["id"], r["probe_id"]) for r in got} == {(1, 100)}
+    # exact Jaccard: 12 shared shingles of (12 | 14) -> 12/14
+    assert abs(got[0]["jaccard"] - round(12 / 14, 6)) < 1e-9

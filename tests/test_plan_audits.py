@@ -320,3 +320,18 @@ def test_unigram_lm_quality_broadcasts_model_two_shuffles(spark):
     assert a.broadcast_joins() >= 1, "vocabulary model must broadcast"
     assert a.shuffle_joins() == 0, "corpus-side shuffle join crept in"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_decontamination_probe_sides_broadcast(spark):
+    """Decontamination's scale contract: the eval-set band keys and
+    shingle sets arrive as broadcasts (two probe-side broadcast joins);
+    the corpus never band-shuffles — total exchanges stay bounded by the
+    signature aggregation + candidate dedup, with zero Python stages."""
+    a = audit(QUERIES["decontamination_near_dup"](spark, SF))
+    assert a.broadcast_joins() >= 2, f"probe sides must broadcast:\n{a.plan}"
+    # every JOIN is broadcast — the corpus never shuffles to meet the
+    # probes; remaining exchanges are the corpus signature aggregation,
+    # the candidate-pair dedup, and probe-side (eval-set-sized) aggs
+    assert a.shuffle_joins() == 0, f"corpus shuffled to meet probes:\n{a.plan}"
+    assert a.exchanges() <= 8, f"exchange budget regressed:\n{a.plan}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
