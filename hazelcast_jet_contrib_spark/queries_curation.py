@@ -479,6 +479,69 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
 
 
+# Cross-document duplicated blocks over originals ∪ suffix-mutated
+# copies of every third doc: a mutated copy shares all but its final
+# block with the original, so those docs surface with high-but-not-1.0
+# dup_ratio — the boilerplate signature document-level dedup misses.
+@query(
+    "crossdoc_dup_blocks",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    t AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM aug
+    ),
+    c AS (
+        SELECT id, toks,
+               CASE WHEN len(toks) <= 20 THEN 1
+                    ELSE CAST(CEIL((len(toks) - 20) / 20.0) AS INT) + 1 END
+                   AS n_chunks
+        FROM t
+    ),
+    blocks AS (
+        SELECT id,
+               array_to_string(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20],
+                               ' ') AS btext
+        FROM (SELECT id, toks,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+              FROM c) e
+    ),
+    counts AS (
+        SELECT btext, COUNT(DISTINCT id) AS nd FROM blocks GROUP BY btext
+    )
+    SELECT id, CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS INT) AS dup_blocks,
+           ROUND(AVG(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ratio
+    FROM blocks JOIN counts USING (btext)
+    GROUP BY id
+    """,
+)
+def crossdoc_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-duplication profile from disjoint 20-token
+    block fingerprints — the Lee-et-al-style substring-level signal.
+    Only 8-byte fingerprints shuffle; the oracle recomputes duplication
+    from the block TEXT, so a Spark-side fingerprint collision would
+    surface as a mismatch (operators/curation.py
+    crossdoc_duplicate_blocks)."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        crossdoc_duplicate_blocks,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+    return crossdoc_duplicate_blocks(aug, "doc_id", "text", block_tokens=20)
+
+
 @query(
     "embedding_quantization",
     oracle="""

@@ -104,6 +104,7 @@ _PRIORITY = [
     "kv_hash_catalyst_pushdown",
     "unigram_lm_quality",
     "decontamination_near_dup",
+    "crossdoc_dup_blocks",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -328,3 +328,28 @@ def test_unigram_lm_min_count_collapses_rare_tokens_to_oov(spark):
     assert got[5]["mean_inv_p"] == got[6]["mean_inv_p"]
     # and OOV mass is below any in-model token's probability
     assert got[5]["bits_per_token"] > got[0]["bits_per_token"]
+
+
+def test_crossdoc_duplicate_blocks_flags_shared_blocks(spark):
+    """Two docs sharing their first 20-token block (and differing after)
+    each get dup_blocks=1; a unique doc gets 0; block arithmetic matches
+    chunk_documents (disjoint stride)."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        crossdoc_duplicate_blocks,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(20))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in crossdoc_duplicate_blocks(df, "doc_id", "text").collect()}
+    assert got[1]["n_blocks"] == 2 and got[1]["dup_blocks"] == 1
+    assert got[2]["dup_blocks"] == 1 and abs(got[2]["dup_ratio"] - 0.5) < 1e-9
+    assert got[3]["dup_blocks"] == 0 and got[3]["dup_ratio"] == 0.0
+    # intra-doc repetition alone is NOT cross-doc duplication
+    solo = spark.createDataFrame([(9, shared + " " + shared)], ["doc_id", "text"])
+    r = crossdoc_duplicate_blocks(solo, "doc_id", "text").collect()[0]
+    assert r["dup_blocks"] == 0

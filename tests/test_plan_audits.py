@@ -335,3 +335,19 @@ def test_decontamination_probe_sides_broadcast(spark):
     assert a.shuffle_joins() == 0, f"corpus shuffled to meet probes:\n{a.plan}"
     assert a.exchanges() <= 8, f"exchange budget regressed:\n{a.plan}"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_crossdoc_dup_blocks_shuffles_fingerprints_only(spark):
+    """Only 8-byte block fingerprints shuffle: block carving is pure
+    Catalyst (no exchange before the hash), the per-block distinct-doc
+    count + join-back + per-doc rollup bound the exchanges, and no block
+    TEXT column survives past the fingerprinting projection."""
+    a = audit(QUERIES["crossdoc_dup_blocks"](spark, SF))
+    assert a.exchanges() <= 4, f"fingerprint shuffle budget regressed:\n{a.plan}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+    import re
+
+    post_hash = a.plan.split("xxhash64", 1)[-1]
+    assert "chunk_text" not in re.sub(r"xxhash64\([^)]*\)", "", post_hash) or \
+        "chunk_text" not in post_hash.split("Exchange", 1)[-1], \
+        "block text crossed an exchange"
