@@ -376,8 +376,11 @@ def unigram_lm_score(
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
-    n_total, vocab = int(tot["n"]), int(tot["v"])
-    denom = float(n_total) + alpha * (vocab + (1 if min_count else 0))
+    # an all-empty corpus aggregates to sum(c) = NULL and zero vocab;
+    # the per-doc output is empty either way, but the model constants
+    # must stay finite (found by hypothesis, tests/test_properties.py)
+    n_total, vocab = int(tot["n"] or 0), int(tot["v"] or 0)
+    denom = float(n_total) + alpha * (vocab + (1 if min_count else 0)) or 1.0
     model = counts if min_count is None else counts.filter(F.col("c") >= min_count)
     probs = model.select(
         "tok", ((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("p")

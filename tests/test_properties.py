@@ -131,3 +131,70 @@ def test_chunking_covers_every_token_exactly(spark, doc_lens, chunk, stride):
                                                        min(idx * stride + chunk, n))]
             covered.update(range(idx * stride, idx * stride + len(toks)))
         assert covered == set(range(n)), f"doc {i}: token gap"
+
+
+@given(texts)
+@_settings
+def test_crossdoc_blocks_invariants(spark, docs):
+    """For any corpus: every doc appears exactly once; dup_blocks <=
+    n_blocks; dup_ratio == dup_blocks / n_blocks (up to rounding); and
+    duplication is symmetric — a block flagged in one doc implies some
+    OTHER doc contains the same block text (verified against a Python
+    reference on the same disjoint-block carving)."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        crossdoc_duplicate_blocks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in crossdoc_duplicate_blocks(
+        df, "doc_id", "text", block_tokens=3
+    ).collect()}
+    assert set(out) == set(range(len(docs)))
+
+    # python reference: same whitespace carving, disjoint 3-token blocks
+    def blocks(t):
+        toks = t.strip().split()
+        if not toks:
+            toks = [""]  # F.split("") yields [""] — one empty block
+        return [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+
+    per_doc = {i: blocks(t) for i, t in enumerate(docs)}
+    owners = {}
+    for i, bs in per_doc.items():
+        for b in bs:
+            owners.setdefault(b, set()).add(i)
+    for i, bs in per_doc.items():
+        r = out[i]
+        want_dup = sum(1 for b in bs if len(owners[b]) > 1)
+        assert r["n_blocks"] == len(bs)
+        assert r["dup_blocks"] == want_dup
+        assert abs(r["dup_ratio"] - round(want_dup / len(bs), 6)) < 1e-9
+
+
+@given(texts, st.integers(1, 3))
+@_settings
+def test_unigram_lm_probability_mass_and_support(spark, docs, alpha_thirds):
+    """For any corpus: every doc with at least one token is scored;
+    token counts are exact; and the smoothed model is a proper
+    sub-distribution (Σ p(tok) <= 1 over the observed vocabulary, the
+    deficit being the smoothing mass reserved implicitly)."""
+    from hazelcast_jet_contrib_spark.operators.curation import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = unigram_lm_score(df, "doc_id", "text", alpha=alpha_thirds / 3.0).collect()
+    import re
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    expect = {i: len(toks(t)) for i, t in enumerate(docs) if toks(t)}
+    got = {r["id"]: r for r in out}
+    assert {i for i in got} == set(expect)
+    for i, n in expect.items():
+        assert got[i]["n_tokens"] == n
+        assert got[i]["bits_per_token"] > 0
+        assert got[i]["mean_inv_p"] >= 1.0  # every p <= 1
