@@ -80,6 +80,7 @@ def main() -> None:
     RETIME_SEC = 2.0
     retimed: list[str] = []
     timings: dict[str, float] = {}
+    shuffles: dict[str, dict[str, float]] = {}
     for name in sorted(QUERIES):
         if name_filters and not any(f in name for f in name_filters):
             continue
@@ -112,11 +113,30 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t1 = time.perf_counter()
             try:
-                fn(spark, SF_DIR).collect()
+                df = fn(spark, SF_DIR)
+                df.collect()
                 second = round(time.perf_counter() - t1, 3)
                 if second < timings[name]:
                     timings[name] = second
                 retimed.append(name)
+            except Exception:
+                pass
+        # Measured shuffle volume of the last executed run, read from the
+        # executed plan's SQL metric accumulators AFTER the timed window
+        # (pure py4j reads, no recomputation). This is the per-query
+        # scale evidence: records/bytes that actually crossed an
+        # exchange at this SF, comparable round-over-round.
+        if timings[name] >= 0:
+            try:
+                from hazelcast_jet_contrib_spark.plans.audit import (
+                    executed_shuffle_stats,
+                )
+
+                s = executed_shuffle_stats(df)
+                shuffles[name] = {
+                    "records": s["shuffle_records"],
+                    "mb": round(s["shuffle_bytes"] / 1e6, 2),
+                }
             except Exception:
                 pass
         # per-query isolation: the dedup/similarity queries persist
@@ -155,6 +175,10 @@ def main() -> None:
         # and were re-timed (min of 2 reported) — see loop comment
         "retime_threshold_sec": 2.0,
         "retimed": sorted(retimed),
+        # measured shuffle volume per query (records / MB written across
+        # every exchange of the executed plan, cached subtrees counted
+        # once) — the round-over-round scale-regression surface
+        "shuffle": shuffles,
         # Sub-second queries are NOT retimed, so they carry documented
         # host-interference noise. r03 flagged setop_building_urgent_-
         # customers 0.30->0.84s; r04 isolation runs (bench.py single-query

@@ -192,6 +192,52 @@ def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
     return totals
 
 
+def executed_scan_stats(df: DataFrame) -> dict[str, int]:
+    """Measured file-scan totals of THIS DataFrame's finished execution:
+    summed ``numFiles`` / ``filesSize`` over every file-source scan in
+    the final adaptive plan. This is how partition pruning is PROVEN
+    rather than claimed: a date-filtered query over a date-partitioned
+    table must report fewer files than the table holds
+    (tests/test_plan_audits.py). Caller must have run an action on
+    ``df`` itself."""
+    totals = {"files": 0, "bytes": 0, "scans": 0}
+    jvm = df.sparkSession._jvm
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        i = jvm.System.identityHashCode(node)
+        if i in seen:
+            return
+        seen.add(i)
+        cname = node.getClass().getSimpleName()
+        if cname.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in cname:
+            walk(node.plan())
+            return
+        if "FileSourceScan" in cname:
+            m: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            totals["scans"] += 1
+            totals["files"] += int(m.get("numFiles", 0))
+            totals["bytes"] += int(m.get("filesSize", 0))
+        if "InMemoryTableScan" in cname:
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+        ch = node.children()
+        for k in range(ch.size()):
+            walk(ch.apply(k))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
+
+
 def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
     """Audit `df`'s physical plan. With `execute=True` the query is run
     first (use a small scale factor) so AQE-finalized facts — the

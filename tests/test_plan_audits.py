@@ -351,3 +351,44 @@ def test_crossdoc_dup_blocks_shuffles_fingerprints_only(spark):
     assert "chunk_text" not in re.sub(r"xxhash64\([^)]*\)", "", post_hash) or \
         "chunk_text" not in post_hash.split("Exchange", 1)[-1], \
         "block text crossed an exchange"
+
+
+def test_date_partition_pruning_reads_only_matching_files(spark, tmp_path):
+    """Hive-style date partitioning — the other write-time layout lever
+    (bucketing co-locates joins; partitioning prunes scans). A
+    day-filtered query over a day-partitioned table must (a) carry the
+    predicate as a PartitionFilter, not a data filter, and (b) provably
+    open only that day's files — asserted from the executed scan's
+    numFiles metric, not the plan text."""
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.plans.audit import executed_scan_stats
+    from hazelcast_jet_contrib_spark.registry import table
+
+    ev = table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 1, "fixture must span multiple days"
+
+    part = spark.read.parquet(path)
+    one_day = ev.select(F.min("day")).collect()[0][0]
+    q = part.filter(F.col("day") == F.lit(one_day))
+    rows = q.collect()
+
+    a = audit(q)
+    assert "PartitionFilters" in a.plan and str(one_day) in a.plan.split(
+        "PushedFilters"
+    )[0], f"day predicate must be a partition filter:\n{a.plan}"
+
+    pruned = executed_scan_stats(q)
+    full_df = part.select(F.count(F.lit(1)))
+    full_df.collect()
+    full = executed_scan_stats(full_df)
+    assert pruned["files"] * n_days <= full["files"] * 2, (
+        f"pruning read {pruned['files']} files vs {full['files']} total "
+        f"across {n_days} days"
+    )
+    # ground truth: same rows as filtering the unpartitioned frame
+    want = ev.filter(F.col("day") == F.lit(one_day)).count()
+    assert len(rows) == want > 0
