@@ -400,6 +400,56 @@ def unigram_lm_score(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Mixture temperature resampling — the multilingual/domain
+    balancing step (GPT-3-style p ∝ cᵀ): deterministically downsample
+    each group so effective sizes follow ``count^temperature``, keeping
+    the smallest group intact. Per-group keep rate is
+    ``(c_min / c_g)^(1 - T)`` — T=1 keeps everything, T=0 levels every
+    group down to the smallest.
+
+    Scale shape: one count aggregation that reduces to the group
+    domain, one O(1) driver scalar (the min), rates broadcast back, and
+    a deterministic hash-threshold accept per row (the same Knuth-hash
+    convention as ``stratified_sample`` — reproducible across runs and
+    engines, no RNG state). The corpus itself never shuffles.
+
+    T = 0.5 (and 0.25, 0.75 via chained sqrt) uses ``sqrt``, which IEEE
+    754 requires correctly rounded — so an external SQL oracle can pin
+    every accept decision bit-exactly. Other temperatures fall back to
+    ``pow``, which libm does NOT guarantee identical across engines;
+    fine for production, not for exact cross-engine replay.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c__"))
+    cmin = counts.agg(F.min("__c__")).collect()[0][0]
+    if cmin is None:
+        return df.limit(0)
+    ratio = F.lit(float(cmin)) / F.col("__c__")
+    expo = 1.0 - temperature
+    if abs(expo - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    elif abs(expo - 0.25) < 1e-12:
+        rate = F.sqrt(F.sqrt(ratio))
+    elif abs(expo - 0.75) < 1e-12:
+        rate = F.sqrt(ratio) * F.sqrt(F.sqrt(ratio))
+    else:
+        rate = F.pow(ratio, F.lit(expo))
+    rates = counts.withColumn("__rate__", rate)
+    accept = (
+        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") < F.col("__rate__") * F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(accept)
+        .drop("__c__", "__rate__")
+    )
+
+
 def crossdoc_duplicate_blocks(
     df: DataFrame,
     id_col: str,

@@ -479,6 +479,31 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
 
 
+# Mixture temperature resampling at T=0.5: effective per-language sizes
+# follow sqrt(count); the smallest language keeps every document. sqrt
+# is IEEE-correctly-rounded, so the oracle pins every accept decision.
+@query(
+    "temperature_resample_by_lang",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT MIN(c) AS cmin FROM c),
+    r AS (SELECT lang, SQRT(CAST(cmin AS DOUBLE) / c) AS rate FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+          < rate * 4294967296
+    """,
+)
+def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture balancing: deterministic hash-threshold
+    downsampling to count^0.5 effective sizes (operators/curation.py
+    temperature_resample). Rates broadcast; the corpus never shuffles."""
+    from hazelcast_jet_contrib_spark.operators.curation import temperature_resample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(docs, "lang", "doc_id", temperature=0.5)
+
+
 # Cross-document duplicated blocks over originals ∪ suffix-mutated
 # copies of every third doc: a mutated copy shares all but its final
 # block with the original, so those docs surface with high-but-not-1.0

@@ -105,6 +105,7 @@ _PRIORITY = [
     "unigram_lm_quality",
     "decontamination_near_dup",
     "crossdoc_dup_blocks",
+    "temperature_resample_by_lang",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -353,3 +353,42 @@ def test_crossdoc_duplicate_blocks_flags_shared_blocks(spark):
     solo = spark.createDataFrame([(9, shared + " " + shared)], ["doc_id", "text"])
     r = crossdoc_duplicate_blocks(solo, "doc_id", "text").collect()[0]
     assert r["dup_blocks"] == 0
+
+
+def test_temperature_resample_levels_groups(spark):
+    """T=0: every group levels to ~the smallest group's size; T=1 keeps
+    everything; T=0.5 lands between, monotone in group size; the
+    smallest group always keeps every row; accept decisions are
+    deterministic across runs."""
+    from hazelcast_jet_contrib_spark.operators.curation import temperature_resample
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+
+    t1 = temperature_resample(df, "grp", "doc_id", temperature=1.0)
+    assert t1.count() == len(rows)  # T=1: no resampling
+
+    t0 = {
+        r["grp"]: r["n"]
+        for r in temperature_resample(df, "grp", "doc_id", temperature=0.0)
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert t0["small"] == 25  # smallest group intact
+    # hash acceptance is binomial around rate*n; allow generous slack
+    assert 10 <= t0["big"] <= 45 and 12 <= t0["mid"] <= 42
+
+    th = {
+        r["grp"]: r["n"]
+        for r in temperature_resample(df, "grp", "doc_id", temperature=0.5)
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert th["small"] == 25
+    assert t0["big"] <= th["big"] <= 400  # T=0.5 keeps more than T=0
+    # determinism: identical output set on a second run
+    a = {r["doc_id"] for r in temperature_resample(df, "grp", "doc_id", 0.5).collect()}
+    b = {r["doc_id"] for r in temperature_resample(df, "grp", "doc_id", 0.5).collect()}
+    assert a == b

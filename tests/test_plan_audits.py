@@ -392,3 +392,14 @@ def test_date_partition_pruning_reads_only_matching_files(spark, tmp_path):
     # ground truth: same rows as filtering the unpartitioned frame
     want = ev.filter(F.col("day") == F.lit(one_day)).count()
     assert len(rows) == want > 0
+
+
+def test_temperature_resample_broadcasts_rates_no_corpus_shuffle(spark):
+    """The per-group rates (a handful of rows) broadcast back; the
+    corpus itself never shuffles — the only exchange is the group-count
+    aggregation that REDUCES to the group domain."""
+    a = audit(QUERIES["temperature_resample_by_lang"](spark, SF))
+    assert a.broadcast_joins() >= 1, f"rates must broadcast:\n{a.plan}"
+    assert a.shuffle_joins() == 0
+    assert a.exchanges() <= 1, f"corpus shuffle crept in:\n{a.plan}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
