@@ -423,6 +423,110 @@ def simhash_pairs(
     )
 
 
+def simhash_signature128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """128-bit SimHash per document as TWO long columns (sig0, sig1):
+    the corpus-scale escape hatch for SimHash's chance-collision growth.
+    Bit b of word w votes by bit b of xxhash64(token, seed=w) — two
+    independent seeded hashes give 128 independent bits. Same
+    codegen-friendly shape as the 64-bit form, twice the vote columns."""
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
+        ).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h0"), F.xxhash64("tok", F.lit(1)).alias("h1"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{w}_{b}")
+            for w in (0, 1)
+            for b in range(64)
+        ]
+    )
+    sigs = []
+    for w in (0, 1):
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            sig = sig.bitwiseOR(
+                F.when(
+                    F.col(f"v{w}_{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        sigs.append(sig.alias(f"sig{w}"))
+    return votes.select("id", *sigs)
+
+
+def simhash128_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with 128-bit SimHash distance <= max_hamming —
+    same pigeonhole-exact banding as `simhash_pairs`, but each band
+    slice is 128/bands bits wide. At the default 4 bands that is 32
+    bits per band, so CHANCE band collisions drop from the 64-bit
+    form's 4·C(n,2)/2¹⁶ to 4·C(n,2)/2³² — a 65,536× reduction that
+    keeps the in-bucket join linear well past 10⁹ documents (measured:
+    tests/test_dedup_similarity.py chance-collision comparison).
+    Output (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError("exact recall requires max_hamming < bands")
+    if 128 % bands or 64 % (128 // bands):
+        raise ValueError("bands must divide 128 into word-aligned slices")
+    from pyspark import StorageLevel
+
+    width = 128 // bands
+    per_word = 64 // width  # band slices per 64-bit word
+    mask = (1 << width) - 1 if width < 64 else -1
+    sig = simhash_signature128(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(f"sig{b // per_word}", (b % per_word) * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bs"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", "sig0", "sig1", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "id", "sig0", "sig1",
+        F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs"),
+    )
+    banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = hamming_distance(F.col("a.sig0"), F.col("b.sig0")) + hamming_distance(
+        F.col("a.sig1"), F.col("b.sig1")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bs") == F.col("b.bs"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup pairs
 # ---------------------------------------------------------------------------

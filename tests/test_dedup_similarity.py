@@ -267,3 +267,83 @@ def test_minhash_decontaminate_flags_only_near_probes(spark):
     assert {(r["id"], r["probe_id"]) for r in got} == {(1, 100)}
     # exact Jaccard: 12 shared shingles of (12 | 14) -> 12/14
     assert abs(got[0]["jaccard"] - round(12 / 14, 6)) < 1e-9
+
+
+def test_simhash128_recall_matches_brute_force(spark):
+    """Pigeonhole-exact recall at 128 bits: the banded pair set must
+    equal the brute-force hamming<=3 pair set over the same signatures
+    (including planted exact copies at hamming 0)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        simhash128_pairs,
+        simhash_signature128,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash128_pairs(aug, "doc_id", "text", max_hamming=3).collect()
+    }
+    sig = simhash_signature128(aug, "doc_id", "text")
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = (
+        F.bit_count(F.col("a.sig0").bitwiseXOR(F.col("b.sig0")))
+        + F.bit_count(F.col("a.sig1").bitwiseXOR(F.col("b.sig1")))
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute and len(got) >= docs.count()  # all planted copies found
+
+
+def test_simhash128_kills_chance_band_collisions(spark):
+    """The scale claim, measured: on unrelated random docs, 64-bit
+    SimHash (4 x 16-bit bands) accumulates chance band-candidate pairs
+    ~ 4*C(n,2)/2^16, while 128-bit (4 x 32-bit bands) sees ~none."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        simhash_signature,
+        simhash_signature128,
+    )
+
+    n = 2000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda p: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), p), F.lit(50000)).cast("string")
+        ),
+    )
+    docs = spark.range(n).select("id", F.concat_ws(" ", words).alias("text"))
+
+    def band_pairs(sig_df, cols, width):
+        mask = (1 << width) - 1 if width < 64 else -1
+        per_word = 64 // width
+        bands = [
+            F.shiftrightunsigned(cols[b // per_word], (b % per_word) * width)
+            .bitwiseAND(F.lit(mask)).alias(f"b{b}")
+            for b in range(4)
+        ]
+        banded = sig_df.select("id", *bands)
+        total = 0
+        for b in range(4):
+            sizes = banded.groupBy(f"b{b}").agg(F.count(F.lit(1)).alias("n"))
+            total += int(
+                sizes.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+            )
+        return total
+
+    c64 = band_pairs(simhash_signature(docs, "id", "text"), ["sig", "sig"], 16)
+    c128 = band_pairs(
+        simhash_signature128(docs, "id", "text"), ["sig0", "sig1"], 32
+    )
+    # E[c64] = 4*C(2000,2)/2^16 ~= 122; E[c128] = 4*C(2000,2)/2^32 ~= 0.002
+    assert c64 > 30, f"expected substantial 16-bit chance collisions, got {c64}"
+    assert c128 <= 2, f"32-bit bands should kill chance collisions, got {c128}"
