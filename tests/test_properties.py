@@ -196,5 +196,7 @@ def test_unigram_lm_probability_mass_and_support(spark, docs, alpha_thirds):
     assert {i for i in got} == set(expect)
     for i, n in expect.items():
         assert got[i]["n_tokens"] == n
-        assert got[i]["bits_per_token"] > 0
+        # a single-token vocabulary gives p = (c+α)/(n+αv) = 1 exactly,
+        # so 0 bits is attainable — the bound is >= 0, not > 0
+        assert got[i]["bits_per_token"] >= 0
         assert got[i]["mean_inv_p"] >= 1.0  # every p <= 1
