@@ -411,3 +411,43 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null_missing"),
         )
     )
+
+
+# Same recall-gate contract for the 128-bit SimHash variant (the
+# chance-collision escape hatch): every planted exact copy must come
+# back at hamming 0 through the 4x32-bit banding. The raw pair set is
+# engine-hash-dependent (not SQL-expressible); the exact pair-set
+# semantics are pinned against brute force in
+# tests/test_dedup_similarity.py::test_simhash128_recall_matches_brute_force.
+@query(
+    "simhash128_near_dup",
+    oracle="""
+    SELECT COUNT(*) AS planted_total,
+           COUNT(*) AS planted_found,
+           COUNT(*) AS planted_hamming0
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_contrib_spark.operators.dedup import simhash128_pairs
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = simhash128_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+    planted = pairs.filter(
+        (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
+    )
+    return docs.agg(F.count("*").alias("planted_total")).join(
+        planted.agg(
+            F.count("*").alias("planted_found"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).alias(
+                "planted_hamming0"
+            ),
+        )
+    )

@@ -106,6 +106,7 @@ _PRIORITY = [
     "decontamination_near_dup",
     "crossdoc_dup_blocks",
     "temperature_resample_by_lang",
+    "simhash128_near_dup",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged
