@@ -165,6 +165,45 @@ def docstore_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSv2 optimizer-driven time-range pushdown over the time-series store:
+# the same window as measurement_timeseries_read, but arriving as a
+# plain .filter() that Catalyst pushes into the client read — the
+# fourth and last store family on the pushFilters pattern. The tag
+# equality has no counterpart in the reader's time-range language and
+# returns as a residual Spark re-checks post-scan.
+@query(
+    "timeseries_catalyst_pushdown",
+    oracle="""
+    SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS time, value AS val
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type <> 'click'
+    """,
+)
+def timeseries_catalyst_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    # runtime-settable, so this works under the driver's bare session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    df = (
+        spark.read.format("ts_store")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("time_col", "ts")
+        .option("tag_col", "event_type")
+        .option("field_col", "value")
+        .load()
+    )
+    return df.filter(
+        (F.col("time") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("time") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        & (F.col("tag") != "click")
+    )
+
+
 # DSv2 optimizer-driven key pushdown over the KV/hash store: where
 # kv_hash_snapshot is HGETALL (full snapshot), a plain .filter() on the
 # key column narrows the store read to the server-side key ops a hash

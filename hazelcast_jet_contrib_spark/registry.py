@@ -107,6 +107,7 @@ _PRIORITY = [
     "crossdoc_dup_blocks",
     "temperature_resample_by_lang",
     "simhash128_near_dup",
+    "timeseries_catalyst_pushdown",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -40,7 +40,12 @@ class _RowGroup(InputPartition):
 
 
 def _attr_name(f: Filter) -> str:
-    a = f.attribute
+    """Column name of a simple comparison filter; "" for compound
+    filters (Not/And/...) that carry no single attribute — every reader
+    treats "" as not-pushable and yields the filter back to Spark."""
+    a = getattr(f, "attribute", None)
+    if a is None:
+        return ""
     return a[-1] if isinstance(a, (tuple, list)) else str(a)
 
 
@@ -374,7 +379,154 @@ class DocStoreDataSource(DataSource):
         return DocStoreReader(path, list(schema.fieldNames()))
 
 
+class TimeSeriesStoreReader(DataSourceReader):
+    """Time-series store reader with optimizer-driven time-range
+    pushdown — the fourth and last store family on the pushFilters
+    pattern. The manual `sources/timeseries.py` source takes the time
+    range as builder arguments (the reference's own mechanism,
+    InfluxDbSources.java:79-221 where the range lives inside the
+    caller's query string); here a plain ``.filter(col("time") >= x)``
+    reaches the store via Catalyst, composing with any view or join
+    that narrows the window.
+
+    Bounds are kept in integer epoch NANOSECONDS (the store's native
+    resolution — no float rounding surface); the same
+    tighten-never-relax rules as the zset reader apply, including
+    EqualTo never relaxing a strict bound at an equal value. Absorbed
+    predicates execute inside the client as row-group statistics
+    pruning + an arrow timestamp mask; everything else returns to
+    Spark."""
+
+    def __init__(self, path: str, time_col: str, tag_col: str, field_col: str):
+        self.path = path
+        self.time_col = time_col
+        self.tag_col = tag_col
+        self.field_col = field_col
+        self.lo: float = -math.inf  # epoch ns (int) or ±inf sentinel
+        self.hi: float = math.inf
+        self.lo_strict = False
+        self.hi_strict = False
+
+    @staticmethod
+    def _ns(value) -> int | None:
+        import datetime
+
+        import pandas as pd
+
+        if isinstance(value, datetime.datetime):
+            ts = pd.Timestamp(value)
+            if ts.tzinfo is not None:
+                ts = ts.tz_convert("UTC").tz_localize(None)
+            return ts.value
+        return None
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            v = (
+                self._ns(f.value)
+                if _attr_name(f) == "time"
+                and isinstance(
+                    f,
+                    (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo),
+                )
+                else None
+            )
+            if v is None:
+                yield f  # not a pushable time comparison: Spark re-checks
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                strict = isinstance(f, GreaterThan)
+                if v > self.lo or (v == self.lo and strict):
+                    self.lo, self.lo_strict = v, strict
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                strict = isinstance(f, LessThan)
+                if v < self.hi or (v == self.hi and strict):
+                    self.hi, self.hi_strict = v, strict
+            else:  # EqualTo: tighten only, never relax strictness
+                if v > self.lo:
+                    self.lo, self.lo_strict = v, False
+                if v < self.hi:
+                    self.hi, self.hi_strict = v, False
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = max(1, pq.ParquetFile(self.path).metadata.num_row_groups)
+        return [_RowGroup(i) for i in range(n)]
+
+    def read(self, partition: _RowGroup):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        col_idx = md.schema.names.index(self.time_col)
+        stats = md.row_group(partition.index).column(col_idx).statistics
+        if stats is not None and stats.has_min_max:
+            try:
+                mn, mx = pd.Timestamp(stats.min).value, pd.Timestamp(stats.max).value
+                if mn > self.hi or mx < self.lo:
+                    return
+            except (TypeError, ValueError):
+                pass  # un-interpretable stats: read the group
+        tbl = pf.read_row_group(
+            partition.index, columns=[self.tag_col, self.time_col, self.field_col]
+        )
+        t_ns = pc.cast(tbl[self.time_col], pa.timestamp("ns"))
+        mask = None
+        if self.lo != -math.inf:
+            s = pa.scalar(int(self.lo), pa.timestamp("ns"))
+            mask = (pc.greater if self.lo_strict else pc.greater_equal)(t_ns, s)
+        if self.hi != math.inf:
+            s = pa.scalar(int(self.hi), pa.timestamp("ns"))
+            m = (pc.less if self.hi_strict else pc.less_equal)(t_ns, s)
+            mask = m if mask is None else pc.and_(mask, m)
+        out = pa.table(
+            {
+                "tag": pc.cast(tbl[self.tag_col], pa.string()),
+                # Spark timestamps are MICROS; truncate like the batch
+                # reader's timestamp_micros(ts div 1000) conversion
+                "time": pc.cast(t_ns, pa.timestamp("us")),
+                "val": pc.cast(tbl[self.field_col], pa.float64()),
+            }
+        )
+        if mask is not None:
+            out = out.filter(mask)
+        yield from out.to_batches()
+
+
+class TimeSeriesStoreDataSource(DataSource):
+    """``spark.read.format("ts_store").option("path", p)
+    .option("time_col", t).option("tag_col", g).option("field_col", f)
+    .load()`` → ``(tag string, time timestamp, val double)`` with time
+    comparisons pushed into the store read by the optimizer.
+
+    Register once per session:
+        spark.dataSource.register(TimeSeriesStoreDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ts_store"
+
+    def schema(self) -> str:
+        return "tag string, time timestamp, val double"
+
+    def reader(self, schema) -> TimeSeriesStoreReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("ts_store requires option 'path'")
+        return TimeSeriesStoreReader(
+            path,
+            self.options.get("time_col", "time"),
+            self.options.get("tag_col", "tag"),
+            self.options.get("field_col", "value"),
+        )
+
+
 def register(spark) -> None:
     spark.dataSource.register(ZSetStoreDataSource)
     spark.dataSource.register(DocStoreDataSource)
     spark.dataSource.register(KVStoreDataSource)
+    spark.dataSource.register(TimeSeriesStoreDataSource)

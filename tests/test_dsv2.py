@@ -222,3 +222,86 @@ def test_kv_store_end_to_end_matches_ground_truth(spark):
     )
     got = {(r["key"], r["value"]) for r in df.collect()}
     assert got == {("Customer#000000007", "7"), ("Customer#000000011", "11")}
+
+
+def test_ts_pushfilters_converts_bounds_to_epoch_ns():
+    """Time comparisons become integer epoch-ns bounds (the store's
+    native resolution — no float rounding surface); tag/val predicates
+    have no time-range counterpart and return to Spark."""
+    import datetime
+
+    from hazelcast_jet_contrib_spark.sources.dsv2 import TimeSeriesStoreReader
+
+    r = TimeSeriesStoreReader("/dev/null", "ts", "event_type", "value")
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 12)
+    on_tag = EqualTo(("tag",), "click")
+    residual = list(
+        r.pushFilters([GreaterThanOrEqual(("time",), lo), LessThan(("time",), hi), on_tag])
+    )
+    assert residual == [on_tag]
+    assert (r.lo, r.lo_strict) == (1704844800000000000, False)
+    assert (r.hi, r.hi_strict) == (1705017600000000000, True)
+
+
+def test_ts_pushfilters_equal_to_never_relaxes_strict_bound():
+    """time > v then time = v is unsatisfiable; both absorbed, so the
+    range must stay empty — same tighten-only rule as the zset reader."""
+    import datetime
+
+    from hazelcast_jet_contrib_spark.sources.dsv2 import TimeSeriesStoreReader
+
+    r = TimeSeriesStoreReader("/dev/null", "ts", "event_type", "value")
+    v = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    assert list(r.pushFilters([GreaterThan(("time",), v), EqualTo(("time",), v)])) == []
+    assert r.lo == r.hi and r.lo_strict  # (v, v] admits nothing
+
+
+def test_ts_pushfilters_non_datetime_value_is_yielded():
+    """A time comparison whose literal isn't a datetime (e.g. a string
+    that Catalyst didn't fold) cannot be converted to ns — it must come
+    back for Spark to re-check, not be silently dropped."""
+    import math as _math
+
+    from hazelcast_jet_contrib_spark.sources.dsv2 import TimeSeriesStoreReader
+
+    r = TimeSeriesStoreReader("/dev/null", "ts", "event_type", "value")
+    f = GreaterThan(("time",), "2024-01-10")
+    assert list(r.pushFilters([f])) == [f]
+    assert r.lo == -_math.inf and r.hi == _math.inf
+
+
+def test_ts_store_end_to_end_matches_ground_truth(spark):
+    """Range + residual tag predicate against the parquet ground truth;
+    exactness across the ns→us truncation boundary."""
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = (
+        spark.read.format("ts_store")
+        .option("path", path)
+        .option("time_col", "ts")
+        .option("tag_col", "event_type")
+        .option("field_col", "value")
+        .load()
+        .filter(
+            (F.col("time") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("time") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("tag") != "click")
+        )
+    )
+    got = {(r["tag"], r["time"], r["val"]) for r in df.collect()}
+    truth = {
+        (str(r["event_type"]), r["ts"], float(r["value"]))
+        for r in spark.read.parquet(path)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") != "click")
+        )
+        .select("event_type", "ts", "value")
+        .collect()
+    }
+    assert got == truth and len(got) > 0

@@ -102,6 +102,31 @@ def test_kv_hash_catalyst_pushdown_splits_pushed_and_residual(spark):
     assert a.exchanges() == 0 and a.python_stages() == 0
 
 
+def test_timeseries_catalyst_pushdown_splits_pushed_and_residual(spark):
+    """DSv2 time-series store: the time-range comparisons are absorbed
+    into the store's row-group pruning + arrow mask (PushedFilters); the
+    tag inequality has no time-range counterpart and MUST come back as a
+    residual the Spark-side Filter re-checks — while the absorbed time
+    constants must NOT reappear there."""
+    a = audit(QUERIES["timeseries_catalyst_pushdown"](spark, SF))
+    pushed = a.pushed_filters()
+    assert any("GreaterThanOrEqual(time" in p for p in pushed), pushed
+    assert any("LessThan(time" in p for p in pushed), pushed
+    import re
+
+    residuals = [
+        m.group(1)
+        for m in re.finditer(r"^\(\d+\) Filter.*\n((?:.+\n)*?)\n", a.plan, re.M)
+    ]
+    assert residuals, "expected a residual Filter node for the tag inequality"
+    body = "\n".join(residuals)
+    assert "click" in body, body
+    assert "2024-01-10" not in body and "2024-01-12" not in body, (
+        f"absorbed time range re-evaluated Spark-side:\n{body}"
+    )
+    assert a.exchanges() == 0
+
+
 def test_text_stats_stays_jvm_side(spark):
     a = audit(QUERIES["text_stats"](spark, SF))
     assert a.python_stages() == 0, "text functions must be Catalyst expressions"
