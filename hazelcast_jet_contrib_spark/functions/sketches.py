@@ -145,3 +145,123 @@ def kll_merge_grouped(
 def kll_quantile(sketch_col: Column | str, rank: float) -> Column:
     """Value at the given rank in [0, 1] (0.5 = median)."""
     return F.kll_sketch_get_quantile_double(_c(sketch_col), F.lit(rank))
+
+
+# -- Bloom filter & Count-Min: mergeable sketches built from pure -----------
+# Catalyst bit/counter aggregation (no sketch library, no Python stage).
+#
+# Same create/accumulate/combine/exportFinish contract as the reference's
+# probabilistic module (ProbabilisticAggregations.java:65-69), instantiated
+# for MEMBERSHIP (Bloom: partial bitmaps combine with bit_or) and FREQUENCY
+# (Count-Min: partial counter grids combine with elementwise sum). Both
+# sketches are tables of fixed maximum size — 2^m_bits/32 words, d*w
+# counters — so the exchange that builds them moves O(sketch) bytes
+# regardless of input row count, and the probe side joins against a
+# broadcast-able sketch: the 100 TB "have we seen this URL" / "how hot is
+# this key" shapes with no shuffle of the raw key sets.
+#
+# The hash family is affine mod the Mersenne prime 2^31-1 with all
+# intermediates < 2^62: exactly computable in int64 by BOTH Spark and
+# ANSI-SQL engines, so every derived query gets a full value-hash oracle
+# (unlike xxhash64, which only Spark can evaluate).
+
+P_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def affine_hash(key: Column | str, i: Column | int) -> Column:
+    """i-th member of a pairwise-independent-ish affine family over a
+    non-negative integer key: ((a_i*(key mod P) + b_i) mod P, with
+    a_i = 2654435761*(i+1) mod P (Knuth multiplier), b_i =
+    1013904223*(i+1) mod P. a_i*(key mod P) < P^2 < 2^62: no overflow
+    in int64, in any engine."""
+    i1 = (i if isinstance(i, Column) else F.lit(i)) + F.lit(1)
+    a = (F.lit(2654435761) * i1.cast("long")) % P_MERSENNE
+    b = (F.lit(1013904223).cast("long") * i1.cast("long")) % P_MERSENNE
+    return (a * (_c(key) % P_MERSENNE) + b) % P_MERSENNE
+
+
+def _positions(df, key_col: str, m_bits: int, k: int):
+    """(key, pos) — k bit positions per key, one row each."""
+    return df.select(
+        F.col(key_col).alias("__key__"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i__"),
+    ).select(
+        "__key__", (affine_hash("__key__", F.col("__i__")) % m_bits).alias("__pos__")
+    )
+
+
+def bloom_build(df, key_col: str, m_bits: int = 1 << 18, k: int = 7):
+    """Bloom bitmap of the key set as (word_idx int, word long) rows —
+    32 bits per word so no shift ever touches the sign bit in any
+    engine. bit_or is the combine step: per-partition partial bitmaps
+    merge associatively, and two bitmaps built over different days
+    union by the same bit_or — the rollup property. Size: m_bits/32
+    rows max (8192 at the 2^18 default ≈ 32 KB), broadcast-able."""
+    return (
+        _positions(df, key_col, m_bits, k)
+        .select(
+            F.shiftright("__pos__", 5).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(__pos__ % 32 AS INT))").alias("__bit__"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit__").alias("word"))
+    )
+
+
+def bloom_probe(df, key_col: str, bitmap, m_bits: int = 1 << 18, k: int = 7):
+    """(key, bloom_member) for every row of `df`: a key is a member iff
+    ALL k of its bits are set. One broadcast join of (probe × k) rows
+    against the bitmap, no shuffle of the key set; absent words read as
+    0 via the left join. No false negatives by construction (the probe
+    recomputes the exact positions the build set)."""
+    probed = (
+        _positions(df, key_col, m_bits, k)
+        .join(
+            F.broadcast(bitmap),
+            F.shiftright("__pos__", 5) == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "__key__",
+            F.expr("((COALESCE(word, 0L) >> CAST(__pos__ % 32 AS INT)) & 1) = 1")
+            .cast("int")
+            .alias("__hit__"),
+        )
+        .groupBy("__key__")
+        .agg((F.min("__hit__") == 1).alias("bloom_member"))
+    )
+    return probed.withColumnRenamed("__key__", key_col)
+
+
+def cms_build(df, key_col: str, w: int = 1024, d: int = 4):
+    """Count-Min sketch of key frequencies as (i, col, cnt) counter
+    rows — at most d*w rows regardless of input size. The combine step
+    is elementwise sum (union of two sketches = groupBy (i, col)
+    sum(cnt)), so per-partition partials merge map-side and per-day
+    sketches roll up by the same aggregation."""
+    return (
+        df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+            (affine_hash(key_col, F.col("i")) % w).alias("col"),
+        )
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(keys, key_col: str, sketch, w: int = 1024, d: int = 4):
+    """(key, est) for every distinct key in `keys`: the classic
+    min-over-rows point estimate, which NEVER under-counts (every
+    counter a key hashes to includes all of its increments). Broadcast
+    join of (keys × d) rows against the ≤ d*w-row sketch."""
+    return (
+        keys.select(
+            F.col(key_col).alias("__key__"),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+        )
+        .select("__key__", "i", (affine_hash("__key__", F.col("i")) % w).alias("col"))
+        .join(F.broadcast(sketch), ["i", "col"], "left")
+        .groupBy("__key__")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .withColumnRenamed("__key__", key_col)
+    )

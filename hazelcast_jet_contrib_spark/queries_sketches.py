@@ -126,3 +126,148 @@ def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.select(F.explode("tk").alias("x")).select(
         F.col("x.item").alias("event_type"), F.col("x.count").alias("n")
     )
+
+
+@query(
+    "bloom_membership_filter",
+    oracle="""
+    WITH members AS (
+      SELECT doc_id FROM documents WHERE source = 'src1'
+    ),
+    probes AS (
+      SELECT doc_id AS pid,
+             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS truly
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS pid, 0 AS truly FROM documents
+    ),
+    mpos AS (
+      SELECT ((((2654435761 * (i + 1)) % 2147483647)
+               * (doc_id % 2147483647)
+               + ((1013904223 * (i + 1)) % 2147483647))
+              % 2147483647) % 262144 AS pos
+      FROM members CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)
+    ),
+    bitmap AS (
+      SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM mpos GROUP BY 1
+    ),
+    ppos AS (
+      SELECT pid, truly,
+             ((((2654435761 * (i + 1)) % 2147483647)
+               * (pid % 2147483647)
+               + ((1013904223 * (i + 1)) % 2147483647))
+              % 2147483647) % 262144 AS pos
+      FROM probes CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)
+    ),
+    probed AS (
+      SELECT pid, truly,
+             min(CASE WHEN ((COALESCE(b.word, 0) >> CAST(pos % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS mem
+      FROM ppos LEFT JOIN bitmap b ON b.word_idx = pos // 32
+      GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_probes,
+           COUNT(CASE WHEN truly = 1 THEN 1 END) AS n_true_members,
+           COUNT(CASE WHEN mem = 1 THEN 1 END) AS n_bloom_positive,
+           COUNT(CASE WHEN truly = 1 AND mem = 0 THEN 1 END) AS n_false_negatives,
+           COUNT(CASE WHEN truly = 0 AND mem = 1 THEN 1 END) AS n_false_positives
+    FROM probed
+    """,
+)
+def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, the "have we seen this URL" shape:
+    build a 2^18-bit bitmap over one source's doc ids (bit_or-mergeable
+    words, functions/sketches.py:bloom_build), probe every live id plus
+    an equal-sized set of known-absent ids, and report the confusion
+    counts. False negatives are structurally 0; the false-positive
+    count is exactly reproduced by the oracle because the affine-mod-
+    Mersenne hash family is engine-portable — the whole sketch, not an
+    accuracy gate, is value-hash checked. Scale: the bitmap is ≤ 32 KB
+    broadcast; probes never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    members = docs.filter(F.col("source") == "src1").select("doc_id")
+    probes = docs.select(
+        F.col("doc_id").alias("pid"),
+        (F.col("source") == "src1").cast("int").alias("truly"),
+    ).unionAll(
+        docs.select((F.col("doc_id") + 10000000).alias("pid"), F.lit(0).alias("truly"))
+    )
+    bitmap = SK.bloom_build(members, "doc_id")
+    probed = SK.bloom_probe(probes.select("pid"), "pid", bitmap).join(
+        probes, "pid"
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("truly") == 1, 1)).alias("n_true_members"),
+        F.count(F.when(F.col("bloom_member"), 1)).alias("n_bloom_positive"),
+        F.count(F.when((F.col("truly") == 1) & ~F.col("bloom_member"), 1)).alias(
+            "n_false_negatives"
+        ),
+        F.count(F.when((F.col("truly") == 0) & F.col("bloom_member"), 1)).alias(
+            "n_false_positives"
+        ),
+    )
+
+
+@query(
+    "cms_user_frequency",
+    oracle="""
+    WITH sketch AS (
+      SELECT i,
+             ((((2654435761 * (i + 1)) % 2147483647)
+               * (user_id % 2147483647)
+               + ((1013904223 * (i + 1)) % 2147483647))
+              % 2147483647) % 1024 AS col,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT e.user_id,
+             min(COALESCE(s.cnt, 0)) AS est_cnt
+      FROM exact e
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+      LEFT JOIN sketch s
+        ON s.i = g.i
+       AND s.col = ((((2654435761 * (g.i + 1)) % 2147483647)
+                     * (e.user_id % 2147483647)
+                     + ((1013904223 * (g.i + 1)) % 2147483647))
+                    % 2147483647) % 1024
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.exact_cnt, s.est_cnt,
+           CAST(s.est_cnt >= e.exact_cnt AS INT) AS never_undercounts
+    FROM exact e JOIN est s ON s.user_id = e.user_id
+    ORDER BY e.exact_cnt DESC, e.user_id
+    LIMIT 20
+    """,
+)
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: a d=4 x w=1024 counter grid over the
+    event stream's user ids (sum-mergeable, functions/sketches.py:
+    cms_build), point-estimated for every distinct user and reported
+    for the 20 hottest. est >= exact ALWAYS (the min-over-rows
+    estimate can only over-count); the oracle recomputes the entire
+    grid with the same portable hash family, so the estimates
+    themselves — collisions included — are value-hash checked. Scale:
+    the sketch is ≤ 4096 rows regardless of event count; estimation is
+    a broadcast join."""
+    ev = table(spark, sf_dir, "events")
+    sketch = SK.cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.cms_estimate(exact.select("user_id"), "user_id", sketch)
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("est").alias("est_cnt"),
+            (F.col("est") >= F.col("exact_cnt")).cast("int").alias("never_undercounts"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+    )

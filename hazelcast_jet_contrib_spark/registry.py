@@ -108,6 +108,8 @@ _PRIORITY = [
     "temperature_resample_by_lang",
     "simhash128_near_dup",
     "timeseries_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged

@@ -134,3 +134,68 @@ def test_approx_top_k_skewed_heavy_hitter(spark):
     exact = 10_000 + 1
     assert top[0]["est"] >= exact  # frequent-items estimates never undercount
     assert top[0]["est"] - exact <= 50_000 / 64  # and overcount is bounded
+
+
+def test_bloom_no_false_negatives_and_bounded_fp_under_saturation(spark):
+    """A deliberately tiny bitmap (2^10 bits, 500 keys, k=3) forces a
+    measurable false-positive regime; the contract is: zero false
+    negatives EVER, and an FP rate in the same decade as the
+    (1 - e^{-kn/m})^k theory bound."""
+    members = spark.range(0, 500).withColumnRenamed("id", "k")
+    absent = spark.range(100_000, 110_000).withColumnRenamed("id", "k")
+    m_bits, k = 1 << 10, 3
+    bitmap = SK.bloom_build(members, "k", m_bits=m_bits, k=k)
+    hits_members = SK.bloom_probe(members, "k", bitmap, m_bits=m_bits, k=k)
+    assert hits_members.filter(~F.col("bloom_member")).count() == 0
+    fp = SK.bloom_probe(absent, "k", bitmap, m_bits=m_bits, k=k)
+    fp_rate = fp.filter(F.col("bloom_member")).count() / 10_000
+    import math
+
+    theory = (1 - math.exp(-k * 500 / m_bits)) ** k
+    assert fp_rate > 0, "saturated filter must show some false positives"
+    assert fp_rate <= 4 * theory, (fp_rate, theory)
+
+
+def test_bloom_bitmaps_merge_by_bit_or(spark):
+    """Union-of-sketches == sketch-of-union: building over two halves
+    and bit_or-merging the word tables must equal one build over the
+    whole set — the rollup property the reference's combine step
+    exists for."""
+    a = spark.range(0, 300).withColumnRenamed("id", "k")
+    b = spark.range(300, 700).withColumnRenamed("id", "k")
+    merged = (
+        SK.bloom_build(a, "k")
+        .unionAll(SK.bloom_build(b, "k"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    whole = SK.bloom_build(a.unionAll(b), "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_never_undercounts_and_merges_by_sum(spark):
+    """Every point estimate >= its true count (min over d counters that
+    each saw every increment); summing two halves' counter grids equals
+    the whole grid."""
+    df = spark.range(0, 20_000).select((F.col("id") % 97).alias("k"))
+    sketch = SK.cms_build(df, "k", w=64, d=4)  # 97 keys into 64 cols: collisions
+    keys = df.distinct()
+    est = SK.cms_estimate(keys, "k", sketch, w=64, d=4)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    joined = est.join(exact, "k")
+    assert joined.filter(F.col("est") < F.col("c")).count() == 0
+    assert joined.filter(F.col("est") > F.col("c")).count() > 0, (
+        "w=64 over 97 keys must collide somewhere"
+    )
+    h1 = df.filter(F.col("k") < 50)
+    h2 = df.filter(F.col("k") >= 50)
+    merged = (
+        SK.cms_build(h1, "k", w=64, d=4)
+        .unionAll(SK.cms_build(h2, "k", w=64, d=4))
+        .groupBy("i", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.cms_build(df, "k", w=64, d=4)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
