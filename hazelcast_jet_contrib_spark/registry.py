@@ -110,6 +110,8 @@ _PRIORITY = [
     "timeseries_catalyst_pushdown",
     "bloom_membership_filter",
     "cms_user_frequency",
+    # changed in round 4 (struct-argmax scoring, same semantics): re-prove
+    "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
     # bound tightening): re-prove even though generator behavior is
     # unchanged
@@ -172,7 +174,6 @@ _DEMOTED = [
     "window_sliding_12h",
     "text_stats",
     "text_quality_scores",
-    "lang_id_distribution",
     "token_length_profile",
     "fingerprint_dedup",
     "rolling_running_total",
