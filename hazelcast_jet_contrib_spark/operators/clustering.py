@@ -1,0 +1,100 @@
+"""Distributed Lloyd's k-means over embedding columns — the clustering
+stage of a training-data pipeline (semantic dedup groups, data-mixing
+strata, corpus topic profiling).
+
+Spark-first shape, per iteration:
+  1. ASSIGN — the k centroids are a k-row relation, broadcast; every
+     point computes its squared distance to each and keeps the argmin
+     via ``min(struct(dist, cidx))`` — one narrow aggregate keyed on the
+     point id, no shuffle of the vectors beyond the initial scan.
+  2. RECOMPUTE — new centroids are per-(cluster, dimension) means:
+     posexplode the assigned vectors, groupBy (cidx, pos) avg, reshape
+     with sort_array(collect_list(struct(pos, mean))). The shuffle
+     carries (cidx, pos, partial-sum) rows — k x dim x partitions,
+     independent of point count thanks to map-side partial aggregation.
+
+Iteration count is a FIXED small constant chosen by the caller (the
+driver loop only grows the plan linearly); initial centroids are the k
+lowest-id points — layout-independent and deterministic, the same
+contract as the IVF trainer (similarity.py). Distances are rounded to 6
+decimals before the argmin on BOTH the Spark and oracle sides, with the
+centroid index as tie-break, so float-association noise between engines
+cannot flip an assignment.
+
+At 100 TB: the centroid relation is k x dim doubles (kilobytes) however
+large the corpus is, so ASSIGN stays a broadcast map-stage and RECOMPUTE
+a bounded aggregate; nothing ever collects the points. Reference scope:
+the contrib repo itself has no clustering operator — this extends the
+probabilistic/aggregation family (SURVEY.md §2 LLM-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sqdist(v, c):
+    """Σ (v_i - c_i)^2 as a left-to-right fold (same evaluation shape
+    both engines round away at 1e-6)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, cidx, dist) — nearest centroid per point; dist is the
+    ROUNDED (6 dp) squared euclidean distance the argmin ran on.
+    `points` = (id, v: array<double>), `centroids` = (cidx, c)."""
+    scored = points.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "cidx",
+        F.round(_sqdist(F.col("v"), F.col("c")), 6).alias("dist"),
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("dist", "cidx")).alias("b")
+    )
+    return best.select("id", F.col("b.cidx").alias("cidx"), F.col("b.dist").alias("dist"))
+
+
+def kmeans_recompute(points: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cidx, c) — per-cluster mean vectors. Clusters that captured no
+    points disappear (identically on the oracle side)."""
+    joined = assign.join(points, "id").select(
+        "cidx", F.posexplode("v").alias("pos", "x")
+    )
+    means = joined.groupBy("cidx", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("cidx")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cidx", F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Final assignment (id, cidx, dist) after `iters` Lloyd rounds from
+    the deterministic k-lowest-id initialization."""
+    points = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = (
+        points.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("cidx"),
+            F.col("v").alias("c"),
+        )
+    )
+    assign = kmeans_assign(points, centroids)
+    for _ in range(iters - 1):
+        centroids = kmeans_recompute(points, assign)
+        assign = kmeans_assign(points, centroids)
+    return assign

@@ -11,7 +11,7 @@ proves both the candidate generation and the verification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.operators.dedup import (
@@ -313,4 +313,109 @@ def decontamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-exact at half the min-aggregate cost, which dominates
     return minhash_decontaminate(
         docs, probes, "doc_id", "text", threshold=0.6, num_hashes=64, bands=32
+    )
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS c
+      FROM v ORDER BY vec_id LIMIT 10
+    ),
+    s1 AS (
+      SELECT vec_id, cidx,
+             ROUND(list_sum(list_transform(range(1, 65),
+                    i -> (v.v[i] - c0.c[i]) * (v.v[i] - c0.c[i]))), 6) AS dist
+      FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cidx, dist FROM (
+        SELECT vec_id, cidx, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT a1.cidx, i AS pos, avg(v.v[i]) AS m
+      FROM a1 JOIN v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT cidx, list(m ORDER BY pos) AS c FROM m GROUP BY cidx
+    ),
+    s2 AS (
+      SELECT vec_id, cidx,
+             ROUND(list_sum(list_transform(range(1, 65),
+                    i -> (v.v[i] - c1.c[i]) * (v.v[i] - c1.c[i]))), 6) AS dist
+      FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cidx, dist FROM (
+        SELECT vec_id, cidx, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT cidx, label FROM (
+        SELECT a2.cidx, v.label,
+               ROW_NUMBER() OVER (PARTITION BY a2.cidx
+                                  ORDER BY COUNT(*) DESC, v.label) AS rn
+        FROM a2 JOIN v USING (vec_id)
+        GROUP BY a2.cidx, v.label
+      ) WHERE rn = 1
+    )
+    SELECT a2.cidx AS cluster_id,
+           COUNT(*) AS n_points,
+           MIN(lab.label) AS majority_label,
+           ROUND(SUM(a2.dist), 3) AS inertia
+    FROM a2 JOIN lab ON lab.cidx = a2.cidx
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k=10 k-means over the embeddings table
+    (deterministic k-lowest-id init), profiled per final cluster: size,
+    majority planted label (count-desc, label-asc tie-break), and
+    inertia. The oracle unrolls the SAME two iterations in SQL —
+    assignments are argmins over 6-dp-rounded distances on both sides,
+    so the whole trajectory (not a quality gate) is value-hash checked.
+    Scale: centroids broadcast; recompute shuffles (cidx, pos, partial
+    sum) only — see operators/clustering.py."""
+    from hazelcast_jet_contrib_spark.operators.clustering import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, "vec_id", "embedding", k=10, iters=2)
+    labeled = assign.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    lab = (
+        labeled.groupBy("cidx", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cidx").orderBy(F.col("n").desc(), "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cidx", F.col("label").alias("majority_label"))
+    )
+    return (
+        labeled.groupBy("cidx")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("dist"), 3).alias("inertia"),
+        )
+        .join(lab, "cidx")
+        .select(
+            F.col("cidx").alias("cluster_id"), "n_points", "majority_label", "inertia"
+        )
+        .orderBy("cluster_id")
     )

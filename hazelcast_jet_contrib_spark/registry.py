@@ -110,6 +110,7 @@ _PRIORITY = [
     "timeseries_catalyst_pushdown",
     "bloom_membership_filter",
     "cms_user_frequency",
+    "kmeans_cluster_profile",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo

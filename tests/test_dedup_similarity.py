@@ -347,3 +347,26 @@ def test_simhash128_kills_chance_band_collisions(spark):
     # E[c64] = 4*C(2000,2)/2^16 ~= 122; E[c128] = 4*C(2000,2)/2^32 ~= 0.002
     assert c64 > 30, f"expected substantial 16-bit chance collisions, got {c64}"
     assert c128 <= 2, f"32-bit bands should kill chance collisions, got {c128}"
+
+
+def test_kmeans_inertia_non_increasing_and_layout_independent(spark):
+    """Lloyd's guarantee: total inertia never increases with more
+    iterations; and the k-lowest-id init makes the result identical
+    under any input partitioning/order (the IVF trainer's
+    layout-independence contract, applied to clustering)."""
+    from hazelcast_jet_contrib_spark.operators.clustering import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def inertia(iters):
+        a = kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=iters)
+        return a.agg(F.sum("dist")).collect()[0][0]
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    assert i1 >= i2 >= i3, (i1, i2, i3)
+
+    base = kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+    shuffled = kmeans_lloyd(
+        emb.repartition(17, "label"), "vec_id", "embedding", k=8, iters=2
+    )
+    assert base.orderBy("id").collect() == shuffled.orderBy("id").collect()
