@@ -428,3 +428,23 @@ def test_temperature_resample_broadcasts_rates_no_corpus_shuffle(spark):
     assert a.shuffle_joins() == 0
     assert a.exchanges() <= 1, f"corpus shuffle crept in:\n{a.plan}"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_new_sketch_and_clustering_shuffle_budgets(spark):
+    """Round-4 additions: Bloom build+probe is two small aggregations
+    plus a broadcast join; CMS is the same in counter form; k-means
+    must keep ASSIGN broadcast (no corpus shuffle per iteration beyond
+    the argmin aggregate) and RECOMPUTE bounded. Budgets pinned at the
+    observed plan shapes; growth means a broadcast was lost or a
+    corpus-wide exchange crept in."""
+    budgets = {
+        "bloom_membership_filter": 5,
+        "cms_user_frequency": 6,
+        "kmeans_cluster_profile": 12,
+    }
+    for name, budget in budgets.items():
+        a = audit(QUERIES[name](spark, SF))
+        assert a.exchanges() <= budget, (
+            f"{name} shuffle count grew: {a.exchanges()} > {budget}"
+        )
+        assert a.python_stages() == 0, f"{name} must stay JVM-side"
