@@ -259,3 +259,56 @@ def shingles(col: Column | str, n: int = 5) -> Column:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+#: The Gopher repetition-free quality rule battery (Rae et al. 2021,
+#: "Scaling Language Models", Table A1) — the public-standard document
+#: filter set a web-corpus pipeline applies before training. Thresholds
+#: are the published ones where applicable, adapted to the whitespace
+#: tokenizer above. Every rule is an INTEGER comparison (ratios are
+#: cross-multiplied), so the flags are engine-exact with no float
+#: rounding surface.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(col: Column | str) -> Column:
+    """Struct of 0/1 flags, one per Gopher rule; a document passes the
+    battery iff every flag is 1:
+
+      f_wc       50 <= word_count <= 100000
+      f_mwl      mean word length in [3, 10]  (3*wc <= sum_token_chars <= 10*wc)
+      f_sym      symbol-to-word ratio ('#'/'...') <= 0.1  (10*symbols <= wc)
+      f_bullet   <= 90% of lines start with a bullet  (10*bullets <= 9*lines)
+      f_ellipsis <= 30% of lines end with '...'  (10*ellipsis <= 3*lines)
+      f_alpha    >= 80% of words contain an ASCII letter  (5*alpha >= 4*wc)
+      f_stop     >= 2 distinct stopwords of the 8-word Gopher list present
+    """
+    c = _c(col)
+    toks = tokens(c)
+    wc = word_count(c)
+    wchars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    lines = F.split(c, "\n")
+    nlines = F.size(lines)
+    nbullet = F.size(F.filter(lines, lambda line: line.rlike(r"^\s*[-*•]")))
+    nell = F.size(F.filter(lines, lambda line: line.rlike(r"\.\.\.\s*$")))
+    nsym = F.regexp_count(c, F.lit(r"#|\.\.\."))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    nstop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    return F.struct(
+        ((wc >= 50) & (wc <= 100000)).cast("int").alias("f_wc"),
+        ((wc > 0) & (wchars >= 3 * wc) & (wchars <= 10 * wc)).cast("int").alias("f_mwl"),
+        (10 * nsym <= wc).cast("int").alias("f_sym"),
+        (10 * nbullet <= 9 * nlines).cast("int").alias("f_bullet"),
+        (10 * nell <= 3 * nlines).cast("int").alias("f_ellipsis"),
+        ((wc > 0) & (5 * alpha >= 4 * wc)).cast("int").alias("f_alpha"),
+        (nstop >= 2).cast("int").alias("f_stop"),
+    )

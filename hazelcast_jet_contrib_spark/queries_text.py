@@ -210,3 +210,112 @@ def service_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_using_service(
         docs, factory, count_tokens, "doc_id long, n_tokens long"
     )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL  -- symbol soup: one '#' per word -> f_sym must fail
+      SELECT doc_id + 2000000,
+             text || repeat(' #', CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END)
+      FROM documents
+      UNION ALL  -- bulletized: every line starts '- ' -> f_bullet must fail
+      SELECT doc_id + 3000000, '- ' || regexp_replace(text, '\s+', e'\n- ', 'g')
+      FROM documents
+      UNION ALL  -- dealphabetized -> f_alpha must fail
+      SELECT doc_id + 4000000, regexp_replace(text, '[a-zA-Z]', '7', 'g')
+      FROM documents
+      UNION ALL  -- every line ends '...' -> f_ellipsis must fail
+      SELECT doc_id + 5000000, regexp_replace(text, '\s+', e'...\n', 'g') || '...'
+      FROM documents
+      UNION ALL  -- stopword-enriched -> f_stop passes; full battery CAN pass
+      SELECT doc_id + 6000000, text || ' the be to of and that have with'
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS wc,
+             len(regexp_replace(trim(text), '\s+', '', 'g')) AS wchars,
+             regexp_split_to_array(text, '\n') AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS nsym
+      FROM aug
+    ),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END AS f_wc,
+        CASE WHEN wc > 0 AND wchars >= 3 * wc AND wchars <= 10 * wc
+             THEN 1 ELSE 0 END AS f_mwl,
+        CASE WHEN 10 * nsym <= wc THEN 1 ELSE 0 END AS f_sym,
+        CASE WHEN 10 * len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                  <= 9 * len(lines) THEN 1 ELSE 0 END AS f_bullet,
+        CASE WHEN 10 * len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+                  <= 3 * len(lines) THEN 1 ELSE 0 END AS f_ellipsis,
+        CASE WHEN wc > 0 AND
+                  5 * len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))
+                  >= 4 * wc THEN 1 ELSE 0 END AS f_alpha,
+        CASE WHEN len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  w -> list_contains(toks, w))) >= 2
+             THEN 1 ELSE 0 END AS f_stop
+      FROM t
+    )
+    SELECT doc_id, f_wc, f_mwl, f_sym, f_bullet, f_ellipsis, f_alpha, f_stop,
+           f_wc * f_mwl * f_sym * f_bullet * f_ellipsis * f_alpha * f_stop AS passes
+    FROM f
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021, Table
+    A1) per document: word-count bounds, mean-word-length bounds,
+    symbol ratio, bullet/ellipsis line ratios, alphabetic-word ratio,
+    minimum distinct stopwords — plus the conjunction. Every rule is an
+    integer cross-multiplied comparison, so all eight columns are
+    engine-exact with no rounding. This is the standard public filter a
+    web corpus passes before training; at 100 TB it is one codegen'd
+    projection over the scan."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = TX.word_count("text")
+    aug = (
+        docs
+        .unionByName(  # symbol soup: one '#' per word -> f_sym must fail
+            docs.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.repeat(F.lit(" #"), wc)).alias("text"),
+            )
+        )
+        .unionByName(  # bulletized: every line starts '- ' -> f_bullet must fail
+            docs.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.lit("- "), F.regexp_replace("text", r"\s+", "\n- ")).alias("text"),
+            )
+        )
+        .unionByName(  # dealphabetized -> f_alpha must fail
+            docs.select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.regexp_replace("text", "[a-zA-Z]", "7").alias("text"),
+            )
+        )
+        .unionByName(  # every line ends '...' -> f_ellipsis must fail
+            docs.select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat(F.regexp_replace("text", r"\s+", "...\n"), F.lit("...")).alias("text"),
+            )
+        )
+        .unionByName(  # stopword-enriched -> f_stop passes; battery CAN pass
+            docs.select(
+                (F.col("doc_id") + 6000000).alias("doc_id"),
+                F.concat("text", F.lit(" the be to of and that have with")).alias("text"),
+            )
+        )
+    )
+    g = TX.gopher_flags("text")
+    flags = aug.select("doc_id", g.alias("g")).select("doc_id", "g.*")
+    passes = (
+        F.col("f_wc") * F.col("f_mwl") * F.col("f_sym") * F.col("f_bullet")
+        * F.col("f_ellipsis") * F.col("f_alpha") * F.col("f_stop")
+    )
+    return flags.select("*", passes.alias("passes"))

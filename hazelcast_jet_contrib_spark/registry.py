@@ -111,6 +111,7 @@ _PRIORITY = [
     "bloom_membership_filter",
     "cms_user_frequency",
     "kmeans_cluster_profile",
+    "gopher_quality_flags",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo

@@ -77,3 +77,43 @@ def test_token_estimate_counts_symbols(spark):
     df = spark.createDataFrame([(1, "hello, world! 42")], "id long, text string")
     # hello , world ! 42  -> 5
     assert df.select(TX.token_estimate("text").alias("t")).collect()[0]["t"] == 5
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    """One crafted document per rule, plus one that passes the whole
+    battery — each flag is exercised in both directions."""
+    from hazelcast_jet_contrib_spark.functions.text import gopher_flags
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have gone "
+        "to market with all of our wares because it was a fine day " * 3
+    )
+    docs = [
+        ("good", good),
+        ("short", "too few words here"),  # f_wc
+        ("longwords", " ".join(["pneumonoultramicroscopic"] * 60)),  # f_mwl
+        ("symbols", good + " " + "# " * 40),  # f_sym
+        ("bullets", "- a\n- b\n- c"),  # f_bullet
+        ("ellipsis", "first line...\nsecond line...\nthird..."),  # f_ellipsis
+        ("numeric", " ".join(["12345"] * 60)),  # f_alpha
+        ("nostop", " ".join(["lorem", "ipsum", "dolor"] * 30)),  # f_stop
+    ]
+    df = spark.createDataFrame(docs, "name string, text string")
+    out = {
+        r["name"]: r
+        for r in df.select("name", gopher_flags("text").alias("g")).select(
+            "name", "g.*"
+        ).collect()
+    }
+    g = out["good"]
+    assert all(
+        g[f] == 1
+        for f in ("f_wc", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha", "f_stop")
+    ), dict(g.asDict())
+    assert out["short"]["f_wc"] == 0
+    assert out["longwords"]["f_mwl"] == 0
+    assert out["symbols"]["f_sym"] == 0
+    assert out["bullets"]["f_bullet"] == 0
+    assert out["ellipsis"]["f_ellipsis"] == 0
+    assert out["numeric"]["f_alpha"] == 0
+    assert out["nostop"]["f_stop"] == 0
