@@ -144,3 +144,62 @@ def test_minhash_lsh_scales_linearly(spark, tmp_path):
 
     # executable record of the measured numbers (mirrored into SCALE.md)
     print(f"scale rehearsal: 1x={s1} 8x={s8}")
+
+
+@pytest.mark.slow
+def test_decontamination_corpus_cost_linear_probe_fixed(spark, tmp_path):
+    """The asymmetric probe's growth law: with a FIXED eval set, an 8x
+    corpus must cost ~8x shuffle (the corpus-side signature aggregation)
+    — and the match count must stay exactly the planted overlap at both
+    scales, because only planted probe copies clear the 0.6 threshold."""
+    from hazelcast_jet_contrib_spark.operators.dedup import minhash_decontaminate
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    # unlike the self-join rehearsal, the probe side is SUPPOSED to
+    # broadcast — keep defaults so the asymmetric plan shape is the one
+    # measured; only the corpus-side aggregation shuffles.
+    results = {}
+    try:
+        for tag, n in (("c1", N1), ("c8", N1 * 8)):
+            path = str(tmp_path / tag)
+            _write_corpus(spark, path, n)
+            corpus = spark.read.parquet(path)
+            # probes: every 100th corpus doc verbatim (planted hits) — a
+            # fixed-size eval set at both scales reads the SAME first
+            # N1/100 docs so probe cost is constant by construction
+            probes = (
+                corpus.filter((F.col("id") % 100 == 0) & (F.col("id") < N1))
+                .select((F.col("id") + 10_000_000).alias("id"), "text")
+            )
+            flagged = minhash_decontaminate(corpus, probes, "id", "text", 0.6)
+            rows = flagged.collect()
+            from hazelcast_jet_contrib_spark.plans.audit import (
+                executed_shuffle_stats,
+            )
+
+            stats = executed_shuffle_stats(flagged)
+            spark.catalog.clearCache()
+            results[tag] = {"rows": rows, "shuffle": stats["shuffle_records"]}
+    finally:
+        for k, v in zip(keys, saved):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+    n_probes = N1 // 100
+    # every probe is a verbatim copy of a corpus doc: J=1.0 hit. Its
+    # planted near-dup twin (id%10==9 follows id%10==8... ids %100==0
+    # are %10==0, no twin) — so exactly one hit per probe.
+    for tag, expect_corpus in (("c1", N1), ("c8", N1 * 8)):
+        hits = results[tag]["rows"]
+        assert len(hits) == n_probes, (tag, len(hits))
+        assert all(pid - 10_000_000 == cid for cid, pid, _ in hits)
+    ratio = results["c8"]["shuffle"] / max(1, results["c1"]["shuffle"])
+    assert 4 <= ratio <= 16, f"corpus shuffle grew {ratio:.1f}x for 8x docs"
+    print(
+        f"decontamination rehearsal: probes={n_probes} "
+        f"1x_shuffle={results['c1']['shuffle']} 8x_shuffle={results['c8']['shuffle']} "
+        f"ratio={ratio:.2f}"
+    )
