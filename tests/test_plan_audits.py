@@ -448,3 +448,38 @@ def test_new_sketch_and_clustering_shuffle_budgets(spark):
             f"{name} shuffle count grew: {a.exchanges()} > {budget}"
         )
         assert a.python_stages() == 0, f"{name} must stay JVM-side"
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """100 TB posture check: a hot key owning ~90% of a fact table must
+    be detected and split by AQE's skew-join handling, not serialized
+    into one straggler task. Executes the join through its own adaptive
+    plan and asserts the finalized plan carries SortMergeJoin(skew=true)
+    with a skewed AQEShuffleRead on the fact side."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload_payload_payload_"), F.col("id").cast("string")).alias("p"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan()
+        plan.executeCollect()  # finalize THIS adaptive plan, not a sibling QE
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in s
+        assert "skew=true" in s, s
+        assert "skewed" in s, s
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
