@@ -683,3 +683,52 @@ def tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return rarity_weighted_terms(docs, "doc_id", "text", top_k=5)
+
+
+@query(
+    "hash_split_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (((2654435761 % 2147483647) * (doc_id % 2147483647)
+               + (1013904223 % 2147483647)) % 2147483647) % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash
+    (90/5/5): the split a document lands in is a pure function of its
+    id, so it survives re-sharding, re-ordering, and incremental
+    appends — the property that keeps eval sets stable as a 100 TB
+    corpus grows. Uses the engine-portable affine-mod-Mersenne hash
+    (functions/sketches.py:affine_hash, i=0), so the exact per-split
+    per-lang census — boundaries included — is value-hash checked."""
+    from hazelcast_jet_contrib_spark.functions.sketches import affine_hash
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = affine_hash("doc_id", 0) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split", "lang")
+    )
