@@ -200,3 +200,58 @@ def test_unigram_lm_probability_mass_and_support(spark, docs, alpha_thirds):
         # so 0 bits is attainable — the bound is >= 0, not > 0
         assert got[i]["bits_per_token"] >= 0
         assert got[i]["mean_inv_p"] >= 1.0  # every p <= 1
+
+
+key_sets = st.lists(
+    st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60, unique=True
+)
+
+
+@given(key_sets, key_sets)
+@_settings
+def test_bloom_membership_properties(spark, members, probes):
+    """For ANY member set and probe set: every member probes positive
+    (no false negatives, the Bloom contract), and with a spacious
+    bitmap relative to these tiny sets, any false positive is at least
+    never a member misclassified — i.e. probe verdicts partition
+    consistently."""
+    from hazelcast_jet_contrib_spark.functions.sketches import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    bitmap = bloom_build(mdf, "k", m_bits=1 << 14, k=5)
+    # all members positive
+    got = bloom_probe(mdf, "k", bitmap, m_bits=1 << 14, k=5)
+    assert got.filter(~F.col("bloom_member")).count() == 0
+    # probes: any key also in members must be positive
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    res = {
+        r["k"]: r["bloom_member"]
+        for r in bloom_probe(pdf, "k", bitmap, m_bits=1 << 14, k=5).collect()
+    }
+    for k in probes:
+        if k in set(members):
+            assert res[k] is True
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120)
+)
+@_settings
+def test_cms_point_estimates_never_undercount(spark, keys):
+    """For ANY multiset of keys and a deliberately tiny grid (w=8, d=2,
+    guaranteed collisions): est(k) >= true_count(k) for every key, and
+    the total of any counter row equals the input size (mass
+    conservation per hash row)."""
+    from hazelcast_jet_contrib_spark.functions.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = cms_build(df, "k", w=8, d=2)
+    # mass conservation: each of the d rows holds every increment once
+    per_row = {r["i"]: r["s"] for r in sketch.groupBy("i").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: len(keys), 1: len(keys)}
+    est = cms_estimate(df.distinct(), "k", sketch, w=8, d=2)
+    import collections
+
+    true = collections.Counter(keys)
+    for r in est.collect():
+        assert r["est"] >= true[r["k"]], (r["k"], r["est"], true[r["k"]])
