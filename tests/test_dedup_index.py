@@ -184,3 +184,52 @@ def test_compaction_preserves_admission_and_bounds_files(spark, tmp_path):
     ghost = os.path.join(state, "compacted", "g99", "bands")
     os.makedirs(ghost)
     assert ghost not in index._epoch_dirs("bands")
+
+
+def test_streaming_curation_pipeline_gates_then_index(spark, tmp_path):
+    """Composed streaming curation: quality gate -> near-dup admission.
+    Low-quality rows are rejected by the Catalyst gate BEFORE touching
+    the index; near-dups of admitted history are rejected by the index;
+    and the deterministic gates keep committed-epoch replay a no-op."""
+    from hazelcast_jet_contrib_spark.streaming.curation import curation_admission
+
+    root = str(tmp_path / "log")
+    state = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    index = StreamingNearDupIndex(state, "doc_id", "text", threshold=0.6)
+    fb = curation_admission(index, min_quality=0.3)
+
+    def run():
+        q = (
+            _doc_stream(spark, root)
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    soup = "!!! 123 ??? 456 ### 789 %%% 000 " * 8  # punct/digit soup: low quality
+    _append_docs(root, [(1, BASE), (2, soup), (3, OTHER)])
+    run()
+    got1 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got1 == {1, 3}, f"quality gate must reject 2: {got1}"
+
+    # batch 2: near-copy of 1 (index reject), low-quality again (gate
+    # reject), and a new clean doc (admit)
+    _append_docs(
+        root, [(10, BASE.replace("lazy", "sleepy")), (11, soup + " extra"), (12, THIRD)]
+    )
+    run()
+    got2 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got2 == {1, 3, 12}, got2
+
+    # replaying the committed epoch with gated input is still a no-op
+    committed = index._committed()
+    replay = spark.createDataFrame(
+        [(99, BASE), (98, soup)], "doc_id long, text string"
+    )
+    fb(replay, committed)
+    got3 = {r["doc_id"] for r in index.accepted(spark).collect()}
+    assert got3 == got2
