@@ -646,3 +646,72 @@ def dedup_canonical_per_cluster(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of w consecutive hashes, and select each window's minimum
+    (ties broken RIGHTMOST). Guarantees: any shared substring of at
+    least w+k-1 words between two documents yields a shared selected
+    fingerprint, while only ~2/(w+1) of all k-gram hashes are kept —
+    position-robust partial-overlap detection at a fraction of
+    full-shingle cost.
+
+    Output: (id, fp_pos, fp_hash) — distinct selected fingerprints.
+
+    Engine-portable construction (everything integer, so the registry
+    query hash-matches an exact SQL mirror): the k-gram hash is a
+    31-ary char-code fold mod 2^31-1, and the (hash, rightmost-pos)
+    argmin rides a single ``min()`` window aggregate over the encoding
+    ``hash * 2^21 + (2^21-1-pos)``. Documents with fewer than w k-grams
+    keep their global minimum (one fingerprint) via the same truncated
+    window frame. Scale: one posexplode + one window aggregate
+    partitioned by document — no joins, no shuffle beyond the
+    id-partitioning the window needs."""
+    from pyspark.sql import Window
+
+    from hazelcast_jet_contrib_spark.functions.text import (
+        shingle_list_of_tokens,
+        tokens,
+    )
+
+    p = 2147483647
+    enc = 1 << 21
+    kgrams = shingle_list_of_tokens(tokens(F.col(text_col)), k)
+    base = df.select(
+        F.col(id_col).alias("id"), F.posexplode(kgrams).alias("pos", "kg")
+    )
+    h = F.aggregate(
+        F.transform(F.split(F.col("kg"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % p,
+    )
+    hashed = base.select("id", "pos", h.alias("h"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    scored = hashed.select(
+        "id",
+        "pos",
+        F.min(F.col("h") * enc + (enc - 1 - F.col("pos"))).over(win).alias("m"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("cnt"),
+    )
+    starts = scored.filter(F.col("pos") <= F.greatest(F.col("cnt") - w, F.lit(0)))
+    return (
+        starts.select(
+            "id",
+            (F.lit(enc - 1) - F.col("m") % enc).cast("int").alias("fp_pos"),
+            F.shiftright("m", 21).alias("fp_hash"),
+        )
+        .distinct()
+    )

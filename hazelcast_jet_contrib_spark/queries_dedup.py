@@ -419,3 +419,53 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents WHERE doc_id < 50
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(tk[i:i+3], ' ') AS kgs
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk) - 2)) AS i) u
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(kgs, ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+      FROM kg
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+             min(h * 2097152 + (2097151 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS cnt
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(2097151 - (m % 2097152) AS INT) AS fp_pos,
+           m // 2097152 AS fp_hash
+    FROM scored
+    WHERE pos <= greatest(cnt - 4, 0)
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the first 50
+    documents: word-4-gram hashes, window 4, rightmost-min selection —
+    ~2/(w+1) of k-gram hashes kept with the guarantee that any shared
+    >= w+k-1-word substring still collides. Integer-only portable
+    hashing makes the exact selected set value-hash checkable. See
+    operators/dedup.py:winnowing_fingerprints."""
+    from hazelcast_jet_contrib_spark.operators.dedup import winnowing_fingerprints
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return winnowing_fingerprints(docs, "doc_id", "text", k=4, w=4).select(
+        F.col("id").alias("doc_id"), "fp_pos", "fp_hash"
+    )

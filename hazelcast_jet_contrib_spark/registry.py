@@ -113,6 +113,7 @@ _PRIORITY = [
     "kmeans_cluster_profile",
     "gopher_quality_flags",
     "hash_split_assignment",
+    "winnowing_fingerprints",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo

@@ -255,3 +255,36 @@ def test_cms_point_estimates_never_undercount(spark, keys):
     true = collections.Counter(keys)
     for r in est.collect():
         assert r["est"] >= true[r["k"]], (r["k"], r["est"], true[r["k"]])
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd fgh", min_size=10, max_size=80), min_size=1, max_size=8
+    )
+)
+@_settings
+def test_winnowing_coverage_guarantee(spark, docs):
+    """For ANY corpus: (a) every complete window of w consecutive
+    k-grams contains a selected fingerprint position (the winnowing
+    guarantee that makes >= w+k-1-word overlaps detectable), and
+    (b) a doc with at least one k-gram always keeps >= 1 fingerprint."""
+    from hazelcast_jet_contrib_spark.operators.dedup import winnowing_fingerprints
+
+    K, W = 3, 3
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    sel = winnowing_fingerprints(df, "id", "text", k=K, w=W)
+    by_doc: dict[int, set[int]] = {}
+    for r in sel.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp_pos"])
+    for i, d in enumerate(docs):
+        toks = d.strip().lower().split()
+        n_kg = max(0, len(toks) - K + 1)
+        if n_kg == 0:
+            assert i not in by_doc
+            continue
+        assert by_doc.get(i), f"doc {i} with {n_kg} kgrams kept no fingerprint"
+        for s in range(0, max(n_kg - W, 0) + 1):
+            window = set(range(s, min(s + W, n_kg)))
+            assert window & by_doc[i], (
+                f"window [{s},{s + W}) of doc {i} has no fingerprint: {by_doc[i]}"
+            )
