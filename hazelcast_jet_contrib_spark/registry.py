@@ -155,6 +155,10 @@ _PRIORITY = [
     "kv_hash_snapshot",
     "sorted_set_range",
     "docstore_find_pushdown",
+    # position 51 of 51: with 50 checked, this single r02-green,
+    # untouched query overflows the window this round — it stays
+    # covered by the pytest oracle re-run, and rotates back first next
+    # round.
     "json_props_extraction",
 ]
 _DEMOTED = [
