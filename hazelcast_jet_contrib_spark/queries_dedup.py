@@ -469,3 +469,87 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, "doc_id", "text", k=4, w=4).select(
         F.col("id").alias("doc_id"), "fp_pos", "fp_hash"
     )
+
+
+@query(
+    "winnowing_shared_overlap",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 50
+      UNION ALL  -- planted composites: first parent || second parent
+      SELECT d1.doc_id + 1000000, d1.text || ' ' || d2.text
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 2 = 0 AND d1.doc_id < 50
+    ),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM aug
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+3], ' ') AS kgs
+      FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk) - 2)) AS i) u
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(kgs, ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+      FROM kg
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+             min(h * 2097152 + (2097151 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS cnt
+      FROM hashed
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, m // 2097152 AS fp_hash
+      FROM scored WHERE pos <= greatest(cnt - 4, 0)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_shared_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document partial-overlap detection from winnowing
+    fingerprints alone: plant composite documents (parent_i || ' ' ||
+    parent_{i+1}) and find every pair sharing >= 2 distinct selected
+    fingerprints — the composites light up against BOTH parents while
+    unrelated pairs share at most a stray k-gram. This is the cheap
+    candidate pass for plagiarism/quotation-style overlap a full
+    shingle-set join is too heavy for; at scale the fingerprint
+    relation is ~2/(w+1) the k-gram count and the join keys on an
+    8-byte hash."""
+    from hazelcast_jet_contrib_spark.operators.dedup import winnowing_fingerprints
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
+    comp = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "t2").alias("text"),
+        )
+    )
+    fp = winnowing_fingerprints(
+        docs.unionByName(comp), "doc_id", "text", k=4, w=4
+    ).select("id", "fp_hash").distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -114,6 +114,7 @@ _PRIORITY = [
     "gopher_quality_flags",
     "hash_split_assignment",
     "winnowing_fingerprints",
+    "winnowing_shared_overlap",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
@@ -154,11 +155,11 @@ _PRIORITY = [
     "hll_events_users_accuracy",
     "kv_hash_snapshot",
     "sorted_set_range",
-    "docstore_find_pushdown",
-    # position 51 of 51: with 50 checked, this single r02-green,
-    # untouched query overflows the window this round — it stays
-    # covered by the pytest oracle re-run, and rotates back first next
+    # positions 51-52 of 52: with 50 checked, these two r02-green,
+    # untouched queries overflow the window this round — they stay
+    # covered by the pytest oracle re-run, and rotate back first next
     # round.
+    "docstore_find_pushdown",
     "json_props_extraction",
 ]
 _DEMOTED = [
