@@ -286,6 +286,7 @@ def gopher_flags(col: Column | str) -> Column:
       f_ellipsis <= 30% of lines end with '...'  (10*ellipsis <= 3*lines)
       f_alpha    >= 80% of words contain an ASCII letter  (5*alpha >= 4*wc)
       f_stop     >= 2 distinct stopwords of the 8-word Gopher list present
+      f_dupline  duplicate-line fraction <= 30%  (10*(lines-distinct) <= 3*lines)
     """
     c = _c(col)
     toks = tokens(c)
@@ -303,6 +304,7 @@ def gopher_flags(col: Column | str) -> Column:
             lambda w: F.array_contains(toks, w),
         )
     )
+    ndistinct = F.size(F.array_distinct(lines))
     return F.struct(
         ((wc >= 50) & (wc <= 100000)).cast("int").alias("f_wc"),
         ((wc > 0) & (wchars >= 3 * wc) & (wchars <= 10 * wc)).cast("int").alias("f_mwl"),
@@ -311,4 +313,5 @@ def gopher_flags(col: Column | str) -> Column:
         (10 * nell <= 3 * nlines).cast("int").alias("f_ellipsis"),
         ((wc > 0) & (5 * alpha >= 4 * wc)).cast("int").alias("f_alpha"),
         (nstop >= 2).cast("int").alias("f_stop"),
+        (10 * (nlines - ndistinct) <= 3 * nlines).cast("int").alias("f_dupline"),
     )

@@ -260,11 +260,15 @@ def service_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   >= 4 * wc THEN 1 ELSE 0 END AS f_alpha,
         CASE WHEN len(list_filter(['the','be','to','of','and','that','have','with'],
                                   w -> list_contains(toks, w))) >= 2
-             THEN 1 ELSE 0 END AS f_stop
+             THEN 1 ELSE 0 END AS f_stop,
+        CASE WHEN 10 * (len(lines) - len(list_distinct(lines))) <= 3 * len(lines)
+             THEN 1 ELSE 0 END AS f_dupline
       FROM t
     )
     SELECT doc_id, f_wc, f_mwl, f_sym, f_bullet, f_ellipsis, f_alpha, f_stop,
-           f_wc * f_mwl * f_sym * f_bullet * f_ellipsis * f_alpha * f_stop AS passes
+           f_dupline,
+           f_wc * f_mwl * f_sym * f_bullet * f_ellipsis * f_alpha * f_stop
+             * f_dupline AS passes
     FROM f
     """,
 )
@@ -317,5 +321,6 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes = (
         F.col("f_wc") * F.col("f_mwl") * F.col("f_sym") * F.col("f_bullet")
         * F.col("f_ellipsis") * F.col("f_alpha") * F.col("f_stop")
+        * F.col("f_dupline")
     )
     return flags.select("*", passes.alias("passes"))

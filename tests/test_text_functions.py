@@ -97,6 +97,7 @@ def test_gopher_flags_each_rule_fires(spark):
         ("ellipsis", "first line...\nsecond line...\nthird..."),  # f_ellipsis
         ("numeric", " ".join(["12345"] * 60)),  # f_alpha
         ("nostop", " ".join(["lorem", "ipsum", "dolor"] * 30)),  # f_stop
+        ("duplines", "same line here\n" * 10 + "one other line"),  # f_dupline
     ]
     df = spark.createDataFrame(docs, "name string, text string")
     out = {
@@ -108,7 +109,8 @@ def test_gopher_flags_each_rule_fires(spark):
     g = out["good"]
     assert all(
         g[f] == 1
-        for f in ("f_wc", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha", "f_stop")
+        for f in ("f_wc", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha",
+                  "f_stop", "f_dupline")
     ), dict(g.asDict())
     assert out["short"]["f_wc"] == 0
     assert out["longwords"]["f_mwl"] == 0
@@ -117,3 +119,4 @@ def test_gopher_flags_each_rule_fires(spark):
     assert out["ellipsis"]["f_ellipsis"] == 0
     assert out["numeric"]["f_alpha"] == 0
     assert out["nostop"]["f_stop"] == 0
+    assert out["duplines"]["f_dupline"] == 0
