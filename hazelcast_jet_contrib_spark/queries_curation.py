@@ -732,3 +732,68 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "curriculum_quality_phases",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * least(1.0, (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END)
+                       / 100.0)
+                 + 0.3 * least(1.0, 4.0 * (CASE
+                       WHEN (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END) = 0
+                       THEN 0.0
+                       ELSE CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> list_contains(['the','a','an','of','and','is','to','in','that','it'], t))) AS DOUBLE)
+                            / (CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END) END))
+                 + 0.3 * (1.0 - least(1.0, CASE WHEN length(text) = 0 THEN 1.0
+                       ELSE 4.0 * (len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}<>\-]'))
+                                   + len(regexp_extract_all(text, '[0-9]')))
+                            / length(text) END)),
+                 4) AS quality
+      FROM documents
+    ),
+    p AS (
+      SELECT lang, quality,
+             NTILE(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS phase
+      FROM q
+    )
+    SELECT lang, phase, COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 4) AS min_q, ROUND(MAX(quality), 4) AS max_q
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: per-language quality quartiles via
+    NTILE(4) over (quality desc, doc_id) — phase 1 is the highest-
+    quality quarter a staged training run consumes first. The total
+    deterministic order makes tile assignment engine-exact; per-phase
+    census with quality ranges is value-hash checked. Scale: one window
+    over a per-language sort — the same shuffle a per-language
+    stratified sample already pays."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", F.round(TX.quality_score("text"), 4).alias("quality")
+    )
+    phased = q.select(
+        "lang",
+        "quality",
+        F.ntile(4)
+        .over(Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id"))
+        .alias("phase"),
+    )
+    return (
+        phased.groupBy("lang", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality"), 4).alias("min_q"),
+            F.round(F.max("quality"), 4).alias("max_q"),
+        )
+        .orderBy("lang", "phase")
+    )
