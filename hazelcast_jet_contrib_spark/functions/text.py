@@ -274,6 +274,13 @@ def shingles(col: Column | str, n: int = 5) -> Column:
 #: rounding surface.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+#: Field names of the `gopher_flags` struct, in order — the canonical
+#: list consumers AND together for the full-battery conjunction.
+GOPHER_FLAG_NAMES = [
+    "f_wc", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha",
+    "f_stop", "f_dupline",
+]
+
 
 def gopher_flags(col: Column | str) -> Column:
     """Struct of 0/1 flags, one per Gopher rule; a document passes the

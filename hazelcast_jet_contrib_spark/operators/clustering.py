@@ -60,12 +60,20 @@ def kmeans_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_recompute(points: DataFrame, assign: DataFrame) -> DataFrame:
-    """(cidx, c) — per-cluster mean vectors. Clusters that captured no
-    points disappear (identically on the oracle side)."""
+    """(cidx, c) — per-cluster mean vectors, each component ROUNDED to
+    9 dp. The rounding is load-bearing for engine parity: avg
+    accumulates partition partials in partition-dependent order, so an
+    unrounded mean can differ by ~1 ulp between engines (and between
+    two partitionings of the SAME engine), and that drift feeds the
+    next iteration's distances upstream of their own rounding. 9 dp is
+    ~6 orders above double noise and ~3 below the 6-dp distance
+    rounding, so it erases the nondeterminism without moving any
+    argmin. Clusters that captured no points disappear (identically on
+    the oracle side)."""
     joined = assign.join(points, "id").select(
         "cidx", F.posexplode("v").alias("pos", "x")
     )
-    means = joined.groupBy("cidx", "pos").agg(F.avg("x").alias("m"))
+    means = joined.groupBy("cidx", "pos").agg(F.round(F.avg("x"), 9).alias("m"))
     return (
         means.groupBy("cidx")
         .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))

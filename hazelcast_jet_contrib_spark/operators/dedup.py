@@ -675,9 +675,12 @@ def winnowing_fingerprints(
     query hash-matches an exact SQL mirror): the k-gram hash is a
     31-ary char-code fold mod 2^31-1, and the (hash, rightmost-pos)
     argmin rides a single ``min()`` window aggregate over the encoding
-    ``hash * 2^21 + (2^21-1-pos)``. Documents with fewer than w k-grams
-    keep their global minimum (one fingerprint) via the same truncated
-    window frame. Scale: one posexplode + one window aggregate
+    ``hash * 2^32 + (2^32-1-pos)`` — hash < 2^31 keeps the maximum at
+    exactly int64-max with no overflow, and the positional component
+    stays non-negative for any document under 2^32 k-grams, so the
+    encoding is order-correct for every realizable document. Documents
+    with fewer than w k-grams keep their global minimum (one
+    fingerprint) via the same truncated window frame. Scale: one posexplode + one window aggregate
     partitioned by document — no joins, no shuffle beyond the
     id-partitioning the window needs."""
     from pyspark.sql import Window
@@ -688,7 +691,7 @@ def winnowing_fingerprints(
     )
 
     p = 2147483647
-    enc = 1 << 21
+    enc = 1 << 32
     kgrams = shingle_list_of_tokens(tokens(F.col(text_col)), k)
     base = df.select(
         F.col(id_col).alias("id"), F.posexplode(kgrams).alias("pos", "kg")
@@ -711,7 +714,7 @@ def winnowing_fingerprints(
         starts.select(
             "id",
             (F.lit(enc - 1) - F.col("m") % enc).cast("int").alias("fp_pos"),
-            F.shiftright("m", 21).alias("fp_hash"),
+            F.shiftright("m", 32).alias("fp_hash"),
         )
         .distinct()
     )

@@ -340,7 +340,7 @@ def decontamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ),
     m AS (
-      SELECT a1.cidx, i AS pos, avg(v.v[i]) AS m
+      SELECT a1.cidx, i AS pos, ROUND(avg(v.v[i]), 9) AS m
       FROM a1 JOIN v USING (vec_id)
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
       GROUP BY 1, 2
@@ -390,11 +390,16 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum) only — see operators/clustering.py."""
     from hazelcast_jet_contrib_spark.operators.clustering import kmeans_lloyd
 
+    from pyspark import StorageLevel
+
     emb = table(spark, sf_dir, "embeddings")
     assign = kmeans_lloyd(emb, "vec_id", "embedding", k=10, iters=2)
+    # persist: the full 2-iteration DAG feeds BOTH the majority-label
+    # window and the size/inertia aggregate — without it the most
+    # expensive lineage in the query executes twice
     labeled = assign.join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     lab = (
         labeled.groupBy("cidx", "label")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -443,15 +448,15 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, pos,
-             min(h * 2097152 + (2097151 - pos)) OVER (
+             min(h * 4294967296 + (4294967295 - pos)) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
              count(*) OVER (PARTITION BY doc_id) AS cnt
       FROM hashed
     )
     SELECT DISTINCT doc_id,
-           CAST(2097151 - (m % 2097152) AS INT) AS fp_pos,
-           m // 2097152 AS fp_hash
+           CAST(4294967295 - (m % 4294967296) AS INT) AS fp_pos,
+           m // 4294967296 AS fp_hash
     FROM scored
     WHERE pos <= greatest(cnt - 4, 0)
     """,
@@ -499,14 +504,14 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, pos,
-             min(h * 2097152 + (2097151 - pos)) OVER (
+             min(h * 4294967296 + (4294967295 - pos)) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
              count(*) OVER (PARTITION BY doc_id) AS cnt
       FROM hashed
     ),
     fp AS (
-      SELECT DISTINCT doc_id, m // 2097152 AS fp_hash
+      SELECT DISTINCT doc_id, m // 4294967296 AS fp_hash
       FROM scored WHERE pos <= greatest(cnt - 4, 0)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared

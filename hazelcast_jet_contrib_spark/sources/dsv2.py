@@ -389,26 +389,32 @@ class TimeSeriesStoreReader(DataSourceReader):
     reaches the store via Catalyst, composing with any view or join
     that narrows the window.
 
-    Bounds are kept in integer epoch NANOSECONDS (the store's native
-    resolution — no float rounding surface); the same
-    tighten-never-relax rules as the zset reader apply, including
-    EqualTo never relaxing a strict bound at an equal value. Absorbed
-    predicates execute inside the client as row-group statistics
-    pruning + an arrow timestamp mask; everything else returns to
-    Spark."""
+    Bounds are kept in integer epoch MICROSECONDS — Spark timestamp
+    precision, which is also the precision of the emitted `time`
+    column. A nanosecond-native store column is truncated to micros
+    BEFORE the absorbed bounds are evaluated, so a row whose ns-time
+    exceeds a strict bound by less than 1 us is excluded exactly as
+    Spark itself would exclude its truncated value (Spark never
+    re-checks absorbed predicates — the mask must see the same values
+    the output carries). Integer bounds mean no float rounding
+    surface, and the same tighten-never-relax rules as the zset reader
+    apply, including EqualTo never relaxing a strict bound at an equal
+    value. Absorbed predicates execute inside the client as row-group
+    statistics pruning + an arrow timestamp mask; everything else
+    returns to Spark."""
 
     def __init__(self, path: str, time_col: str, tag_col: str, field_col: str):
         self.path = path
         self.time_col = time_col
         self.tag_col = tag_col
         self.field_col = field_col
-        self.lo: float = -math.inf  # epoch ns (int) or ±inf sentinel
+        self.lo: float = -math.inf  # epoch us (int) or ±inf sentinel
         self.hi: float = math.inf
         self.lo_strict = False
         self.hi_strict = False
 
     @staticmethod
-    def _ns(value) -> int | None:
+    def _us(value) -> int | None:
         import datetime
 
         import pandas as pd
@@ -417,13 +423,13 @@ class TimeSeriesStoreReader(DataSourceReader):
             ts = pd.Timestamp(value)
             if ts.tzinfo is not None:
                 ts = ts.tz_convert("UTC").tz_localize(None)
-            return ts.value
+            return ts.value // 1000  # ns -> us floor; catalyst literals are whole us
         return None
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         for f in filters:
             v = (
-                self._ns(f.value)
+                self._us(f.value)
                 if _attr_name(f) == "time"
                 and isinstance(
                     f,
@@ -465,7 +471,10 @@ class TimeSeriesStoreReader(DataSourceReader):
         stats = md.row_group(partition.index).column(col_idx).statistics
         if stats is not None and stats.has_min_max:
             try:
-                mn, mx = pd.Timestamp(stats.min).value, pd.Timestamp(stats.max).value
+                # floor-truncate stats to us so pruning compares in the
+                # same domain as the mask — conservative at both edges
+                mn = pd.Timestamp(stats.min).value // 1000
+                mx = pd.Timestamp(stats.max).value // 1000
                 if mn > self.hi or mx < self.lo:
                     return
             except (TypeError, ValueError):
@@ -473,21 +482,29 @@ class TimeSeriesStoreReader(DataSourceReader):
         tbl = pf.read_row_group(
             partition.index, columns=[self.tag_col, self.time_col, self.field_col]
         )
-        t_ns = pc.cast(tbl[self.time_col], pa.timestamp("ns"))
+        # truncate to MICROS (Spark timestamp precision) BEFORE masking:
+        # the absorbed bounds must see exactly the values the output
+        # carries, since Spark never re-checks them. safe=False permits
+        # the ns->us data loss (floor for the non-negative epochs a
+        # store holds), mirroring the batch reader's
+        # timestamp_micros(ts div 1000) conversion.
+        t_us = pc.cast(
+            pc.cast(tbl[self.time_col], pa.timestamp("ns")),
+            pa.timestamp("us"),
+            safe=False,
+        )
         mask = None
         if self.lo != -math.inf:
-            s = pa.scalar(int(self.lo), pa.timestamp("ns"))
-            mask = (pc.greater if self.lo_strict else pc.greater_equal)(t_ns, s)
+            s = pa.scalar(int(self.lo), pa.timestamp("us"))
+            mask = (pc.greater if self.lo_strict else pc.greater_equal)(t_us, s)
         if self.hi != math.inf:
-            s = pa.scalar(int(self.hi), pa.timestamp("ns"))
-            m = (pc.less if self.hi_strict else pc.less_equal)(t_ns, s)
+            s = pa.scalar(int(self.hi), pa.timestamp("us"))
+            m = (pc.less if self.hi_strict else pc.less_equal)(t_us, s)
             mask = m if mask is None else pc.and_(mask, m)
         out = pa.table(
             {
                 "tag": pc.cast(tbl[self.tag_col], pa.string()),
-                # Spark timestamps are MICROS; truncate like the batch
-                # reader's timestamp_micros(ts div 1000) conversion
-                "time": pc.cast(t_ns, pa.timestamp("us")),
+                "time": t_us,
                 "val": pc.cast(tbl[self.field_col], pa.float64()),
             }
         )

@@ -44,14 +44,29 @@ def curation_admission(
 
     def fb(batch_df, epoch_id):
         df = batch_df
-        if langs is not None and "lang" in df.columns:
+        if langs is not None:
+            if "lang" not in df.columns:
+                # a silent skip here would admit every language into the
+                # PERMANENT index — misconfiguration must fail fast
+                raise ValueError(
+                    f"curation_admission(langs={langs!r}) requires a 'lang' "
+                    f"column; batch has {df.columns}"
+                )
             df = df.filter(F.col("lang").isin(*langs))
         if min_quality is not None:
             df = df.filter(F.round(TX.quality_score(text_col), 4) >= min_quality)
         if require_gopher:
+            # the FULL battery — a document passes iff every flag is 1
+            # (gopher_flags contract); enforcing a subset would admit
+            # repetition/boilerplate the batch pipeline rejects
+            import functools
+
             g = TX.gopher_flags(text_col)
             df = df.filter(
-                (g["f_sym"] == 1) & (g["f_alpha"] == 1) & (g["f_bullet"] == 1)
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [g[name] == 1 for name in TX.GOPHER_FLAG_NAMES],
+                )
             )
         inner(df, epoch_id)
 

@@ -233,3 +233,37 @@ def test_streaming_curation_pipeline_gates_then_index(spark, tmp_path):
     fb(replay, committed)
     got3 = {r["doc_id"] for r in index.accepted(spark).collect()}
     assert got3 == got2
+
+
+def test_curation_admission_misconfig_and_full_battery(spark, tmp_path):
+    """langs= with no lang column must raise (silent skip would poison
+    the permanent index); require_gopher enforces the FULL battery —
+    a stopword-free word-soup document fails f_stop and is rejected
+    even though the three structural flags pass."""
+    import pytest
+
+    from hazelcast_jet_contrib_spark.streaming.curation import curation_admission
+
+    index = StreamingNearDupIndex(
+        str(tmp_path / "idx"), "doc_id", "text", threshold=0.6
+    )
+    fb = curation_admission(index, min_quality=None, langs=["en"])
+    batch = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="requires a 'lang' column"):
+        fb(batch, 0)
+
+    index2 = StreamingNearDupIndex(
+        str(tmp_path / "idx2"), "doc_id", "text", threshold=0.6
+    )
+    fb2 = curation_admission(index2, min_quality=None, require_gopher=True)
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have gone "
+        "to market with all of our wares because it was a fine day " * 3
+    )
+    soup = " ".join(["lorem", "ipsum", "dolor"] * 30)  # no Gopher stopwords
+    batch2 = spark.createDataFrame(
+        [(1, good), (2, soup)], "doc_id long, text string"
+    )
+    fb2(batch2, 0)
+    got = {r["doc_id"] for r in index2.accepted(spark).collect()}
+    assert got == {1}, got

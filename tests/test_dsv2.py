@@ -225,9 +225,10 @@ def test_kv_store_end_to_end_matches_ground_truth(spark):
 
 
 def test_ts_pushfilters_converts_bounds_to_epoch_ns():
-    """Time comparisons become integer epoch-ns bounds (the store's
-    native resolution — no float rounding surface); tag/val predicates
-    have no time-range counterpart and return to Spark."""
+    """Time comparisons become integer epoch-us bounds (Spark timestamp
+    precision, the domain the emitted column lives in — no float
+    rounding surface); tag/val predicates have no time-range
+    counterpart and return to Spark."""
     import datetime
 
     from hazelcast_jet_contrib_spark.sources.dsv2 import TimeSeriesStoreReader
@@ -240,8 +241,8 @@ def test_ts_pushfilters_converts_bounds_to_epoch_ns():
         r.pushFilters([GreaterThanOrEqual(("time",), lo), LessThan(("time",), hi), on_tag])
     )
     assert residual == [on_tag]
-    assert (r.lo, r.lo_strict) == (1704844800000000000, False)
-    assert (r.hi, r.hi_strict) == (1705017600000000000, True)
+    assert (r.lo, r.lo_strict) == (1704844800000000, False)
+    assert (r.hi, r.hi_strict) == (1705017600000000, True)
 
 
 def test_ts_pushfilters_equal_to_never_relaxes_strict_bound():
@@ -305,3 +306,45 @@ def test_ts_store_end_to_end_matches_ground_truth(spark):
         .collect()
     }
     assert got == truth and len(got) > 0
+
+
+def test_ts_store_ns_precision_truncates_before_masking(spark, tmp_path):
+    """A store column with sub-microsecond timestamps must not crash the
+    reader (unsafe ns->us cast), and the absorbed strict bound must be
+    evaluated on the TRUNCATED values Spark's output carries: a row at
+    X+500ns truncates to X, so it is excluded by `time > X` exactly as
+    Spark itself would exclude it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hazelcast_jet_contrib_spark.sources import dsv2
+
+    base = 1_704_844_800_000_000_000  # 2024-01-10T00:00:00 in ns
+    tbl = pa.table(
+        {
+            "tag": ["a", "b", "c", "d"],
+            "ts": pa.array(
+                [base + 500, base + 1_000, base + 1_500, base + 2_000],
+                pa.timestamp("ns"),
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    path = str(tmp_path / "ns.parquet")
+    pq.write_table(tbl, path)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dsv2.register(spark)
+    df = (
+        spark.read.format("ts_store")
+        .option("path", path)
+        .option("time_col", "ts")
+        .option("tag_col", "tag")
+        .option("field_col", "v")
+        .load()
+        .filter(F.col("time") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    )
+    got = sorted((r["tag"], r["val"]) for r in df.collect())
+    # base+500 truncates to X (excluded by strict >); base+1000 is X+1us
+    # (included); base+1500 truncates to X+1us (included)
+    assert got == [("b", 2.0), ("c", 3.0), ("d", 4.0)], got
