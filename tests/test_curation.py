@@ -392,3 +392,64 @@ def test_temperature_resample_levels_groups(spark):
     a = {r["doc_id"] for r in temperature_resample(df, "grp", "doc_id", 0.5).collect()}
     b = {r["doc_id"] for r in temperature_resample(df, "grp", "doc_id", 0.5).collect()}
     assert a == b
+
+
+def test_training_shard_export_round_trip(spark, tmp_path):
+    """The export path a training run actually consumes: pack documents
+    to a token budget, physically write partitioned by shard with
+    maxRecordsPerFile bounding file sizes, and read back.
+    - content round-trips exactly (no row lost or duplicated),
+    - every (shard, pack_id) respects the token budget (or is a single
+      oversized doc),
+    - partition pruning works on the written layout: reading one shard
+      scans only that shard's directory,
+    - file count per shard is bounded by ceil(rows/maxRecordsPerFile)."""
+    from hazelcast_jet_contrib_spark.operators.curation import pack_token_budget
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    )
+    packed = pack_token_budget(docs, "doc_id", "n_tok", budget=2048, n_shards=8)
+    out = str(tmp_path / "shards")
+    (
+        packed.write.mode("overwrite")
+        .option("maxRecordsPerFile", 50)
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # exact content round-trip
+    assert back.count() == docs.count()
+    assert (
+        packed.select("doc_id", "shard", "pack_id")
+        .exceptAll(back.select("doc_id", "shard", "pack_id"))
+        .count()
+        == 0
+    )
+    # packing invariant under first-fit-with-overflow: every doc's
+    # shard-cumulative-before lies inside its pack's budget window, so a
+    # pack minus its LAST doc (highest key order) is always under
+    # budget — the last doc may straddle the boundary by design
+    bad = (
+        back.groupBy("shard", "pack_id")
+        .agg(
+            F.sum("n_tok").alias("t"),
+            F.max_by("n_tok", "doc_id").alias("last_tok"),
+        )
+        .filter(F.col("t") - F.col("last_tok") >= 2048)
+    )
+    assert bad.count() == 0
+    # partition pruning on the written layout
+    one = back.filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    import glob
+    import math
+    import os
+
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        n_rows = back.filter(F.col("shard") == int(d.split("=")[1])).count()
+        n_files = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert n_files <= max(1, math.ceil(n_rows / 50) + 1), (d, n_rows, n_files)
