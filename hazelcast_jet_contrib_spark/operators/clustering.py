@@ -106,3 +106,63 @@ def kmeans_lloyd(
         centroids = kmeans_recompute(points, assign)
         assign = kmeans_assign(points, centroids)
     return assign
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    min_cosine: float = 0.999,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via k-means-cell bucketing — the
+    IVF-style companion to MinHash-LSH: instead of joining all pairs,
+    vectors join only WITHIN their nearest-centroid cell, and exact
+    cosine verifies candidates. Identical vectors always co-locate
+    (identical rounded distances, identical tie-break), so exact-copy
+    recall is 1; near-dups straddling a cell boundary are the standard
+    IVF tradeoff (raise k-probe or fall back to hyperplane LSH
+    `similarity.lsh_bucketed_pairs` when boundary recall matters).
+
+    One assignment round from the deterministic k-lowest-id centroids
+    keeps the bucketing engine-portable — the registry query mirrors it
+    exactly in SQL. Scale: the join is Σ C(|cell|, 2) over cells of
+    ~n/k vectors, not C(n, 2); the centroid relation broadcasts.
+
+    Output: (id_a, id_b, cos) with cos rounded to 6 dp.
+    """
+    points = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = (
+        points.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("cidx"),
+            F.col("v").alias("c"),
+        )
+    )
+    assign = kmeans_assign(points, centroids).select("id", "cidx")
+    cells = assign.join(points, "id")
+    a = cells.select(
+        F.col("cidx"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = cells.select(
+        F.col("cidx"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, ["cidx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (nrm("va") * nrm("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )

@@ -558,3 +558,61 @@ def winnowing_shared_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "semantic_dedup_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    aug AS (
+      SELECT vec_id AS id, v FROM base
+      UNION ALL  -- planted exact copies of every 20th vector
+      SELECT vec_id + 100000, v FROM base WHERE vec_id % 20 = 0
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cidx, v AS c
+      FROM aug ORDER BY id LIMIT 16
+    ),
+    s1 AS (
+      SELECT id, cidx,
+             ROUND(list_sum(list_transform(range(1, 65),
+                    i -> (aug.v[i] - c0.c[i]) * (aug.v[i] - c0.c[i]))), 6) AS dist
+      FROM aug CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT id, cidx FROM (
+        SELECT id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cidx) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT a1.id, a1.cidx, aug.v FROM a1 JOIN aug USING (id)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM cells a JOIN cells b ON a.cidx = b.cidx AND a.id < b.id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+    """,
+)
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs via k-means-cell bucketing (IVF-style:
+    within-cell joins only, exact cosine verification) over the
+    embeddings table with planted exact copies of every 20th vector.
+    Copies co-locate deterministically, so recall on them is 1 and the
+    exact pair set — cells, candidates, cosines — is value-hash checked
+    against the SQL mirror of the same single assignment round. See
+    operators/clustering.py:semantic_dedup_pairs."""
+    from hazelcast_jet_contrib_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    aug = emb.unionByName(
+        emb.filter(F.col("id") % 20 == 0).select(
+            (F.col("id") + 100000).alias("id"), "embedding"
+        )
+    )
+    return semantic_dedup_pairs(aug, "id", "embedding", k=16, min_cosine=0.999)

@@ -116,6 +116,7 @@ _PRIORITY = [
     "winnowing_fingerprints",
     "winnowing_shared_overlap",
     "curriculum_quality_phases",
+    "semantic_dedup_pairs",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
@@ -155,7 +156,7 @@ _PRIORITY = [
     "hll_customers_accuracy",
     "hll_events_users_accuracy",
     "kv_hash_snapshot",
-    # tail of the 53-entry list: with 50 checked, the last three
+    # tail of the list: with 50 checked, the last few
     # r02-green, untouched queries overflow the window this round —
     # they stay covered by the pytest oracle re-run, and rotate back
     # first next round.
