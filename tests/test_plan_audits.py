@@ -440,7 +440,13 @@ def test_new_sketch_and_clustering_shuffle_budgets(spark):
     budgets = {
         "bloom_membership_filter": 5,
         "cms_user_frequency": 6,
-        "kmeans_cluster_profile": 12,
+        "kmeans_cluster_profile": 14,
+        "gopher_quality_flags": 0,
+        "hash_split_assignment": 2,
+        "winnowing_fingerprints": 1,
+        "winnowing_shared_overlap": 6,
+        "curriculum_quality_phases": 2,
+        "semantic_dedup_pairs": 8,
     }
     for name, budget in budgets.items():
         a = audit(QUERIES[name](spark, SF))
