@@ -451,3 +451,107 @@ def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "media_phash_dup_groups",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN unhex('FFD8FF') || encode(text)
+                    WHEN doc_id % 3 = 1 THEN unhex('89504E47') || encode(text)
+                    ELSE encode(text) END AS payload
+        FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL  -- planted byte-identical copies; +3000000 keeps
+                       -- doc_id%3 (the header rule) intact
+            SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+        )
+    ),
+    g AS (
+        SELECT media_id, hex(payload) AS ph, octet_length(payload) AS n FROM m
+    ),
+    idx AS (
+        SELECT media_id, ph, unnest(generate_series(0, n - 1)) AS i FROM g
+    ),
+    sums AS (
+        SELECT media_id,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)) AS s1,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)
+                   * (i + 1)) AS s2
+        FROM idx GROUP BY media_id
+    ),
+    geo AS (
+        SELECT media_id,
+               CAST(16 + s2 % 16 AS INT) AS width,
+               CAST(16 + s1 % 16 AS INT) AS height
+        FROM sums
+    ),
+    pidx AS (
+        SELECT g.media_id, g.ph, g.n,
+               unnest(generate_series(0, geo.width * geo.height - 1)) AS j
+        FROM g JOIN geo USING (media_id)
+    ),
+    plane AS (
+        SELECT media_id, j,
+               CAST(('0x' || substr(ph, 2 * (j % n) + 1, 2)) AS BIGINT) AS byte
+        FROM pidx
+    ),
+    stats AS (
+        SELECT media_id, CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean
+        FROM plane GROUP BY media_id
+    ),
+    bits AS (
+        SELECT p.media_id, p.j,
+               CASE WHEN CAST(p.byte AS DOUBLE) >= s.mean THEN 1 ELSE 0 END AS bit
+        FROM plane p JOIN stats s USING (media_id)
+        WHERE p.j < 64
+    ),
+    bytes8 AS (
+        SELECT media_id, j // 8 AS k,
+               SUM(bit * (1 << CAST(7 - (j % 8) AS INT))) AS val
+        FROM bits GROUP BY media_id, j // 8
+    ),
+    ph64 AS (
+        SELECT media_id,
+               string_agg(lpad(lower(hex(val)), 2, '0'), '' ORDER BY k) AS phash
+        FROM bytes8 GROUP BY media_id
+    )
+    SELECT phash, MIN(media_id) AS keeper, COUNT(*) AS n_members
+    FROM ph64
+    GROUP BY phash
+    HAVING COUNT(*) > 1
+    """,
+)
+def media_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash: plant byte-identical copies of
+    every 7th payload (offset +3000000 preserves the doc_id%3 header
+    rule), decode + average-hash every image, and group identical
+    phashes — keeper is the minimum media_id, the exact-dedup
+    keep-first convention applied to the image modality. The oracle
+    recomputes the full decode+hash pipeline in SQL, so group keys,
+    keepers, and member counts are all value-hash checked. Scale: the
+    group-by key is a 16-char hash — the same narrow-shuffle shape as
+    text exact dedup; near-dup images would band the 64-bit phash
+    exactly like simhash_pairs."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import image_features
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    body = F.encode("text", "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.unhex(F.lit("FFD8FF")), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.unhex(F.lit("89504E47")), body))
+        .otherwise(body)
+    )
+    media = aug.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return (
+        image_features(media)
+        .groupBy("phash")
+        .agg(F.min("media_id").alias("keeper"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )

@@ -117,6 +117,7 @@ _PRIORITY = [
     "winnowing_shared_overlap",
     "curriculum_quality_phases",
     "semantic_dedup_pairs",
+    "media_phash_dup_groups",
     # changed in round 4 (struct-argmax scoring, same semantics): re-prove
     "lang_id_distribution",
     # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
