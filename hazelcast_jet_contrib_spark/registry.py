@@ -157,10 +157,12 @@ _PRIORITY = [
     "hll_customers_accuracy",
     "hll_events_users_accuracy",
     "kv_hash_snapshot",
-    # tail of the list: with 50 checked, the last few
-    # r02-green, untouched queries overflow the window this round —
-    # they stay covered by the pytest oracle re-run, and rotate back
-    # first next round.
+    # tail of the 55-entry list: with 50 checked, the last five
+    # r02-green, untouched queries (hll_events_users_accuracy,
+    # kv_hash_snapshot, and the three below) overflow the window this
+    # round — each stays covered by the pytest oracle re-run
+    # (tests/test_correctness_oracle.py) and rotates back first next
+    # round.
     "sorted_set_range",
     "docstore_find_pushdown",
     "json_props_extraction",
