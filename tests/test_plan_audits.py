@@ -159,6 +159,7 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         "media_image_resize": 2,
         "media_video_frame_sample": 2,
         "media_audio_frames": 2,
+        "media_phash_dup_groups": 2,  # image_features decode kernel
         "embedding_near_dup": 3,  # shared persisted sketch + 2 vector join-backs
         "ivf_cosine_topk": 6,  # cell_of + probe_cells kernels across both sides
         "ivf_recall_at_nprobe": 6,
