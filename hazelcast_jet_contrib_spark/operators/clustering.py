@@ -143,18 +143,25 @@ def semantic_dedup_pairs(
         )
     )
     assign = kmeans_assign(points, centroids).select("id", "cidx")
-    cells = assign.join(points, "id")
+    # norm hoisted to ONE fold per vector before the pair join — left in
+    # the join, each candidate pair would re-fold both operands' norms
+    # (2 extra dim-length folds per pair, ~3x the interpreted work)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cells = assign.join(points, "id").withColumn("nrm", nrm)
     a = cells.select(
-        F.col("cidx"), F.col("id").alias("id_a"), F.col("v").alias("va")
+        F.col("cidx"), F.col("id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = cells.select(
-        F.col("cidx"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+        F.col("cidx"), F.col("id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     return (
         a.join(b, ["cidx"])
@@ -162,7 +169,7 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (nrm("va") * nrm("vb")), 6).alias("cos"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= min_cosine)
     )
