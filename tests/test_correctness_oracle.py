@@ -37,3 +37,19 @@ def test_every_query_runs(spark):
     for name, fn in qs.items():
         df = fn(spark, SMOKE_SF)
         assert df.columns, name
+
+
+def test_registry_rotation_lists_are_well_formed():
+    """The rotation policy only works if _PRIORITY/_DEMOTED stay
+    disjoint, duplicate-free, and reference only registered queries —
+    drift here silently changes WHICH queries the driver proves."""
+    from hazelcast_jet_contrib_spark import registry
+
+    pri, dem = registry._PRIORITY, registry._DEMOTED
+    assert len(pri) == len(set(pri)), "duplicates in _PRIORITY"
+    assert len(dem) == len(set(dem)), "duplicates in _DEMOTED"
+    assert not set(pri) & set(dem), set(pri) & set(dem)
+    unknown = (set(pri) | set(dem)) - set(registry.QUERIES)
+    assert not unknown, f"rotation lists reference unknown queries: {unknown}"
+    # every query has an oracle: the zero-rows-only-checks invariant
+    assert set(registry.QUERIES) == set(registry.ORACLES)
