@@ -440,11 +440,23 @@ def temperature_resample(
     else:
         rate = F.pow(ratio, F.lit(expo))
     rates = counts.withColumn("__rate__", rate)
+    # accept hash mod the Mersenne prime 2^31-1 with the multiplier
+    # pre-reduced (2654435761 % P): every intermediate stays below
+    # 2^62, so the decision is exact in int64 for ANY id — the raw
+    # Knuth product overflows signed 64-bit at id ≈ 3.5e9, going
+    # negative and accepting everything past that point
+    p = 2147483647
     accept = (
-        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
-    ).cast("double") < F.col("__rate__") * F.lit(4294967296.0)
+        ((F.col(id_col) % p) * F.lit(2654435761 % p)) % p
+    ).cast("double") < F.col("__rate__") * F.lit(float(p))
+    # null-safe group join: NULL is a real group (counted above) and
+    # must keep its rows — a plain equi-join would silently drop it
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates),
+            df[group_col].eqNullSafe(rates[group_col]),
+        )
+        .drop(rates[group_col])
         .filter(accept)
         .drop("__c__", "__rate__")
     )

@@ -319,8 +319,11 @@ def minhash_decontaminate(
     return (
         candidates.join(sh_c, "id")
         .join(F.broadcast(sh_p), "probe_id")
+        # threshold on the RAW ratio (matching minhash_lsh_pairs and the
+        # SQL oracle's WHERE clause); round only the OUTPUT column — a
+        # pair a hair under threshold must not round its way in
+        .filter((inter / union) >= threshold)
         .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
         .select("id", "probe_id", "jaccard")
     )
 

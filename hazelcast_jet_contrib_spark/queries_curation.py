@@ -490,8 +490,8 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT lang, SQRT(CAST(cmin AS DOUBLE) / c) AS rate FROM c, m)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN r USING (lang)
-    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
-          < rate * 4294967296
+    WHERE CAST(((d.doc_id % 2147483647) * 506952114) % 2147483647 AS DOUBLE)
+          < rate * 2147483647
     """,
 )
 def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,8 +103,14 @@ class StreamingNearDupIndex:
         except (FileNotFoundError, ValueError):
             return None
 
-    def _epoch_dirs(self, kind: str) -> list[str]:
-        committed = self._committed()
+    def _epoch_dirs(self, kind: str, up_to: int | None = None) -> list[str]:
+        """Directories visible for `kind`. `up_to` caps the epoch range
+        at a caller-captured commit snapshot — compact() passes its
+        snapshot so ALL kinds see the same epoch set even if a batch
+        commits mid-compaction (re-reading the marker per kind would
+        bake a newer epoch into the generation while the recorded floor
+        stays below it: duplicate rows forever after)."""
+        committed = self._committed() if up_to is None else up_to
         if committed is None:
             return []
         comp = self._compaction_state()
@@ -267,7 +273,7 @@ class StreamingNearDupIndex:
 
         repart = {"bands": ("band", "bh")}
         for kind in ("bands", "sets", "accepted"):
-            dirs = self._epoch_dirs(kind)
+            dirs = self._epoch_dirs(kind, up_to=committed)
             if not dirs:
                 continue
             n_bytes = 0

@@ -267,3 +267,25 @@ def test_curation_admission_misconfig_and_full_battery(spark, tmp_path):
     fb2(batch2, 0)
     got = {r["doc_id"] for r in index2.accepted(spark).collect()}
     assert got == {1}, got
+
+
+def test_epoch_dirs_snapshot_cap_excludes_later_commits(spark, tmp_path):
+    """compact()'s consistency contract: reads capped at a captured
+    commit snapshot must NOT include epochs committed after the capture
+    — otherwise a batch landing mid-compaction is baked into the
+    generation while the recorded floor stays below it, and its rows
+    become permanently visible twice."""
+    root = str(tmp_path / "log")
+    index = StreamingNearDupIndex(
+        str(tmp_path / "idx"), "doc_id", "text", threshold=0.6
+    )
+    b1 = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    index.apply_batch(b1, 0)
+    snap = index._committed()
+    b2 = spark.createDataFrame([(2, OTHER)], "doc_id long, text string")
+    index.apply_batch(b2, snap + 1)
+    assert index._committed() == snap + 1
+    capped = index._epoch_dirs("accepted", up_to=snap)
+    uncapped = index._epoch_dirs("accepted")
+    assert len(uncapped) == len(capped) + 1
+    assert all(f"e{snap + 1}" not in d for d in capped)
