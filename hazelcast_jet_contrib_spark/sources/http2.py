@@ -11,8 +11,10 @@ server: accept POST/PUT request streams (h2c prior-knowledge on
 cleartext, ALPN-negotiated h2 on TLS), hand the decoded headers + body
 to the same ingest callback the HTTP/1.1 handler uses, and answer with
 :status + small body. Flow-control windows are replenished after every
-DATA frame so uploads never stall; responses are far below the default
-64 KiB window so the server side never blocks. No server push, no
+DATA frame so uploads never stall; outgoing DATA honors the peer's
+SETTINGS_MAX_FRAME_SIZE and both send windows (WINDOW_UPDATEs are
+consumed while blocked, so streaming SSE responses larger than the
+64 KiB default window drain correctly). No server push, no
 prioritization (both optional for servers).
 
 The HPACK implementation is complete — integer/string primitives, the
@@ -173,6 +175,8 @@ class HpackDecoder:
     # -- primitives ---------------------------------------------------
     @staticmethod
     def _int(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+        if pos >= len(data):
+            raise ValueError("truncated hpack integer")
         mask = (1 << prefix_bits) - 1
         v = data[pos] & mask
         pos += 1
@@ -180,6 +184,8 @@ class HpackDecoder:
             return v, pos
         shift = 0
         while True:
+            if pos >= len(data):  # continuation bit set on final byte
+                raise ValueError("truncated hpack integer")
             b = data[pos]
             pos += 1
             v += (b & 0x7F) << shift
@@ -219,14 +225,6 @@ class HpackDecoder:
         while self._dyn_size > self.max_size and self._dyn:
             n, v = self._dyn.pop()
             self._dyn_size -= len(n) + len(v) + 32
-
-    def set_settings_cap(self, cap: int) -> None:
-        """SETTINGS_HEADER_TABLE_SIZE from the peer's encoder settings —
-        the upper bound for dynamic-table-size updates."""
-        self._settings_cap = cap
-        if self.max_size > cap:
-            self.max_size = cap
-            self._evict()
 
     # -- header block -----------------------------------------------------
     def decode(self, block: bytes) -> list[tuple[str, str]]:
@@ -305,14 +303,17 @@ def _read_exact(rfile, n: int) -> bytes:
 
 
 class _Stream:
-    __slots__ = ("headers", "body", "header_frags", "headers_done", "ended")
+    __slots__ = (
+        "headers", "body", "header_frags", "headers_done", "ended", "send_win",
+    )
 
-    def __init__(self):
+    def __init__(self, send_win: int = 65535):
         self.headers: dict[str, str] = {}
         self.body = bytearray()
         self.header_frags = bytearray()
         self.headers_done = False
         self.ended = False
+        self.send_win = send_win  # peer's receive window for our DATA
 
 
 def serve_connection(
@@ -335,6 +336,64 @@ def serve_connection(
     hpack = HpackDecoder()
     streams: dict[int, _Stream] = {}
     expect_cont: int | None = None  # stream id whose CONTINUATIONs are due
+    # peer-facing send state: connection window, per-stream initial
+    # window, and max frame size — all updated from the client's
+    # SETTINGS / WINDOW_UPDATE frames
+    conn = {"win": 65535, "init_win": 65535, "max_frame": 16384}
+
+    def _apply_window_update(frame_sid: int, payload: bytes) -> None:
+        inc = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+        if frame_sid == 0:
+            conn["win"] += inc
+        elif frame_sid in streams:
+            streams[frame_sid].send_win += inc
+
+    def _send_data(sid: int, st: _Stream, chunk: bytes, end: bool) -> None:
+        """DATA respecting the peer's SETTINGS_MAX_FRAME_SIZE and both
+        flow-control windows. When a window is exhausted mid-send, block
+        on the socket and consume ONLY connection-maintenance frames
+        (WINDOW_UPDATE / PING / SETTINGS / RST of this stream) until it
+        reopens — a client pipelining NEW requests while its receive
+        window is closed is out of scope for this parity server and
+        fails loudly rather than deadlocking."""
+        if not chunk and not end:
+            return  # nothing to send; don't spin on a closed window
+        view = memoryview(chunk)
+        while True:
+            n = min(len(view), conn["max_frame"], conn["win"], st.send_win)
+            if n > 0 or (end and not view):
+                flags = _FLAG_END_STREAM if end and n == len(view) else 0
+                wfile.write(_frame(_DATA, flags, sid, bytes(view[:n])))
+                wfile.flush()
+                conn["win"] -= n
+                st.send_win -= n
+                view = view[n:]
+                if not view:
+                    return
+                continue
+            # window closed: wait for the peer to reopen it
+            head = _read_exact(rfile, 9)
+            ln = int.from_bytes(head[:3], "big")
+            ft, fl = head[3], head[4]
+            fsid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            pl = _read_exact(rfile, ln) if ln else b""
+            if ft == _WINUP:
+                _apply_window_update(fsid, pl)
+            elif ft == _PING and not fl & _FLAG_ACK:
+                wfile.write(_frame(_PING, _FLAG_ACK, 0, pl))
+                wfile.flush()
+            elif ft == _SETTINGS:
+                if not fl & _FLAG_ACK:
+                    wfile.write(_frame(_SETTINGS, _FLAG_ACK, 0))
+                    wfile.flush()
+            elif ft == _RST and fsid == sid:
+                raise BrokenPipeError("stream reset while flow-blocked")
+            elif ft == _GOAWAY:
+                raise BrokenPipeError("goaway while flow-blocked")
+            else:
+                raise ValueError(
+                    "unsupported frame while flow-control blocked"
+                )
 
     def _finish(sid: int, st: _Stream) -> None:
         status, body = handler(st.headers, bytes(st.body))
@@ -350,17 +409,29 @@ def serve_connection(
         wfile.write(_frame(_HEADERS, _FLAG_END_HEADERS, sid, encode_response_headers(fields)))
         if streaming:
             for chunk in body:
-                wfile.write(_frame(_DATA, 0, sid, bytes(chunk)))
-                wfile.flush()
-            wfile.write(_frame(_DATA, _FLAG_END_STREAM, sid, b""))
+                _send_data(sid, st, bytes(chunk), end=False)
+            _send_data(sid, st, b"", end=True)
         else:
-            wfile.write(_frame(_DATA, _FLAG_END_STREAM, sid, body))
-        wfile.flush()
+            _send_data(sid, st, bytes(body), end=True)
         del streams[sid]
 
     def _headers_complete(sid: int, st: _Stream) -> None:
-        st.headers = dict(hpack.decode(bytes(st.header_frags)))
+        fields = hpack.decode(bytes(st.header_frags))
         st.header_frags.clear()
+        if st.headers_done:
+            # trailing HEADERS (RFC 7540 §8.1): the HPACK state above is
+            # already applied (mandatory for connection health); the
+            # fields are trailers and must NOT overwrite the request's
+            # pseudo-headers — :method/:path survive, trailers merge in
+            if not st.ended:
+                raise ValueError("trailers without END_STREAM")
+            for k, v in fields:
+                if k.startswith(":"):
+                    raise ValueError("pseudo-header in trailers")
+                st.headers.setdefault(k, v)
+            _finish(sid, st)
+            return
+        st.headers = dict(fields)
         st.headers_done = True
         if st.ended:
             _finish(sid, st)
@@ -382,12 +453,22 @@ def serve_connection(
             if not flags & _FLAG_ACK:
                 for off in range(0, len(payload), 6):
                     ident, value = struct.unpack_from("!HI", payload, off)
-                    if ident == 0x1:  # SETTINGS_HEADER_TABLE_SIZE
-                        hpack.set_settings_cap(value)
+                    # SETTINGS_HEADER_TABLE_SIZE (0x1) constrains the
+                    # peer's DECODER, i.e. OUR encoder — which is
+                    # stateless literal-without-indexing, so nothing to
+                    # do; our decoder's cap stays at the table size WE
+                    # advertised. Applying the client's value to our
+                    # decoder would reject conformant clients that
+                    # advertise 0 while still indexing against our
+                    # default 4096-byte table.
+                    if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                        conn["init_win"] = value
+                    elif ident == 0x5:  # SETTINGS_MAX_FRAME_SIZE
+                        conn["max_frame"] = max(16384, min(value, (1 << 24) - 1))
                 wfile.write(_frame(_SETTINGS, _FLAG_ACK, 0))
                 wfile.flush()
         elif ftype == _HEADERS:
-            st = streams.setdefault(sid, _Stream())
+            st = streams.setdefault(sid, _Stream(conn["init_win"]))
             pos, end = 0, len(payload)
             if flags & _FLAG_PADDED:
                 end -= payload[pos]
@@ -434,5 +515,7 @@ def serve_connection(
             return
         elif ftype == _RST:
             streams.pop(sid, None)
-        # PRIORITY / PUSH_PROMISE (never from clients) / WINDOW_UPDATE /
-        # unknown extension frames: consumed and ignored
+        elif ftype == _WINUP:
+            _apply_window_update(sid, payload)
+        # PRIORITY / PUSH_PROMISE (never from clients) / unknown
+        # extension frames: consumed and ignored

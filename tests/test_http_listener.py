@@ -624,3 +624,135 @@ def test_sse_push_sink_over_h2(spark):
         assert [json.loads(e[6:])["n"] for e in events] == [0, 1, 2]
     finally:
         sink.stop()
+
+
+def test_hpack_truncated_varint_raises_value_error():
+    """A header block ending mid-varint (continuation bit set on the
+    final byte) must fail with the ValueError the connection handler
+    catches — not an IndexError traceback per malicious connection."""
+    import pytest
+
+    from hazelcast_jet_contrib_spark.sources.http2 import HpackDecoder
+
+    with pytest.raises(ValueError, match="truncated hpack integer"):
+        HpackDecoder().decode(b"\xff")  # indexed field, varint continues
+
+
+def test_hpack_decoder_ignores_client_header_table_size_zero():
+    """SETTINGS_HEADER_TABLE_SIZE from the client constrains OUR
+    encoder, not our decoder: a client advertising 0 (it decodes with
+    no dynamic table) may still index against OUR advertised table, so
+    our decoder must keep accepting incremental indexing + dynamic
+    references."""
+    from hazelcast_jet_contrib_spark.sources.http2 import HpackDecoder
+
+    d = HpackDecoder()
+    # literal WITH incremental indexing, new name "x: y", then an
+    # indexed reference to the dynamic entry (index 62 = 0xbe)
+    block1 = bytes([0x40, 0x01]) + b"x" + bytes([0x01]) + b"y"
+    assert d.decode(block1) == [("x", "y")]
+    assert d.decode(bytes([0xBE])) == [("x", "y")]
+
+
+def test_h2_trailing_headers_preserve_request_pseudo_headers(tmp_path):
+    """HEADERS -> DATA -> trailing HEADERS(END_STREAM) (RFC 7540 §8.1,
+    the gRPC/curl --trailer shape): the trailer block must not clobber
+    :method/:path — the POST still lands with a 200 and the payload is
+    spooled."""
+    import json as _json
+    import socket
+    import struct
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    spool = str(tmp_path / "spool")
+    src = HttpListenerSource(spool, batch_size=1).start()
+    host, port = src._server.server_address[:2]
+
+    def frame(t, fl, sid, pl=b""):
+        return (
+            struct.pack("!I", len(pl))[1:] + bytes((t, fl))
+            + struct.pack("!I", sid) + pl
+        )
+
+    try:
+        s = socket.create_connection((host, port), timeout=10)
+        s.settimeout(10)
+        f = s.makefile("rwb")
+        f.write(http2.PREFACE)
+        f.write(frame(4, 0, 0))
+        # HEADERS without END_STREAM: POST / http localhost
+        f.write(frame(1, 0x4, 1, bytes([0x83, 0x86, 0x84, 0x41, 0x09]) + b"localhost"))
+        # DATA without END_STREAM
+        f.write(frame(0, 0x0, 1, b'{"trailered": true}'))
+        # trailing HEADERS with END_STREAM + END_HEADERS: one literal
+        # without indexing, new name "x-checksum: ok"
+        trailer = bytes([0x00, 0x0A]) + b"x-checksum" + bytes([0x02]) + b"ok"
+        f.write(frame(1, 0x4 | 0x1, 1, trailer))
+        f.flush()
+        got_headers = ended = False
+        while not (got_headers and ended):
+            head = f.read(9)
+            ln = int.from_bytes(head[:3], "big")
+            t, fl = head[3], head[4]
+            sid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            pl = f.read(ln) if ln else b""
+            if sid == 1 and t == 1:
+                got_headers = True
+                assert http2.HpackDecoder().decode(pl)[0] == (":status", "200")
+            if sid == 1 and fl & 0x1:
+                ended = True
+        s.close()
+    finally:
+        src.stop()
+
+    values = [
+        _json.loads(line)["value"]
+        for seg in sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+        for line in open(seg)
+    ]
+    assert values == ['{"trailered": true}']
+
+
+def test_h2_large_response_respects_max_frame_size():
+    """A 40 KB response must be split into DATA frames of at most the
+    peer's SETTINGS_MAX_FRAME_SIZE (default 16384) — one oversized
+    frame makes a conformant client abort with FRAME_SIZE_ERROR — and
+    the window accounting must deliver every byte with END_STREAM on
+    the final frame."""
+    import io
+    import struct
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    def frame(t, fl, sid, pl=b""):
+        return (
+            struct.pack("!I", len(pl))[1:] + bytes((t, fl))
+            + struct.pack("!I", sid) + pl
+        )
+
+    rfile = io.BytesIO(
+        http2.PREFACE
+        + frame(4, 0, 0)  # client SETTINGS (defaults)
+        + frame(1, 0x4 | 0x1, 1, bytes([0x83, 0x86, 0x84]))  # POST, END_STREAM
+    )
+    wfile = io.BytesIO()
+    body = b"x" * 40_000
+    http2.serve_connection(rfile, wfile, lambda headers, data: (200, body))
+
+    wfile.seek(0)
+    data_frames = []
+    while True:
+        head = wfile.read(9)
+        if len(head) < 9:
+            break
+        ln = int.from_bytes(head[:3], "big")
+        t, fl = head[3], head[4]
+        pl = wfile.read(ln)
+        if t == 0:
+            data_frames.append((pl, fl))
+    assert all(len(pl) <= 16384 for pl, _ in data_frames), [
+        len(pl) for pl, _ in data_frames
+    ]
+    assert b"".join(pl for pl, _ in data_frames) == body
+    assert data_frames[-1][1] & 0x1, "END_STREAM on final DATA frame"
