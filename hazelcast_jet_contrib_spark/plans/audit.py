@@ -131,76 +131,15 @@ def _codegen_subtree_count(df: DataFrame, execute: bool) -> int | None:
         return None
 
 
-def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
-    """Measured shuffle totals of THIS DataFrame's finished execution,
-    read from the executed plan's SQL metrics (the same accumulators the
-    SparkListener bus publishes to the UI): summed ``shuffleRecordsWritten``
-    / ``shuffleBytesWritten`` over every ShuffleExchange in the final
-    adaptive plan, descending into query stages and cached (InMemoryScan)
-    subtrees. The caller must have run an action on ``df`` itself
-    (``collect()``; ``count()`` plans a different query). ReusedExchange
-    and repeated scans of one cached relation are counted once — a reused
-    shuffle is exactly the rewrite that was avoided.
-
-    This is what turns "the LSH shuffle grows linearly" from a docstring
-    claim into an executable assertion (tests/test_scale_rehearsal.py).
-    """
-    totals = {"shuffle_records": 0, "shuffle_bytes": 0, "exchanges": 0}
-    jvm = df.sparkSession._jvm
-    seen: set[int] = set()
-
-    def ident(node) -> int:
-        return jvm.System.identityHashCode(node)
-
-    def metrics(node) -> dict[str, int]:
-        out: dict[str, int] = {}
-        it = node.metrics().iterator()
-        while it.hasNext():
-            kv = it.next()
-            out[kv._1()] = kv._2().value()
-        return out
-
-    def walk(node) -> None:
-        if ident(node) in seen:
-            return
-        seen.add(ident(node))
-        cname = node.getClass().getSimpleName()
-        if cname.startswith("AdaptiveSparkPlan"):
-            walk(node.executedPlan())
-            return
-        if "QueryStage" in cname:
-            walk(node.plan())
-            return
-        if "ReusedExchange" in cname:
-            return  # its child is the original exchange, already counted
-        if "ShuffleExchange" in cname:
-            m = metrics(node)
-            totals["exchanges"] += 1
-            totals["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
-            totals["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
-        if "InMemoryTableScan" in cname:
-            # the cache-build pipeline ran once; count its shuffles once
-            try:
-                walk(node.relation().cachedPlan())
-            except Exception:
-                pass
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return totals
-
-
-def executed_scan_stats(df: DataFrame) -> dict[str, int]:
-    """Measured file-scan totals of THIS DataFrame's finished execution:
-    summed ``numFiles`` / ``filesSize`` over every file-source scan in
-    the final adaptive plan. This is how partition pruning is PROVEN
-    rather than claimed: a date-filtered query over a date-partitioned
-    table must report fewer files than the table holds
-    (tests/test_plan_audits.py). Caller must have run an action on
-    ``df`` itself."""
-    totals = {"files": 0, "bytes": 0, "scans": 0}
+def _walk_executed_plan(df: DataFrame, visit) -> None:
+    """Shared traversal of a finished execution's final adaptive plan:
+    descends AdaptiveSparkPlan -> executedPlan, QueryStage -> plan, and
+    cached (InMemoryTableScan) subtrees; skips ReusedExchange subtrees
+    (their child is the original, already visited) and revisits no node
+    (identity-hash seen-set). ``visit(simple_class_name, node)`` is
+    called once per plan node — the per-metric leaf logic lives in the
+    callers, the traversal lives HERE so a fix to the walk (a new AQE
+    node type, the cachedPlan guard) cannot drift between them."""
     jvm = df.sparkSession._jvm
     seen: set[int] = set()
 
@@ -216,15 +155,9 @@ def executed_scan_stats(df: DataFrame) -> dict[str, int]:
         if "QueryStage" in cname:
             walk(node.plan())
             return
-        if "FileSourceScan" in cname:
-            m: dict[str, int] = {}
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                m[kv._1()] = kv._2().value()
-            totals["scans"] += 1
-            totals["files"] += int(m.get("numFiles", 0))
-            totals["bytes"] += int(m.get("filesSize", 0))
+        if "ReusedExchange" in cname:
+            return
+        visit(cname, node)
         if "InMemoryTableScan" in cname:
             try:
                 walk(node.relation().cachedPlan())
@@ -235,6 +168,62 @@ def executed_scan_stats(df: DataFrame) -> dict[str, int]:
             walk(ch.apply(k))
 
     walk(df._jdf.queryExecution().executedPlan())
+
+
+def _sql_metrics(node) -> dict[str, int]:
+    out: dict[str, int] = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
+    """Measured shuffle totals of THIS DataFrame's finished execution,
+    read from the executed plan's SQL metrics (the same accumulators the
+    SparkListener bus publishes to the UI): summed ``shuffleRecordsWritten``
+    / ``shuffleBytesWritten`` over every ShuffleExchange in the final
+    adaptive plan, descending into query stages and cached (InMemoryScan)
+    subtrees. The caller must have run an action on ``df`` itself
+    (``collect()``; ``count()`` plans a different query). ReusedExchange
+    and repeated scans of one cached relation are counted once — a reused
+    shuffle is exactly the rewrite that was avoided.
+
+    This is what turns "the LSH shuffle grows linearly" from a docstring
+    claim into an executable assertion (tests/test_scale_rehearsal.py).
+    """
+    totals = {"shuffle_records": 0, "shuffle_bytes": 0, "exchanges": 0}
+
+    def visit(cname, node):
+        if "ShuffleExchange" in cname:
+            m = _sql_metrics(node)
+            totals["exchanges"] += 1
+            totals["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
+            totals["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
+
+    _walk_executed_plan(df, visit)
+    return totals
+
+
+def executed_scan_stats(df: DataFrame) -> dict[str, int]:
+    """Measured file-scan totals of THIS DataFrame's finished execution:
+    summed ``numFiles`` / ``filesSize`` over every file-source scan in
+    the final adaptive plan. This is how partition pruning is PROVEN
+    rather than claimed: a date-filtered query over a date-partitioned
+    table must report fewer files than the table holds
+    (tests/test_plan_audits.py). Caller must have run an action on
+    ``df`` itself."""
+    totals = {"files": 0, "bytes": 0, "scans": 0}
+
+    def visit(cname, node):
+        if "FileSourceScan" in cname:
+            m = _sql_metrics(node)
+            totals["scans"] += 1
+            totals["files"] += int(m.get("numFiles", 0))
+            totals["bytes"] += int(m.get("filesSize", 0))
+
+    _walk_executed_plan(df, visit)
     return totals
 
 
