@@ -94,11 +94,16 @@ def main() -> None:
             except Exception:
                 pass
             spark.catalog.clearCache()
+        # ok_df tracks the last SUCCESSFULLY collected DataFrame: shuffle
+        # stats must come from a fully-executed plan, never from a retry
+        # that threw mid-execution (its accumulators are partial).
+        ok_df = None
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
             df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
+            ok_df = df
         except Exception as ex:  # keep the harness alive; surface per-query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
@@ -119,20 +124,21 @@ def main() -> None:
                 if second < timings[name]:
                     timings[name] = second
                 retimed.append(name)
+                ok_df = df
             except Exception:
                 pass
-        # Measured shuffle volume of the last executed run, read from the
-        # executed plan's SQL metric accumulators AFTER the timed window
-        # (pure py4j reads, no recomputation). This is the per-query
-        # scale evidence: records/bytes that actually crossed an
-        # exchange at this SF, comparable round-over-round.
-        if timings[name] >= 0:
+        # Measured shuffle volume of the last fully-executed run, read
+        # from the executed plan's SQL metric accumulators AFTER the
+        # timed window (pure py4j reads, no recomputation). This is the
+        # per-query scale evidence: records/bytes that actually crossed
+        # an exchange at this SF, comparable round-over-round.
+        if ok_df is not None:
             try:
                 from hazelcast_jet_contrib_spark.plans.audit import (
                     executed_shuffle_stats,
                 )
 
-                s = executed_shuffle_stats(df)
+                s = executed_shuffle_stats(ok_df)
                 shuffles[name] = {
                     "records": s["shuffle_records"],
                     "mb": round(s["shuffle_bytes"] / 1e6, 2),
@@ -155,40 +161,49 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    # The driver captures only the TAIL of this line. Keep the line
+    # minimal and put the per-query timings dict LAST so the tail always
+    # contains the complete timings even if the head gets clipped
+    # (rounds 1-4 all recorded "parsed: null" because large policy/
+    # shuffle dicts pushed the timings out of the tail window). The
+    # 97-entry shuffle-volume dict and measurement-policy notes now live
+    # in the side artifact BENCH_SHUFFLE.json, referenced here by name.
+    with open(Path(REPO) / "BENCH_SHUFFLE.json", "w") as f:
+        json.dump(
+            {
+                "sf": _sf_from_dir(SF_DIR),
+                # measured shuffle volume per query (records / MB written
+                # across every exchange of the executed plan, cached
+                # subtrees counted once) — the round-over-round
+                # scale-regression surface
+                "shuffle": shuffles,
+                # Measurement policy markers. "warmed": each query got a
+                # just-in-time sf0.001 codegen warmup before its timed run
+                # (round 2+; round-1 numbers warmed only 4 queries, so
+                # totals aren't comparable across that boundary).
+                # "cache_isolated": per-query clearCache() (round 2+).
+                "warmed": can_warm,
+                "cache_isolated": True,
+                "retime_threshold_sec": RETIME_SEC,
+                "retimed": sorted(retimed),
+                # Sub-second queries are NOT retimed, so they carry
+                # documented host-interference noise (r03 setop delta
+                # attributed to host noise; see r04 isolation re-timing).
+                "policy_notes": "sub-second queries exposed to host noise; setop r03 delta attributed (see BENCH_SHUFFLE.json history)",
+            },
+            f,
+            indent=1,
+        )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
-        # Measurement policy markers. "warmed" records whether each query
-        # got a just-in-time sf0.001 codegen warmup before its timed run
-        # (introduced round 2; round-1 numbers warmed only 4 queries, so
-        # totals are not directly comparable across that boundary).
-        # "cache_isolated" records the per-query clearCache() (also
-        # round 2+): persisted relations don't carry between queries.
-        "warmed": can_warm,
-        "cache_isolated": True,
-        # queries whose first measurement exceeded the retime threshold
-        # and were re-timed (min of 2 reported) — see loop comment
-        "retime_threshold_sec": 2.0,
-        "retimed": sorted(retimed),
-        # measured shuffle volume per query (records / MB written across
-        # every exchange of the executed plan, cached subtrees counted
-        # once) — the round-over-round scale-regression surface
-        "shuffle": shuffles,
-        # Sub-second queries are NOT retimed, so they carry documented
-        # host-interference noise. r03 flagged setop_building_urgent_-
-        # customers 0.30->0.84s; r04 isolation runs (bench.py single-query
-        # mode, 5 samples) reproduce 0.49-0.65s on a host where ALL
-        # sub-second queries measured 1.5-2x their r03 sweep numbers
-        # (q14_promo_effect 0.46->0.75, parts_never_bulk_ordered
-        # 0.27->0.60). Plan re-audited: pushed filters, broadcast semi
-        # join, single distinct exchange — no regression; attributed to
-        # measurement noise at the sub-second floor.
-        "policy_notes": "sub-second queries exposed to host noise; setop r03 delta attributed (see bench.py)",
+        "retimed_n": len(retimed),
+        "side_artifacts": "BENCH_SHUFFLE.json",
+        "queries": timings,
     }
     print(json.dumps(out))
     spark.stop()

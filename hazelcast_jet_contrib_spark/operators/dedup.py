@@ -721,3 +721,56 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def band_probe_pairs_64(
+    left_sig: DataFrame,
+    right_sig: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-banded pair join between two relations of (id, sig)
+    where sig is ANY 64-bit long signature (SimHash, perceptual image
+    hash, fingerprint). Pigeonhole over `bands` equal bit-slices gives
+    exact recall for hamming <= max_hamming when max_hamming < bands,
+    so the cross join only happens inside identical-band buckets — the
+    same scale shape as simhash_pairs but between two sides (probe
+    pattern, like minhash_decontaminate), so a small probe side never
+    triggers a corpus self-join. Output (id_a, id_b, hamming) with
+    id_a from left, id_b from right."""
+    if max_hamming >= bands:
+        raise ValueError("exact recall requires max_hamming < bands")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame) -> DataFrame:
+        cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("sig", b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bs"),
+            )
+            for b in range(bands)
+        ]
+        return df.select("id", "sig", F.explode(F.array(*cols)).alias("bb")).select(
+            "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs")
+        )
+
+    a, b = banded(left_sig).alias("a"), banded(right_sig).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bs") == F.col("b.bs")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_distance(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )

@@ -555,3 +555,145 @@ def media_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("media_id").alias("keeper"), F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "media_phash_near_dup",
+    oracle="""
+    WITH m0 AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN unhex('FFD8FF') || encode(text)
+                    WHEN doc_id % 3 = 1 THEN unhex('89504E47') || encode(text)
+                    ELSE encode(text) END AS payload
+        FROM documents
+    ),
+    pert AS (
+        -- planted near-identical copies: last payload byte += 16
+        -- (mod 256). +-16 keeps the byte-sum residues the decoder's
+        -- geometry rule depends on, so the perturbed image decodes to
+        -- the same plane and its average-hash differs by only the few
+        -- bits the changed byte swings.
+        SELECT media_id + 3000000 AS media_id,
+               unhex(substr(hex(payload), 1, 2 * octet_length(payload) - 2)
+                     || lpad(hex((CAST(('0x' || substr(hex(payload),
+                            2 * octet_length(payload) - 1, 2)) AS INT)
+                            + 16) % 256), 2, '0')) AS payload
+        FROM m0
+        WHERE media_id % 5 = 0 AND octet_length(payload) >= 1
+    ),
+    m AS (SELECT * FROM m0 UNION ALL SELECT * FROM pert),
+    g AS (
+        SELECT media_id, hex(payload) AS ph, octet_length(payload) AS n FROM m
+    ),
+    idx AS (
+        SELECT media_id, ph, unnest(generate_series(0, n - 1)) AS i FROM g
+    ),
+    sums AS (
+        SELECT media_id,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)) AS s1,
+               SUM(CAST(('0x' || substr(ph, 2 * i + 1, 2)) AS BIGINT)
+                   * (i + 1)) AS s2
+        FROM idx GROUP BY media_id
+    ),
+    geo AS (
+        SELECT media_id,
+               CAST(16 + s2 % 16 AS INT) AS width,
+               CAST(16 + s1 % 16 AS INT) AS height
+        FROM sums
+    ),
+    pidx AS (
+        SELECT g.media_id, g.ph, g.n,
+               unnest(generate_series(0, geo.width * geo.height - 1)) AS j
+        FROM g JOIN geo USING (media_id)
+    ),
+    plane AS (
+        SELECT media_id, j,
+               CAST(('0x' || substr(ph, 2 * (j % n) + 1, 2)) AS BIGINT) AS byte
+        FROM pidx
+    ),
+    stats AS (
+        SELECT media_id, CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean
+        FROM plane GROUP BY media_id
+    ),
+    bits AS (
+        SELECT p.media_id, p.j,
+               CASE WHEN CAST(p.byte AS DOUBLE) >= s.mean THEN 1 ELSE 0 END AS bit
+        FROM plane p JOIN stats s USING (media_id)
+        WHERE p.j < 64
+    ),
+    bytes8 AS (
+        SELECT media_id, j // 8 AS k,
+               SUM(bit * (1 << CAST(7 - (j % 8) AS INT))) AS val
+        FROM bits GROUP BY media_id, j // 8
+    ),
+    ph64 AS (
+        SELECT media_id,
+               string_agg(lpad(lower(hex(val)), 2, '0'), '' ORDER BY k) AS phash
+        FROM bytes8 GROUP BY media_id
+    ),
+    nib AS (
+        -- exact hamming between each original and its planted twin,
+        -- nibble-wise (no 64-bit unsigned parse needed)
+        SELECT o.media_id,
+               CAST(('0x' || substr(o.phash, k, 1)) AS INT) AS na,
+               CAST(('0x' || substr(p.phash, k, 1)) AS INT) AS nb
+        FROM ph64 o
+        JOIN ph64 p ON p.media_id = o.media_id + 3000000
+        CROSS JOIN generate_series(1, 16) AS gs(k)
+        WHERE o.media_id < 3000000
+    )
+    SELECT media_id, CAST(SUM(bit_count(xor(na, nb))) AS INT) AS hamming
+    FROM nib GROUP BY media_id
+    HAVING SUM(bit_count(xor(na, nb))) <= 3
+    """,
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup image dedup (VERDICT r04 item 5): plant a
+    near-identical copy of every 5th payload (last byte += 16 mod 256 —
+    geometry-preserving, so the decoded plane changes by one byte),
+    average-hash everything, and recover the planted pairs whose phash
+    hamming distance is <= 3 via the SimHash pigeonhole banding
+    (dedup.band_probe_pairs_64: 4 bands x 16 bits; some band must match
+    exactly when hamming < 4, so recall of qualifying pairs is 100% by
+    construction — which is exactly what the exact-SQL oracle checks).
+    Scale: probe-pattern band join (originals x planted) — vectors
+    never shuffle, buckets are 16-bit band values, no corpus self-join.
+    Reference parity: extends media_phash_dup_groups (byte-identical
+    only) the way SimHash extends exact text dedup."""
+    from hazelcast_jet_contrib_spark.operators.dedup import band_probe_pairs_64
+    from hazelcast_jet_contrib_spark.operators.multimodal import image_features
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode("text", "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.unhex(F.lit("FFD8FF")), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.unhex(F.lit("89504E47")), body))
+        .otherwise(body)
+    )
+    m0 = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    last_byte = F.conv(
+        F.expr("substring(hex(payload), 2 * octet_length(payload) - 1, 2)"), 16, 10
+    ).cast("int")
+    perturbed = F.unhex(
+        F.concat(
+            F.expr("substring(hex(payload), 1, 2 * octet_length(payload) - 2)"),
+            F.lpad(F.hex((last_byte + 16) % 256), 2, "0"),
+        )
+    )
+    pert = m0.filter((F.col("media_id") % 5 == 0) & (F.octet_length("payload") >= 1)).select(
+        (F.col("media_id") + 3000000).alias("media_id"), perturbed.alias("payload")
+    )
+    feats = image_features(m0.unionByName(pert))
+    sig = F.shiftleft(
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring("phash", 9, 8), 16, 10).cast("long"))
+    sig_df = feats.select(F.col("media_id").alias("id"), sig.alias("sig"))
+    pairs = band_probe_pairs_64(
+        sig_df.filter(F.col("id") < 3000000),
+        sig_df.filter(F.col("id") >= 3000000),
+        max_hamming=3,
+        bands=4,
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 3000000).select(
+        F.col("id_a").alias("media_id"), F.col("hamming").cast("int").alias("hamming")
+    )

@@ -96,81 +96,19 @@ from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 # permanently unchecked.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # red in round 3 (driver canonicalizer crash) — output reshaped to a
-    # scalar q column this round; re-prove FIRST
-    "embedding_quantization",
-    # new in round 4: no CORRECTNESS row yet
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "unigram_lm_quality",
-    "decontamination_near_dup",
-    "crossdoc_dup_blocks",
-    "temperature_resample_by_lang",
-    "simhash128_near_dup",
-    "timeseries_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "kmeans_cluster_profile",
-    "gopher_quality_flags",
-    "hash_split_assignment",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "curriculum_quality_phases",
-    "semantic_dedup_pairs",
-    "media_phash_dup_groups",
-    # changed in round 4 (struct-argmax scoring, same semantics): re-prove
-    "lang_id_distribution",
-    # changed in round 4 (empty-payload decoder guard; DSv2 EqualTo
-    # bound tightening): re-prove even though generator behavior is
-    # unchanged
-    "media_image_features",
-    "media_audio_frames",
-    "media_image_resize",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "zset_range_catalyst_pushdown",
-    # r02-green only — the 29 queries the r03 rotation demoted; their
-    # last driver row is one round old, retire the debt now
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q14_promo_effect",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "rollup_order_status",
-    "cube_status_priority",
-    "top10_parts_by_price",
-    "setop_building_urgent_customers",
-    "parts_never_bulk_ordered",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
-    "hll_events_users_accuracy",
-    "kv_hash_snapshot",
-    # tail of the 55-entry list: with 50 checked, the last five
-    # r02-green, untouched queries (hll_events_users_accuracy,
-    # kv_hash_snapshot, and the three below) overflow the window this
-    # round — each stays covered by the pytest oracle re-run
-    # (tests/test_correctness_oracle.py) and rotates back first next
-    # round.
+    # --- round-5 rotation: retire ALL staleness in one pass. 47 stale
+    # queries (5 last green in r02, 42 last green in r03) fit inside the
+    # checked-50 window; after this round every query's driver-green row
+    # is at most one round old.
+    # 1) The 5-entry r02 overflow tail (registry.py r04:160-168) — their
+    #    last driver row is two rounds old, they go first:
     "sorted_set_range",
     "docstore_find_pushdown",
     "json_props_extraction",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r03, implementation and oracle untouched
-    # since. Ordered so the overflow INTO the checked-50 (the first ~13)
-    # re-proves the heaviest/most-algorithmic queries preferentially.
+    "hll_events_users_accuracy",
+    "kv_hash_snapshot",
+    # 2) The 42 queries last driver-green in r03 (untouched since,
+    #    pytest-re-proven every round). Heaviest/most-algorithmic first.
     "minhash_lsh_near_dup",
     "neardup_clusters",
     "simhash_near_dup",
@@ -213,6 +151,65 @@ _DEMOTED = [
     "contamination_ngram_overlap",
     "repetition_dup_ngrams",
     "snapshot_diff_statuses",
+    # 3) New in round 5 — no CORRECTNESS row yet (registered by the
+    #    query modules; listed here so they land inside the window):
+    "media_phash_near_dup",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r04, implementation and oracle untouched
+    # since. Ordered so the overflow INTO the checked-50 (priority holds
+    # 48, so the first ~2 here re-enter the window) re-proves the
+    # heaviest/most-algorithmic round-4 queries preferentially.
+    "semantic_dedup_pairs",
+    "decontamination_near_dup",
+    "simhash128_near_dup",
+    "kmeans_cluster_profile",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "media_phash_dup_groups",
+    "lang_id_distribution",
+    "media_image_features",
+    "media_audio_frames",
+    "media_image_resize",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q14_promo_effect",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "rollup_order_status",
+    "cube_status_priority",
+    "top10_parts_by_price",
+    "setop_building_urgent_customers",
+    "parts_never_bulk_ordered",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
 ]
 
 
