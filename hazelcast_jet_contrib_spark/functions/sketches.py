@@ -209,8 +209,10 @@ def bloom_build(df, key_col: str, m_bits: int = 1 << 18, k: int = 7):
 
 
 def bloom_probe(df, key_col: str, bitmap, m_bits: int = 1 << 18, k: int = 7):
-    """(key, bloom_member) for every row of `df`: a key is a member iff
-    ALL k of its bits are set. One broadcast join of (probe × k) rows
+    """(key, bloom_member) — ONE row per DISTINCT key of `df` (the
+    groupBy collapses repeated keys; join the result back to `df` on
+    `key_col` if per-input-row verdicts are needed). A key is a member
+    iff ALL k of its bits are set. One broadcast join of (probe × k) rows
     against the bitmap, no shuffle of the key set; absent words read as
     0 via the left join. No false negatives by construction (the probe
     recomputes the exact positions the build set)."""

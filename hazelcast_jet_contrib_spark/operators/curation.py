@@ -366,21 +366,28 @@ def unigram_lm_score(
     At open-web scale the raw vocabulary is unbounded (typos, hashes) —
     pass ``min_count`` to collapse tokens below the threshold into one
     OOV bucket, which bounds the broadcast at the true vocabulary size
-    (the same move CCNet makes by scoring with a fixed tokenizer).
+    (the same move CCNet makes by scoring with a fixed tokenizer). The
+    collapsed tokens' observed counts are AGGREGATED into the OOV
+    bucket (its probability is (Σc_rare + α) / (N + α(V'+1)) with V'
+    the kept vocabulary) — rare tokens score with their combined
+    mass, not as near-unseen.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    mc = 0 if min_count is None else min_count
     tot = counts.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") >= mc, 1).otherwise(0)).alias("v_kept"),
+        F.sum(F.when(F.col("c") < mc, F.col("c")).otherwise(0)).alias("oov_c"),
     ).collect()[0]
     # an all-empty corpus aggregates to sum(c) = NULL and zero vocab;
     # the per-doc output is empty either way, but the model constants
     # must stay finite (found by hypothesis, tests/test_properties.py)
-    n_total, vocab = int(tot["n"] or 0), int(tot["v"] or 0)
-    denom = float(n_total) + alpha * (vocab + (1 if min_count else 0)) or 1.0
+    n_total, v_kept = int(tot["n"] or 0), int(tot["v_kept"] or 0)
+    denom = float(n_total) + alpha * (v_kept + (1 if min_count else 0)) or 1.0
     model = counts if min_count is None else counts.filter(F.col("c") >= min_count)
     probs = model.select(
         "tok", ((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("p")
@@ -388,8 +395,9 @@ def unigram_lm_score(
     if min_count is None:
         scored = toks.join(F.broadcast(probs), "tok")
     else:
-        # rare tokens fall back to the OOV bucket's smoothed mass
-        oov_p = alpha / denom
+        # rare tokens fall back to the OOV bucket, which carries their
+        # aggregated observed mass plus one smoothing pseudo-count
+        oov_p = (int(tot["oov_c"] or 0) + alpha) / denom
         scored = toks.join(F.broadcast(probs), "tok", "left").withColumn(
             "p", F.coalesce(F.col("p"), F.lit(oov_p))
         )

@@ -348,6 +348,32 @@ def serve_connection(
         elif frame_sid in streams:
             streams[frame_sid].send_win += inc
 
+    def _apply_settings(payload: bytes) -> None:
+        """Parse + ACK a (non-ACK) SETTINGS frame. Shared by the main
+        loop and the flow-control-blocked send loop, so a client that
+        reopens the window by raising SETTINGS_INITIAL_WINDOW_SIZE
+        (instead of WINDOW_UPDATE) unblocks a pending >64KiB response,
+        and a mid-stream MAX_FRAME_SIZE change takes effect immediately.
+        SETTINGS_HEADER_TABLE_SIZE (0x1) constrains the peer's DECODER,
+        i.e. OUR encoder — which is stateless literal-without-indexing,
+        so nothing to do; our decoder's cap stays at the table size WE
+        advertised (applying the client's value to our decoder would
+        reject conformant clients that advertise 0 while still indexing
+        against our default 4096-byte table)."""
+        for off in range(0, len(payload), 6):
+            ident, value = struct.unpack_from("!HI", payload, off)
+            if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                # RFC 7540 §6.9.2: a change to the initial window
+                # applies retroactively to every open stream's window
+                delta = value - conn["init_win"]
+                conn["init_win"] = value
+                for s in streams.values():
+                    s.send_win += delta
+            elif ident == 0x5:  # SETTINGS_MAX_FRAME_SIZE
+                conn["max_frame"] = max(16384, min(value, (1 << 24) - 1))
+        wfile.write(_frame(_SETTINGS, _FLAG_ACK, 0))
+        wfile.flush()
+
     def _send_data(sid: int, st: _Stream, chunk: bytes, end: bool) -> None:
         """DATA respecting the peer's SETTINGS_MAX_FRAME_SIZE and both
         flow-control windows. When a window is exhausted mid-send, block
@@ -384,8 +410,7 @@ def serve_connection(
                 wfile.flush()
             elif ft == _SETTINGS:
                 if not fl & _FLAG_ACK:
-                    wfile.write(_frame(_SETTINGS, _FLAG_ACK, 0))
-                    wfile.flush()
+                    _apply_settings(pl)
             elif ft == _RST and fsid == sid:
                 raise BrokenPipeError("stream reset while flow-blocked")
             elif ft == _GOAWAY:
@@ -451,22 +476,7 @@ def serve_connection(
 
         if ftype == _SETTINGS:
             if not flags & _FLAG_ACK:
-                for off in range(0, len(payload), 6):
-                    ident, value = struct.unpack_from("!HI", payload, off)
-                    # SETTINGS_HEADER_TABLE_SIZE (0x1) constrains the
-                    # peer's DECODER, i.e. OUR encoder — which is
-                    # stateless literal-without-indexing, so nothing to
-                    # do; our decoder's cap stays at the table size WE
-                    # advertised. Applying the client's value to our
-                    # decoder would reject conformant clients that
-                    # advertise 0 while still indexing against our
-                    # default 4096-byte table.
-                    if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
-                        conn["init_win"] = value
-                    elif ident == 0x5:  # SETTINGS_MAX_FRAME_SIZE
-                        conn["max_frame"] = max(16384, min(value, (1 << 24) - 1))
-                wfile.write(_frame(_SETTINGS, _FLAG_ACK, 0))
-                wfile.flush()
+                _apply_settings(payload)
         elif ftype == _HEADERS:
             st = streams.setdefault(sid, _Stream(conn["init_win"]))
             pos, end = 0, len(payload)

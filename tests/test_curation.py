@@ -328,6 +328,11 @@ def test_unigram_lm_min_count_collapses_rare_tokens_to_oov(spark):
     assert got[5]["mean_inv_p"] == got[6]["mean_inv_p"]
     # and OOV mass is below any in-model token's probability
     assert got[5]["bits_per_token"] > got[0]["bits_per_token"]
+    # the OOV bucket carries the collapsed tokens' AGGREGATED observed
+    # mass: p_oov = (Σc_rare + α)/(N + α(V'+1)) = (4 + .5)/(19 + .5*4)
+    assert abs(got[5]["mean_inv_p"] - 21.0 / 4.5) < 1e-9
+    # in-model tokens use the bounded-vocabulary denominator too
+    assert abs(got[0]["mean_inv_p"] - 21.0 / 5.5) < 1e-9
 
 
 def test_crossdoc_duplicate_blocks_flags_shared_blocks(spark):

@@ -756,3 +756,56 @@ def test_h2_large_response_respects_max_frame_size():
     ]
     assert b"".join(pl for pl, _ in data_frames) == body
     assert data_frames[-1][1] & 0x1, "END_STREAM on final DATA frame"
+
+
+def test_h2_settings_initial_window_size_unblocks_flow_controlled_send():
+    """RFC 7540 §6.9.2: a client may reopen a stream's send window by
+    raising SETTINGS_INITIAL_WINDOW_SIZE instead of sending a stream
+    WINDOW_UPDATE — the delta applies retroactively to every open
+    stream. A >64KiB response exhausts both default windows; the client
+    then opens the CONNECTION window with WINDOW_UPDATE(0) but the
+    STREAM window only via SETTINGS. The server must parse that
+    SETTINGS payload while flow-blocked (not just ACK it), apply the
+    delta, and also honor the same frame's mid-stream MAX_FRAME_SIZE
+    raise on the remaining DATA frames."""
+    import io
+    import struct
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    def frame(t, fl, sid, pl=b""):
+        return (
+            struct.pack("!I", len(pl))[1:] + bytes((t, fl))
+            + struct.pack("!I", sid) + pl
+        )
+
+    rfile = io.BytesIO(
+        http2.PREFACE
+        + frame(4, 0, 0)  # client SETTINGS (defaults)
+        + frame(1, 0x4 | 0x1, 1, bytes([0x83, 0x86, 0x84]))  # POST, END_STREAM
+        # consumed while the server is flow-blocked after 65535 bytes:
+        + frame(8, 0, 0, struct.pack("!I", 200_000))  # WINDOW_UPDATE conn
+        + frame(4, 0, 0, struct.pack("!HI", 4, 200_000)  # INITIAL_WINDOW_SIZE
+                + struct.pack("!HI", 5, 32_768))  # MAX_FRAME_SIZE
+    )
+    wfile = io.BytesIO()
+    body = b"y" * 100_000
+    http2.serve_connection(rfile, wfile, lambda headers, data: (200, body))
+
+    wfile.seek(0)
+    data_frames = []
+    while True:
+        head = wfile.read(9)
+        if len(head) < 9:
+            break
+        ln = int.from_bytes(head[:3], "big")
+        t, fl = head[3], head[4]
+        pl = wfile.read(ln)
+        if t == 0:
+            data_frames.append((pl, fl))
+    assert b"".join(pl for pl, _ in data_frames) == body
+    assert data_frames[-1][1] & 0x1, "END_STREAM on final DATA frame"
+    sizes = [len(pl) for pl, _ in data_frames]
+    assert max(sizes) <= 32_768, sizes
+    # the post-SETTINGS tail actually used the raised MAX_FRAME_SIZE
+    assert any(s > 16_384 for s in sizes), sizes
