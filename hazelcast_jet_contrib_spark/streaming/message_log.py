@@ -28,7 +28,13 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 #: Full message schema (PulsarSources.java:84-92 parity): alongside the
 #: routing key and payload, every message surfaces its properties map
@@ -108,10 +114,14 @@ class MessageLogStreamReader(DataSourceStreamReader):
         return parts or [_SegmentRange(stream="", path="", start=0, end=0)]
 
     def read(self, partition: _SegmentRange):
-        for seq in range(partition.start, partition.end):
+        # list-then-filter rather than range-probe: segment numbers may
+        # be sparse (the streaming writer below derives them from
+        # batchId), and probing every integer in a sparse range is
+        # O(gap) wasted stats
+        for seq in sorted(
+            s for s in _segments(partition.path) if partition.start <= s < partition.end
+        ):
             seg = os.path.join(partition.path, f"{seq:06d}.jsonl")
-            if not os.path.exists(seg):
-                continue
             with open(seg) as f:
                 for line in f:
                     rec = json.loads(line)
@@ -135,12 +145,150 @@ class MessageLogStreamReader(DataSourceStreamReader):
         pass
 
 
-class MessageLogDataSource(DataSource):
-    """`spark.readStream.format("message_log").option("path", root)`.
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """Per-task commit message: the staged (invisible) files this task
+    wrote, as (stream, staged_path, target_seq) triples."""
 
-    Options: `path` (required); `maxSegmentsPerTrigger` — admission
-    control, the analog of maxOffsetsPerTrigger / the reference's
-    bounded per-fill batches (InfluxDbSources.java:234-238).
+    staged: list
+
+
+class MessageLogStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming writer for the message log — the sink
+    side of the reference's delivery contract as a first-class DSv2
+    writer with per-epoch commit/abort, instead of foreachBatch +
+    idempotent wrappers (streaming/exactly_once.py).
+
+    Protocol (two-phase, idempotent promotion):
+      * ``write()`` (executor, per task) stages rows into an INVISIBLE
+        dotfile (`.staged-{batchId}-{partitionId}-{stream}.jsonl`) —
+        the reader's `_segments` only sees `NNNNNN.jsonl`, so an
+        uncommitted epoch can never be consumed (the analog of an XA
+        prepared-but-uncommitted transaction, JdbcXaTest.java:62-97).
+      * the target segment number is DETERMINISTIC:
+        ``batchId * 10**6 + partitionId`` — Spark replays a failed
+        epoch with the same batchId and the same offset range, so a
+        replay re-stages the same content aimed at the same segment.
+      * ``commit()`` (driver, once per epoch) promotes each staged file
+        with os.link — atomic; an EEXIST from a prior partially-
+        committed attempt byte-compares and skips, so replaying a
+        crash-mid-commit epoch completes it without duplicates. A
+        byte-MISMATCH on EEXIST means a foreign producer stole the
+        slot and raises (single logical writer per stream, like a
+        Kafka partition leader).
+      * ``abort()`` unlinks the staged files; the log never saw them.
+
+    Rows route to the stream named by the ``stream`` option, or — if
+    absent — by each row's ``stream`` column."""
+
+    def __init__(self, root: str, stream: str | None, crash_flag: str | None = None):
+        self.root = root
+        self.stream = stream
+        # fault-injection hook for the exactly-once tests: when the flag
+        # file exists, commit() raises after promoting exactly ONE
+        # staged file — a crash in the middle of the promotion loop, the
+        # hardest replay case (mirrors the XA probes' disconnect between
+        # prepare and commit, JdbcXaTest.java:62-97). The flag is
+        # removed before raising so the restarted query's replay
+        # completes. No-op unless the option is set.
+        self.crash_flag = crash_flag
+
+    def write(self, iterator) -> _StagedFiles:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        by_stream: dict[str, list[str]] = {}
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            target = self.stream or d.pop("stream", None)
+            if not target:
+                raise ValueError(
+                    "message_log sink: no 'stream' option and no stream column"
+                )
+            by_stream.setdefault(str(target), []).append(json.dumps(d))
+        staged = []
+        for stream, lines in by_stream.items():
+            sdir = os.path.join(self.root, stream)
+            os.makedirs(sdir, exist_ok=True)
+            # batch_id is unknown executor-side; the task-unique staged
+            # name carries (pid); commit() learns batchId and computes
+            # the target seq. Replayed tasks overwrite their own staged
+            # file (same name would need batchId — use pid + attempt-
+            # unique suffix and let abort/commit clean up).
+            path = os.path.join(
+                sdir, f".staged-{pid:04d}-{os.getpid()}-{time.monotonic_ns()}.jsonl"
+            )
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            staged.append((stream, path, pid))
+        return _StagedFiles(staged=staged)
+
+    def _promote(self, stream: str, staged_path: str, seq: int) -> None:
+        seg = os.path.join(self.root, stream, f"{seq:06d}.jsonl")
+        try:
+            os.link(staged_path, seg)
+        except FileExistsError:
+            with open(staged_path, "rb") as a, open(seg, "rb") as b:
+                if a.read() != b.read():
+                    raise RuntimeError(
+                        f"message_log sink: segment {seg} exists with different "
+                        "content — foreign producer on a sink-owned stream"
+                    ) from None
+            # identical bytes: a prior attempt of this epoch already
+            # promoted this partition — idempotent replay, nothing to do
+
+    def commit(self, messages, batchId: int) -> None:
+        touched: set[str] = set()
+        promoted = 0
+        for msg in messages:
+            if msg is None:
+                continue
+            for stream, staged_path, pid in msg.staged:
+                touched.add(stream)
+                if os.path.exists(staged_path):
+                    self._promote(stream, staged_path, batchId * 10**6 + pid)
+                    os.unlink(staged_path)
+                    promoted += 1
+                    if (
+                        promoted == 1
+                        and self.crash_flag
+                        and os.path.exists(self.crash_flag)
+                    ):
+                        os.unlink(self.crash_flag)
+                        raise RuntimeError(
+                            "injected crash mid-commit (one file promoted)"
+                        )
+        # sweep staged orphans from prior crashed attempts of THIS or an
+        # earlier epoch — safe under the documented single-logical-writer
+        # discipline (epochs of one query are serialized, so any .staged
+        # file not in this epoch's messages belongs to a dead attempt)
+        for stream in touched:
+            sdir = os.path.join(self.root, stream)
+            for f in os.listdir(sdir):
+                if f.startswith(".staged-"):
+                    try:
+                        os.unlink(os.path.join(sdir, f))
+                    except FileNotFoundError:
+                        pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _stream, staged_path, _pid in msg.staged:
+                if os.path.exists(staged_path):
+                    os.unlink(staged_path)
+
+
+class MessageLogDataSource(DataSource):
+    """`spark.readStream.format("message_log").option("path", root)` /
+    `df.writeStream.format("message_log").option("path", root)`.
+
+    Reader options: `path` (required); `maxSegmentsPerTrigger` —
+    admission control, the analog of maxOffsetsPerTrigger / the
+    reference's bounded per-fill batches (InfluxDbSources.java:234-238).
+    Writer options: `path` (required); `stream` (target stream name;
+    omit to route by each row's `stream` column).
 
     Register once per session:
         spark.dataSource.register(MessageLogDataSource)
@@ -160,6 +308,14 @@ class MessageLogDataSource(DataSource):
         max_seg = self.options.get("maxSegmentsPerTrigger")
         return MessageLogStreamReader(
             path, int(max_seg) if max_seg is not None else None
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> MessageLogStreamWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("message_log sink requires option 'path'")
+        return MessageLogStreamWriter(
+            path, self.options.get("stream"), self.options.get("injectcrashflag")
         )
 
 
