@@ -203,3 +203,165 @@ def test_decontamination_corpus_cost_linear_probe_fixed(spark, tmp_path):
         f"1x_shuffle={results['c1']['shuffle']} 8x_shuffle={results['c8']['shuffle']} "
         f"ratio={ratio:.2f}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector family (VERDICT r04 item 4): semantic dedup + IVF top-k growth laws.
+# ---------------------------------------------------------------------------
+
+DIM = 16
+
+
+def _write_embeddings(spark, path: str, n: int) -> None:
+    """n deterministic hash-random vectors; every 10th is an EXACT copy
+    of its predecessor (a planted semantic dup pair). Pure Catalyst."""
+    src = F.when((F.col("id") % 10) == 9, F.col("id") - 1).otherwise(F.col("id"))
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda p: (F.pmod(F.xxhash64(src, p), F.lit(1000)) / 500.0 - 1.0),
+    )
+    (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), v.alias("embedding"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _cell_pair_work(spark, path: str, k: int) -> tuple[int, int]:
+    """(max cell size, Σ C(|cell|,2)) of the k-means-cell bucketing —
+    the within-cell candidate-join work semantic_dedup_pairs performs."""
+    from hazelcast_jet_contrib_spark.operators.clustering import kmeans_assign
+
+    from pyspark.sql import Window
+
+    pts = spark.read.parquet(path).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        pts.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("cidx"),
+            F.col("v").alias("c"),
+        )
+    )
+    sizes = kmeans_assign(pts, cent).groupBy("cidx").agg(F.count(F.lit(1)).alias("n"))
+    row = sizes.agg(
+        F.max("n").alias("maxc"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("work"),
+    ).collect()[0]
+    return int(row["maxc"]), int(row["work"])
+
+
+@pytest.mark.slow
+def test_semantic_dedup_scales_linearly_with_cells_proportional(spark, tmp_path):
+    """The 100 TB contract of semantic_dedup_pairs is 'within-cell joins
+    only': with the cell count grown in proportion to the corpus
+    (constant expected cell size — the knob a real deployment turns),
+    an 8x corpus must cost ~8x candidate-join work and ~8x shuffle, not
+    64x, while recall of planted exact duplicates stays 100%."""
+    from hazelcast_jet_contrib_spark.operators.clustering import semantic_dedup_pairs
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(k, None) for k in keys]
+    for key in keys:
+        spark.conf.set(key, "-1")
+    results = {}
+    try:
+        for tag, n, k in (("c1", N1, 16), ("c8", N1 * 8, 128)):
+            path = str(tmp_path / tag)
+            _write_embeddings(spark, path, n)
+            df = spark.read.parquet(path)
+            pairs = semantic_dedup_pairs(df, "vec_id", "embedding", k=k, min_cosine=0.999)
+            rows = pairs.collect()
+            stats = executed_shuffle_stats(pairs)
+            maxc, work = _cell_pair_work(spark, path, k)
+            spark.catalog.clearCache()
+            results[tag] = {
+                "n": n,
+                "pairs": rows,
+                "shuffle": stats["shuffle_records"],
+                "max_cell": maxc,
+                "work": work,
+            }
+    finally:
+        for key, v in zip(keys, saved):
+            spark.conf.set(key, v) if v is not None else spark.conf.unset(key)
+
+    # recall: exactly the planted duplicate pairs at both scales —
+    # identical vectors always co-locate, and nothing coincidental
+    # clears cos >= 0.999 in a 16-dim hash-random corpus
+    for tag, n in (("c1", N1), ("c8", N1 * 8)):
+        got = {(a, b) for a, b, _ in results[tag]["pairs"]}
+        assert got == {(i - 1, i) for i in range(9, n, 10)}, tag
+
+    work_ratio = results["c8"]["work"] / max(1, results["c1"]["work"])
+    assert work_ratio <= 16, f"within-cell pair work grew {work_ratio:.1f}x for 8x docs"
+    shuffle_ratio = results["c8"]["shuffle"] / max(1, results["c1"]["shuffle"])
+    assert 4 <= shuffle_ratio <= 16, f"shuffle grew {shuffle_ratio:.1f}x for 8x docs"
+    # cell sizes stay O(n/k) — the bucketing really is bounding the join
+    assert results["c8"]["max_cell"] <= 8 * results["c1"]["max_cell"]
+    print(
+        "semantic dedup rehearsal: "
+        f"1x(work={results['c1']['work']}, shuffle={results['c1']['shuffle']}, "
+        f"max_cell={results['c1']['max_cell']}) "
+        f"8x(work={results['c8']['work']}, shuffle={results['c8']['shuffle']}, "
+        f"max_cell={results['c8']['max_cell']})"
+    )
+
+
+@pytest.mark.slow
+def test_ivf_topk_corpus_cost_linear_queries_fixed(spark, tmp_path):
+    """IVF's growth law: with a FIXED query set and fixed nlist/nprobe,
+    an 8x corpus costs ~8x (each query exactly-scores only its nprobe
+    cells, each ~n/nlist vectors). Recall sanity at both scales: every
+    query is a verbatim corpus vector, so its rank-1 neighbor must be
+    itself (cos=1 in its own home cell — immune to boundary effects)."""
+    from hazelcast_jet_contrib_spark.operators.similarity import ivf_topk
+
+    results = {}
+    for tag, n in (("c1", N1), ("c8", N1 * 8)):
+        path = str(tmp_path / tag)
+        _write_embeddings(spark, path, n)
+        corpus = spark.read.parquet(path)
+        queries = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < N1))
+        topk = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+        rows = topk.collect()
+        stats = executed_shuffle_stats(topk)
+        # candidate volume: same operator with the rank cutoff unbounded,
+        # so the WindowGroupLimit pushdown prunes nothing and the
+        # exchange carries every exactly-scored (query, candidate) row
+        allc = ivf_topk(queries, corpus, k=10**9, nlist=16, nprobe=4)
+        n_candidates = allc.count()
+        spark.catalog.clearCache()
+        results[tag] = {
+            "rows": rows,
+            "shuffle": stats["shuffle_records"],
+            "candidates": n_candidates,
+        }
+
+    n_queries = N1 // 100
+    for tag in ("c1", "c8"):
+        rank1 = {r["query_id"]: r["neighbor_id"] for r in results[tag]["rows"] if r["rank"] == 1}
+        assert len(rank1) == n_queries, tag
+        assert all(q == nb for q, nb in rank1.items()), tag  # self is rank-1
+    # exactly-scored candidates: ~nprobe/nlist of the corpus per query —
+    # linear in corpus size at fixed queries/nlist/nprobe
+    cand_ratio = results["c8"]["candidates"] / max(1, results["c1"]["candidates"])
+    assert 4 <= cand_ratio <= 16, f"IVF candidates grew {cand_ratio:.1f}x for 8x corpus"
+    # shuffle volume of the PRODUCTION top-k is better than linear: the
+    # broadcast probe join never shuffles the corpus, and Spark's
+    # WindowGroupLimit pushes rank<=k below the exchange, so what
+    # shuffles is O(partitions x queries x k) — corpus-size-independent
+    shuffle_ratio = results["c8"]["shuffle"] / max(1, results["c1"]["shuffle"])
+    assert shuffle_ratio <= 2, f"top-k shuffle grew {shuffle_ratio:.1f}x for 8x corpus"
+    print(
+        f"ivf rehearsal: queries={n_queries} "
+        f"1x(cand={results['c1']['candidates']}, shuffle={results['c1']['shuffle']}) "
+        f"8x(cand={results['c8']['candidates']}, shuffle={results['c8']['shuffle']})"
+    )
