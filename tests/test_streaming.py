@@ -300,3 +300,77 @@ def test_exactly_once_4_streams_10k_mid_stream_restart(spark, tmp_path):
         for r in result.groupBy("stream").agg(F.count("*").alias("n")).collect()
     }
     assert per_stream == {f"stream-{s}": msgs_per_stream for s in range(N_STREAMS)}
+
+
+def test_idle_stream_does_not_stall_watermark(spark, tmp_path):
+    """SURVEY §7 risk 2, demonstrated: Jet's per-partition watermark
+    needs idle-source detection (flatMapIdle, RedisSources.java:587) or
+    an idle stream stalls window finalization forever. Spark's
+    watermark is GLOBAL (max event time seen minus delay), so an idle
+    stream cannot stall it: with stream B silent, stream A's progress
+    alone finalizes the append-mode window — including B's own rows
+    from before it went idle. The flip side (the actual deviation to
+    plan around): a straggler event on the idle stream that arrives
+    after the globally-advanced watermark is DROPPED, where Jet would
+    have held the watermark until B's idle timeout."""
+    root = str(tmp_path / "log")
+    os.makedirs(root)
+    message_log.register(spark)
+
+    def emit(stream, minute, n):
+        message_log.append_segment(
+            root,
+            stream,
+            [
+                {"key": f"{stream}-{minute}-{i}", "value": "x",
+                 "event_time": minute * 60_000 + i}
+                for i in range(n)
+            ],
+        )
+
+    # both streams emit in window [0, 1min)
+    emit("a", 0, 5)
+    emit("b", 0, 3)
+
+    stream = (
+        spark.readStream.format("message_log")
+        .option("path", root)
+        .load()
+        .withColumn("ts", F.timestamp_millis("event_time"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute"), "stream")
+        .count()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("idle_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits nothing yet: watermark is still inside W1
+        assert spark.sql("SELECT * FROM idle_wm").count() == 0
+
+        # B goes idle; only A advances, far past W1 + delay
+        emit("a", 10, 2)
+        q.processAllAvailable()
+        got = {
+            (r["stream"], r["window"].start.minute, r["count"])
+            for r in spark.sql("SELECT * FROM idle_wm").collect()
+        }
+        # W1 finalized for BOTH streams though B never spoke again
+        assert ("a", 0, 5) in got and ("b", 0, 3) in got, got
+
+        # straggler on the idle stream, inside the long-closed W1:
+        # dropped by the global watermark (the documented deviation)
+        emit("b", 0, 1)
+        q.processAllAvailable()
+        after = spark.sql(
+            "SELECT count(*) AS n FROM idle_wm WHERE stream = 'b'"
+        ).collect()[0]["n"]
+        assert after == 1, "late event on idle stream must be dropped, not re-emitted"
+    finally:
+        q.stop()
+        q.awaitTermination()
