@@ -78,6 +78,24 @@ def main() -> None:
 
     name_filters = sys.argv[1:]
     RETIME_SEC = 2.0
+    # History-based noise guard (VERDICT r05 item 8): any query whose
+    # fresh timing exceeds 1.5x its previous recorded timing gets a
+    # retime even below the 2 s floor — sub-second drifts (r03
+    # token_length_profile 1.9x) were previously unretimed and read as
+    # regressions when they were host noise.
+    RETIME_RATIO = 1.5
+    prev_timings: dict[str, float] = {}
+    try:
+        with open(Path(REPO) / "BENCH_TIMINGS.json") as f:
+            hist = json.load(f)
+        # only comparable at the same scale factor — cross-SF history
+        # would flag every query as a 1.5x drift
+        if hist.get("sf") == _sf_from_dir(SF_DIR):
+            prev_timings = {
+                k: v for k, v in hist.get("queries", {}).items() if v > 0
+            }
+    except (OSError, ValueError):
+        pass
     retimed: list[str] = []
     timings: dict[str, float] = {}
     shuffles: dict[str, dict[str, float]] = {}
@@ -113,7 +131,11 @@ def main() -> None:
         # long-running queries multiplicatively and a second sample
         # removes most of it. Explicitly recorded in the output
         # ("retimed") so the policy is never silent.
-        if timings[name] > RETIME_SEC:
+        if timings[name] > RETIME_SEC or (
+            0 < timings[name]
+            and name in prev_timings
+            and timings[name] > RETIME_RATIO * prev_timings[name]
+        ):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t1 = time.perf_counter()
@@ -161,14 +183,18 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    # The driver captures only the TAIL of this line. Keep the line
-    # minimal and put the per-query timings dict LAST so the tail always
-    # contains the complete timings even if the head gets clipped
-    # (rounds 1-4 all recorded "parsed: null" because large policy/
-    # shuffle dicts pushed the timings out of the tail window). The
-    # 97-entry shuffle-volume dict and measurement-policy notes now live
-    # in the side artifact BENCH_SHUFFLE.json, referenced here by name.
-    with open(Path(REPO) / "BENCH_SHUFFLE.json", "w") as f:
+    # THE 2000-CHAR TAIL WINDOW IS THE SPEC (measured across
+    # BENCH_r01-r05: the driver records exactly the last 2000 chars of
+    # output, and a 98-entry timings dict alone is ~3.3 KB — r01-r05
+    # all ended `parsed: null`). The driver line therefore carries only
+    # scalars plus the SLOWEST-8 queries (schema-compatible "queries"
+    # dict, bounded size); the full per-query timings move to the side
+    # artifact BENCH_TIMINGS.json next to BENCH_SHUFFLE.json.
+    if name_filters:
+        shuffle_path = os.devnull  # scoped run: keep the full-sweep artifact
+    else:
+        shuffle_path = Path(REPO) / "BENCH_SHUFFLE.json"
+    with open(shuffle_path, "w") as f:
         json.dump(
             {
                 "sf": _sf_from_dir(SF_DIR),
@@ -194,6 +220,19 @@ def main() -> None:
             f,
             indent=1,
         )
+    if not name_filters:  # a scoped re-time must not truncate the history
+        with open(Path(REPO) / "BENCH_TIMINGS.json", "w") as f:
+            json.dump(
+                {
+                    "sf": _sf_from_dir(SF_DIR),
+                    "n_queries": len(timings),
+                    "retimed": sorted(retimed),
+                    "queries": timings,
+                },
+                f,
+                indent=1,
+            )
+    slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:8])
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(ok.values()), 3),
@@ -202,10 +241,12 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "retimed_n": len(retimed),
-        "side_artifacts": "BENCH_SHUFFLE.json",
-        "queries": timings,
+        "side_artifacts": "BENCH_TIMINGS.json,BENCH_SHUFFLE.json",
+        "queries": slowest,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, f"driver line {len(line)} chars breaches tail budget"
+    print(line)
     spark.stop()
 
 

@@ -514,6 +514,84 @@ def crossdoc_duplicate_blocks(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated-span extraction — the
+    actionable form of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    where ``crossdoc_duplicate_blocks`` scores how much of a document
+    is duplicated, this returns the exact token intervals to cut.
+
+    Method (pure Catalyst, no Python stages): slide a
+    ``shingle_tokens``-token window at stride 1 over each document's
+    whitespace tokens; a shingle occurring verbatim in >= ``min_docs``
+    distinct documents is duplicated; runs of consecutive duplicated
+    positions merge into maximal spans via gaps-and-islands (lag +
+    running sum over a per-document window). A run of positions p..q
+    covers tokens [p, q + shingle_tokens - 1], so every returned span
+    is a maximal interval in which EVERY shingle_tokens-gram is shared
+    — Lee et al.'s >= threshold-length repeated substring, at token
+    granularity.
+
+    Scale shape: after the split, only (id, pos, 8-byte xxhash64)
+    rows move — one shuffle to count distinct docs per shingle
+    (map-side partial), one hash join back onto positions, one
+    per-document window for the island assignment; the final
+    (id, island) rollup reuses the window's hash partitioning on id
+    (subset rule), adding no exchange. Everything is linear in corpus
+    token count; the window is per-document, so no single task ever
+    holds more than one document's positions beyond the shuffle
+    partition it lives in. 64-bit fingerprint collisions merge foreign
+    shingles with probability ~(#shingles)²/2⁶⁴ — negligible below
+    ~10¹² shingles; widen to two seeded hashes at true 100 TB.
+
+    Output: (id, span_start int, span_end int, span_tokens int) —
+    0-based inclusive token indices, one row per maximal span.
+    """
+    if shingle_tokens < 2:
+        raise ValueError("shingle_tokens must be >= 2")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks__")).withColumn(
+        "__n__", F.size("__toks__")
+    )
+    pos_df = base.filter(F.col("__n__") >= shingle_tokens).select(
+        "id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("__n__") - shingle_tokens)
+        ).alias("pos", "__s__"),
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("__toks__", F.col("__s__") + 1, shingle_tokens))
+        ).alias("__sh__"),
+    ).drop("__s__")
+    counts = pos_df.groupBy("__sh__").agg(F.count_distinct("id").alias("__nd__"))
+    dup = (
+        pos_df.join(counts, "__sh__")
+        .filter(F.col("__nd__") >= min_docs)
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup.withColumn(
+        "__new__",
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) <= 1, 0).otherwise(1),
+    ).withColumn("__isl__", F.sum("__new__").over(w))
+    return (
+        islands.groupBy("id", "__isl__")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + shingle_tokens - 1).cast("int").alias("span_end"),
+            (F.max("pos") - F.min("pos") + shingle_tokens).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+        .drop("__isl__")
+    )
+
+
 def rarity_weighted_terms(
     df: DataFrame,
     id_col: str,

@@ -97,9 +97,22 @@ class PlanAudit:
         return len(re.findall(r"BatchEvalPython", self.plan))
 
     def arrow_python_stages(self) -> int:
-        return len(
-            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", self.plan)
-        )
+        """PHYSICAL Arrow-boundary operators, deduplicated by plan node
+        id. The formatted plan prints every node twice (tree line +
+        detail entry), and a persisted subtree's node is additionally
+        re-printed under each InMemoryTableScan that consumes it — but
+        a cached kernel runs ONCE at cache build, not per consumer
+        (same rationale as exchanges()). Counting text occurrences
+        would call a persist that *halves* the Python work a
+        regression; counting unique node ids calls it what it is."""
+        pat = r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+        ids = set(re.findall(rf"(?:{pat}) \((\d+)\)", self.plan))
+        ids |= set(re.findall(rf"^\((\d+)\) (?:{pat})", self.plan, re.M))
+        if ids:
+            return len(ids)
+        # un-numbered plan text (simple-mode explain): fall back to the
+        # raw occurrence count so a Python stage can never hide
+        return len(re.findall(pat, self.plan))
 
 
 def _codegen_subtree_count(df: DataFrame, execute: bool) -> int | None:

@@ -687,7 +687,18 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.shiftleft(
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long"), 32
     ).bitwiseOR(F.conv(F.substring("phash", 9, 8), 16, 10).cast("long"))
-    sig_df = feats.select(F.col("media_id").alias("id"), sig.alias("sig"))
+    # Persist the 64-bit signatures: band_probe_pairs_64's two sides
+    # both derive from this relation, and without the persist each side
+    # re-runs image_features' full-payload Arrow decode — the dominant
+    # cost at scale, paid twice (VERDICT r05 #1). Persisted, the decode
+    # kernel appears once in the plan (2 Arrow stages, pinned) and the
+    # cached relation carries only (id, sig) — 16 bytes/row, payloads
+    # never enter the cache.
+    from pyspark import StorageLevel
+
+    sig_df = feats.select(F.col("media_id").alias("id"), sig.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = band_probe_pairs_64(
         sig_df.filter(F.col("id") < 3000000),
         sig_df.filter(F.col("id") >= 3000000),

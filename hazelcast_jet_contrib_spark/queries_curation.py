@@ -438,6 +438,56 @@ def snapshot_diff_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, "doc_id", ["text"])
 
 
+@query(
+    "dup_span_extraction",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
+        FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+        WHERE len(t) >= 8
+    ),
+    counts AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY s),
+    dup AS (
+        SELECT sh.doc_id, sh.pos FROM sh JOIN counts USING (s) WHERE nd >= 2
+    ),
+    flags AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 1
+                    THEN 0 ELSE 1 END AS newisl
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(newisl) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flags
+    )
+    SELECT doc_id AS id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 7 AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans (8-token shingles, >=2
+    distinct docs) — the token intervals an exact-substring dedup pass
+    would cut (Lee et al. 2021). Complements crossdoc_dup_blocks (a
+    per-doc dup-ratio SCORE) with the actionable WHERE. Pure Catalyst:
+    only (id, pos, hash64) rows shuffle; the island rollup reuses the
+    per-doc window's partitioning. Reference parity: the reference has
+    no substring dedup (SURVEY.md §2 — LLM-pipeline extension)."""
+    from hazelcast_jet_contrib_spark.operators.curation import duplicate_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", shingle_tokens=8, min_docs=2)
+
+
 # --- round 3 additions: chunking, quantization, salient terms ------------
 
 

@@ -341,6 +341,14 @@ def serve_connection(
     # SETTINGS / WINDOW_UPDATE frames
     conn = {"win": 65535, "init_win": 65535, "max_frame": 16384}
 
+    def _goaway(error_code: int) -> None:
+        """Send GOAWAY(last_stream_id=highest seen, error_code) before
+        tearing the connection down — the RFC 7540 §5.4.1 connection-
+        error path (vs. the bare-ValueError handler kill it replaces)."""
+        last_sid = max(streams, default=0)
+        wfile.write(_frame(_GOAWAY, 0, 0, struct.pack("!II", last_sid, error_code)))
+        wfile.flush()
+
     def _apply_window_update(frame_sid: int, payload: bytes) -> None:
         inc = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
         if frame_sid == 0:
@@ -360,9 +368,22 @@ def serve_connection(
         advertised (applying the client's value to our decoder would
         reject conformant clients that advertise 0 while still indexing
         against our default 4096-byte table)."""
+        # RFC 7540 §6.5: a SETTINGS payload is a sequence of 6-byte
+        # (ident, value) entries — any other length is a connection
+        # error of type FRAME_SIZE_ERROR, not an unpack crash
+        if len(payload) % 6:
+            _goaway(0x6)  # FRAME_SIZE_ERROR
+            raise ValueError("SETTINGS payload not a multiple of 6 bytes")
         for off in range(0, len(payload), 6):
             ident, value = struct.unpack_from("!HI", payload, off)
             if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                # §6.9.2: an initial window above 2^31-1 is a
+                # connection error of type FLOW_CONTROL_ERROR
+                if value > 2**31 - 1:
+                    _goaway(0x3)  # FLOW_CONTROL_ERROR
+                    raise ValueError(
+                        f"SETTINGS_INITIAL_WINDOW_SIZE {value} exceeds 2^31-1"
+                    )
                 # RFC 7540 §6.9.2: a change to the initial window
                 # applies retroactively to every open stream's window
                 delta = value - conn["init_win"]

@@ -56,9 +56,17 @@ class _SegmentRange(InputPartition):
 
 
 def _segments(stream_dir: str) -> list[int]:
+    # Only committed segments are `<digits>.jsonl`; anything else in the
+    # directory (`.staged-*` dotfiles from an in-flight epoch, editor
+    # droppings) is NOT a segment and must be invisible here — a staged
+    # file reaching this parse would crash every concurrent reader while
+    # an epoch is staged, turning "uncommitted epochs are invisible"
+    # into "consuming reader dies".
     try:
         return sorted(
-            int(f.split(".")[0]) for f in os.listdir(stream_dir) if f.endswith(".jsonl")
+            int(f[: -len(".jsonl")])
+            for f in os.listdir(stream_dir)
+            if f.endswith(".jsonl") and f[: -len(".jsonl")].isdigit()
         )
     except FileNotFoundError:
         return []
@@ -161,14 +169,21 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
 
     Protocol (two-phase, idempotent promotion):
       * ``write()`` (executor, per task) stages rows into an INVISIBLE
-        dotfile (`.staged-{batchId}-{partitionId}-{stream}.jsonl`) —
-        the reader's `_segments` only sees `NNNNNN.jsonl`, so an
+        dotfile (`.staged-{runId}-{partitionId}-...staging`) — the
+        reader's `_segments` only sees `<digits>.jsonl`, so an
         uncommitted epoch can never be consumed (the analog of an XA
         prepared-but-uncommitted transaction, JdbcXaTest.java:62-97).
+        Staged lines are written in sorted (canonical) order so an
+        epoch replay whose partition iterates rows in a different
+        order still byte-matches the first attempt.
       * the target segment number is DETERMINISTIC:
         ``batchId * 10**6 + partitionId`` — Spark replays a failed
         epoch with the same batchId and the same offset range, so a
         replay re-stages the same content aimed at the same segment.
+        partitionId must stay below 10**6 (enforced) or it would alias
+        the next batch's segment space; note segment filenames are
+        zero-padded to 6 digits but grow wider past batch 0 —
+        ``_segments`` sorts numerically, never lexically.
       * ``commit()`` (driver, once per epoch) promotes each staged file
         with os.link — atomic; an EEXIST from a prior partially-
         committed attempt byte-compares and skips, so replaying a
@@ -182,8 +197,16 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
     absent — by each row's ``stream`` column."""
 
     def __init__(self, root: str, stream: str | None, crash_flag: str | None = None):
+        import uuid
+
         self.root = root
         self.stream = stream
+        # Per-query run id, minted once driver-side and carried to every
+        # executor inside the pickled writer: staged names embed it so
+        # commit()'s orphan sweep can be scoped to THIS writer's own
+        # files — a second query writing the same root (even the same
+        # stream) never has its in-flight staged epoch swept by us.
+        self.run_id = uuid.uuid4().hex[:12]
         # fault-injection hook for the exactly-once tests: when the flag
         # file exists, commit() raises after promoting exactly ONE
         # staged file — a crash in the middle of the promotion loop, the
@@ -197,6 +220,16 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        # Segment numbers encode (batchId, partitionId) as
+        # batchId*10**6 + pid; a pid at or past 10**6 would silently
+        # alias the NEXT batch's segment space — surface it as a hard
+        # error instead of a spurious foreign-producer failure later.
+        if pid >= 10**6:
+            raise ValueError(
+                f"message_log sink: partitionId {pid} >= 10**6 overflows the "
+                "segment-number encoding (batchId*10**6 + partitionId); "
+                "coalesce the stream below 1M partitions"
+            )
         by_stream: dict[str, list[str]] = {}
         for row in iterator:
             d = row.asDict(recursive=True)
@@ -215,11 +248,23 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
             # the target seq. Replayed tasks overwrite their own staged
             # file (same name would need batchId — use pid + attempt-
             # unique suffix and let abort/commit clean up).
+            #
+            # CANONICAL FORM: lines are sorted before staging. Spark
+            # does not guarantee row order within a partition across
+            # epoch replays (shuffles/repartitions upstream reorder
+            # freely), and _promote()'s idempotent-replay detection is a
+            # byte compare — a reordered but semantically identical
+            # replay must still byte-match the first attempt, not die
+            # with a spurious "foreign producer". Intra-segment order is
+            # therefore sorted-JSON order, not arrival order (the `seq`
+            # segment number remains the ordering consumers key on).
             path = os.path.join(
-                sdir, f".staged-{pid:04d}-{os.getpid()}-{time.monotonic_ns()}.jsonl"
+                sdir,
+                f".staged-{self.run_id}-{pid:04d}-"
+                f"{os.getpid()}-{time.monotonic_ns()}.staging",
             )
             with open(path, "w") as f:
-                f.write("\n".join(lines) + "\n")
+                f.write("\n".join(sorted(lines)) + "\n")
             staged.append((stream, path, pid))
         return _StagedFiles(staged=staged)
 
@@ -258,14 +303,17 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
                         raise RuntimeError(
                             "injected crash mid-commit (one file promoted)"
                         )
-        # sweep staged orphans from prior crashed attempts of THIS or an
-        # earlier epoch — safe under the documented single-logical-writer
-        # discipline (epochs of one query are serialized, so any .staged
-        # file not in this epoch's messages belongs to a dead attempt)
+        # sweep staged orphans from prior crashed attempts of THIS
+        # writer only — staged names embed self.run_id, so a concurrent
+        # query writing the same root (even the same stream) keeps its
+        # in-flight staged epoch; within one run, epochs are serialized
+        # by the engine, so any surviving `.staged-{run_id}-` file
+        # belongs to a dead attempt of an already-committed epoch.
+        own_prefix = f".staged-{self.run_id}-"
         for stream in touched:
             sdir = os.path.join(self.root, stream)
             for f in os.listdir(sdir):
-                if f.startswith(".staged-"):
+                if f.startswith(own_prefix):
                     try:
                         os.unlink(os.path.join(sdir, f))
                     except FileNotFoundError:

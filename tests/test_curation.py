@@ -488,3 +488,49 @@ def test_temperature_resample_null_group_and_large_ids(spark):
     # baseline: group b keeps roughly 50/500 = 10%
     assert a < 150, f"group b kept {a} of 500 at T=0 — leveling broken"
     assert out.filter(F.col("grp") == "a").count() == 50, "min group intact"
+
+
+def test_duplicate_spans_finds_maximal_planted_span(spark):
+    """Plant a verbatim 12-token run inside two otherwise-distinct
+    documents: duplicate_spans(shingle=8) must return exactly ONE
+    maximal span per doc covering the full 12 tokens (positions of the
+    run), not one span per duplicated shingle, and no spans for a
+    clean third document."""
+    from hazelcast_jet_contrib_spark.operators.curation import duplicate_spans
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    rows = [
+        # doc 1: 5 unique tokens, then the shared run at positions 5..16
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + shared + " tail1 tail2"),
+        # doc 2: shared run at positions 0..11
+        (2, shared + " " + " ".join(f"b{i}" for i in range(6))),
+        (3, " ".join(f"c{i}" for i in range(20))),  # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(df, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    got = {r["id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in out.collect()}
+    assert got == {1: (5, 16, 12), 2: (0, 11, 12)}
+
+
+def test_duplicate_spans_merges_adjacent_and_splits_gapped_runs(spark):
+    """Two shared runs separated by unique text in the same document
+    must come back as TWO spans (the gap breaks the island); a doc
+    shorter than one shingle yields nothing."""
+    from hazelcast_jet_contrib_spark.operators.curation import duplicate_spans
+
+    run_a = " ".join(f"x{i}" for i in range(9))
+    run_b = " ".join(f"y{i}" for i in range(8))
+    rows = [
+        (1, run_a + " gap1 gap2 gap3 " + run_b),
+        (2, run_a + " " + " ".join(f"m{i}" for i in range(4)) + " " + run_b),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(df, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    spans1 = sorted(
+        (r["span_start"], r["span_end"]) for r in out.filter("id = 1").collect()
+    )
+    # doc 1: run_a at 0..8, run_b at 12..19 -> two distinct islands
+    assert spans1 == [(0, 8), (12, 19)]
+    assert out.filter("id = 3").count() == 0

@@ -809,3 +809,83 @@ def test_h2_settings_initial_window_size_unblocks_flow_controlled_send():
     assert max(sizes) <= 32_768, sizes
     # the post-SETTINGS tail actually used the raised MAX_FRAME_SIZE
     assert any(s > 16_384 for s in sizes), sizes
+
+
+def test_h2_settings_payload_not_multiple_of_6_goaway_frame_size_error():
+    """RFC 7540 §6.5: a SETTINGS frame whose payload length is not a
+    multiple of 6 is a connection error of type FRAME_SIZE_ERROR (0x6)
+    — the server must answer GOAWAY with that code and close, not die
+    in struct.unpack."""
+    import io
+    import struct
+
+    import pytest
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    def frame(t, fl, sid, pl=b""):
+        return (
+            struct.pack("!I", len(pl))[1:] + bytes((t, fl))
+            + struct.pack("!I", sid) + pl
+        )
+
+    rfile = io.BytesIO(
+        http2.PREFACE + frame(4, 0, 0, b"\x00\x04\x00")  # 3-byte SETTINGS payload
+    )
+    wfile = io.BytesIO()
+    with pytest.raises(ValueError):
+        http2.serve_connection(rfile, wfile, lambda headers, data: (200, b""))
+
+    wfile.seek(0)
+    goaway = None
+    while True:
+        head = wfile.read(9)
+        if len(head) < 9:
+            break
+        ln = int.from_bytes(head[:3], "big")
+        t = head[3]
+        pl = wfile.read(ln)
+        if t == 7:  # GOAWAY
+            goaway = pl
+    assert goaway is not None, "no GOAWAY before teardown"
+    _last_sid, err = struct.unpack("!II", goaway[:8])
+    assert err == 0x6  # FRAME_SIZE_ERROR
+
+
+def test_h2_settings_initial_window_above_2_31_goaway_flow_control_error():
+    """RFC 7540 §6.9.2: SETTINGS_INITIAL_WINDOW_SIZE above 2^31-1 is a
+    connection error of type FLOW_CONTROL_ERROR (0x3)."""
+    import io
+    import struct
+
+    import pytest
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    def frame(t, fl, sid, pl=b""):
+        return (
+            struct.pack("!I", len(pl))[1:] + bytes((t, fl))
+            + struct.pack("!I", sid) + pl
+        )
+
+    rfile = io.BytesIO(
+        http2.PREFACE + frame(4, 0, 0, struct.pack("!HI", 4, 2**31))
+    )
+    wfile = io.BytesIO()
+    with pytest.raises(ValueError):
+        http2.serve_connection(rfile, wfile, lambda headers, data: (200, b""))
+
+    wfile.seek(0)
+    goaway = None
+    while True:
+        head = wfile.read(9)
+        if len(head) < 9:
+            break
+        ln = int.from_bytes(head[:3], "big")
+        t = head[3]
+        pl = wfile.read(ln)
+        if t == 7:  # GOAWAY
+            goaway = pl
+    assert goaway is not None, "no GOAWAY before teardown"
+    _last_sid, err = struct.unpack("!II", goaway[:8])
+    assert err == 0x3  # FLOW_CONTROL_ERROR

@@ -154,21 +154,26 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
     # cell assignment). Counts are PINNED, not just allowlisted: a
     # regression adding an extra undeclared Arrow stage to an exempted
     # query fails here too.
+    # Counts are PHYSICAL kernels (unique plan-node ids — see
+    # PlanAudit.arrow_python_stages): the decode/sketch kernel of a
+    # persisted relation counts once no matter how many consumers scan
+    # the cache, because it runs once at cache build.
     allowed_arrow = {
-        "media_image_features": 2,
-        "media_image_resize": 2,
-        "media_video_frame_sample": 2,
-        "media_audio_frames": 2,
-        "media_phash_dup_groups": 2,  # image_features decode kernel
-        "embedding_near_dup": 3,  # shared persisted sketch + 2 vector join-backs
-        "ivf_cosine_topk": 6,  # cell_of + probe_cells kernels across both sides
-        "ivf_recall_at_nprobe": 6,
-        "service_token_stats": 2,  # mapUsingService is by definition an Arrow stage
-        "kv_hash_snapshot": 2,
-        "sorted_set_range": 2,
-        "docstore_find_pushdown": 2,
-        "measurement_timeseries_read": 2,
-        "paged_rest_parts": 2,
+        "media_image_features": 1,
+        "media_image_resize": 1,
+        "media_video_frame_sample": 1,
+        "media_audio_frames": 1,
+        "media_phash_dup_groups": 1,  # image_features decode kernel
+        "media_phash_near_dup": 1,  # image_features decode, persisted once
+        "embedding_near_dup": 1,  # persisted hyperplane sketch, shared by both join sides
+        "ivf_cosine_topk": 3,  # cell_of (corpus) + cell_of/probe_cells (queries)
+        "ivf_recall_at_nprobe": 3,
+        "service_token_stats": 1,  # mapUsingService is by definition an Arrow stage
+        "kv_hash_snapshot": 1,
+        "sorted_set_range": 1,
+        "docstore_find_pushdown": 1,
+        "measurement_timeseries_read": 1,
+        "paged_rest_parts": 1,
     }
     offenders = []
     for name, fn in QUERIES.items():
@@ -490,3 +495,15 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_dup_span_extraction_plan_budget(spark):
+    """Exact-substring span dedup must stay pure Catalyst and linear:
+    3 exchanges (two-phase distinct-doc count per shingle + the
+    per-document island window) and NOT a 4th — the final (id, island)
+    rollup must reuse the window's hash partitioning on id (subset
+    rule). A 4th exchange means that reuse broke; any Python stage
+    means the shingle path left codegen."""
+    a = audit(QUERIES["dup_span_extraction"](spark, SF))
+    assert a.exchanges() <= 3, f"dup_span exchange count grew: {a.exchanges()}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0

@@ -183,3 +183,159 @@ def test_stream_writer_commit_is_idempotent_and_detects_foreign_segment(tmp_path
         raise AssertionError("expected RuntimeError on foreign segment")
     except RuntimeError:
         pass
+
+
+def test_segments_ignore_staged_and_foreign_files(tmp_path):
+    """ADVICE r05 (high): an in-flight staged epoch must be INVISIBLE
+    to every reader path. The old parse crashed with int('') on any
+    dotfile ending in .jsonl — turning 'uncommitted epochs cannot be
+    consumed' into 'consuming reader dies'. Only <digits>.jsonl names
+    are segments."""
+    sdir = tmp_path / "s"
+    sdir.mkdir()
+    (sdir / "000003.jsonl").write_text('{"key": "k"}\n')
+    (sdir / "7000001.jsonl").write_text('{"key": "w"}\n')  # wider than 6 digits
+    # legacy-style staged dotfile that previously crashed the parse
+    (sdir / ".staged-0001-42-99.jsonl").write_text("{}\n")
+    (sdir / ".staged-runid-0001-42-99.staging").write_text("{}\n")
+    (sdir / "notes.txt").write_text("not a segment")
+    (sdir / "partial.jsonl").write_text("{}\n")  # non-numeric stem
+    assert message_log._segments(str(sdir)) == [3, 7000001]
+
+
+def test_staged_epoch_invisible_to_concurrent_reader_offsets(tmp_path):
+    """A reader computing latestOffset over a stream WHILE another
+    query's epoch is staged must neither crash nor see the staged
+    data."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamReader,
+        MessageLogStreamWriter,
+    )
+
+    root = str(tmp_path / "root")
+    message_log.append_segment(root, "s", [{"key": "k0"}], seq=0)
+    writer = MessageLogStreamWriter(root, stream="s")
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        writer.write(iter([Row(key="k1", value="v1")]))  # staged, not committed
+    reader = MessageLogStreamReader(root)
+    assert reader.latestOffset() == {"s": 1}  # staged epoch invisible
+    [part] = reader.partitions({"s": 0}, {"s": 1})
+    assert [r[2] for r in reader.read(part)] == ["k0"]
+
+
+def test_stream_writer_stages_canonical_order(tmp_path):
+    """ADVICE r05 (medium): Spark does not guarantee row order within a
+    partition across epoch replays. A replay that iterates the same
+    rows in a different order must stage BYTE-IDENTICAL content, or the
+    idempotent-replay byte compare would misfire as 'foreign
+    producer'."""
+    import glob as _glob
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    rows = [Row(key=f"k{i}", value=f"v{i}") for i in range(5)]
+    blobs = []
+    for order in (rows, list(reversed(rows))):
+        dst = str(tmp_path / f"dst-{len(blobs)}")
+        writer = MessageLogStreamWriter(dst, stream="s")
+        ctx = mock.Mock()
+        ctx.partitionId.return_value = 0
+        with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+            writer.write(iter(order))
+        [staged] = _glob.glob(os.path.join(dst, "s", ".staged-*"))
+        blobs.append(open(staged, "rb").read())
+    assert blobs[0] == blobs[1]
+
+
+def test_concurrent_writers_same_root_sweep_is_scoped(tmp_path):
+    """VERDICT r05 item 6: commit()'s orphan sweep must only remove
+    THIS writer's staged files. A second query staging an epoch in the
+    same stream while the first commits must keep its staged epoch and
+    commit it afterwards."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    root = str(tmp_path / "root")
+    wa = MessageLogStreamWriter(root, stream="s")
+    wb = MessageLogStreamWriter(root, stream="s")
+    assert wa.run_id != wb.run_id
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        ma = wa.write(iter([Row(key="a", value="1")]))
+        mb = wb.write(iter([Row(key="b", value="2")]))
+    # B commits first; A's staged epoch must survive B's sweep
+    wb.commit([mb], batchId=2)
+    assert any(
+        f.startswith(f".staged-{wa.run_id}-")
+        for f in os.listdir(os.path.join(root, "s"))
+    ), "A's in-flight staged epoch was swept by B's commit"
+    wa.commit([ma], batchId=1)
+    segs = message_log._segments(os.path.join(root, "s"))
+    assert segs == [1 * 10**6, 2 * 10**6]
+    keys = sorted(r["key"] for r in _read_all(root, "s"))
+    assert keys == ["a", "b"]
+    assert not glob.glob(os.path.join(root, "s", ".staged-*"))
+
+
+def test_concurrent_writers_same_stream_same_epoch_raise_not_lose(tmp_path):
+    """Documented-unsupported: two queries writing the SAME stream with
+    colliding (batchId, partitionId) must surface the foreign-producer
+    error — never silently drop an epoch."""
+    from unittest import mock
+
+    import pytest
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    root = str(tmp_path / "root")
+    wa = MessageLogStreamWriter(root, stream="s")
+    wb = MessageLogStreamWriter(root, stream="s")
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        ma = wa.write(iter([Row(key="a", value="1")]))
+        mb = wb.write(iter([Row(key="b", value="2")]))
+    wa.commit([ma], batchId=0)
+    with pytest.raises(RuntimeError, match="foreign producer"):
+        wb.commit([mb], batchId=0)
+
+
+def test_stream_writer_partition_id_overflow_raises(tmp_path):
+    """ADVICE r05 (low): partitionId >= 10**6 would alias the next
+    batch's segment space (batchId*10**6 + pid) — hard error at write
+    time, not a spurious foreign-producer failure at commit."""
+    from unittest import mock
+
+    import pytest
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    writer = MessageLogStreamWriter(str(tmp_path / "dst"), stream="s")
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 10**6
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        with pytest.raises(ValueError, match="10\\*\\*6"):
+            writer.write(iter([Row(key="k", value="v")]))
