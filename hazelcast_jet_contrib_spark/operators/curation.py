@@ -551,7 +551,11 @@ def duplicate_spans(
     ~10¹² shingles; widen to two seeded hashes at true 100 TB.
 
     Output: (id, span_start int, span_end int, span_tokens int) —
-    0-based inclusive token indices, one row per maximal span.
+    0-based inclusive token indices, one row per maximal span. Spans
+    are maximal runs of consecutive duplicated SHINGLE positions; two
+    runs separated by a gap shorter than ``shingle_tokens`` produce
+    token intervals that overlap (each is independently maximal) — a
+    removal pass should union the intervals per document first.
     """
     if shingle_tokens < 2:
         raise ValueError("shingle_tokens must be >= 2")
