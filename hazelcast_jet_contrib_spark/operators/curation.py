@@ -596,6 +596,61 @@ def duplicate_spans(
     )
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The CUT half of exact-substring dedup: given ``duplicate_spans``
+    output (id, span_start, span_end), produce each document's cleaned
+    text with every covered token removed. Overlapping spans (adjacent
+    islands closer than one shingle — see duplicate_spans) are unioned
+    here by construction: covered positions are collected as a set.
+
+    Scale shape: only SPAN rows explode (one row per covered token —
+    bounded by corpus duplicated-token count, not corpus size); the
+    covered-position set joins back to documents by id (8-byte key) and
+    the token filter runs as higher-order functions over the already-
+    split token array — documents are never exploded, no Python stages,
+    one shuffle for the per-doc position set + the id join.
+
+    Output: (id, cleaned_text string, n_tokens_kept int,
+    n_tokens_removed int). Documents with no spans pass through
+    unchanged (left join; removed = 0).
+    """
+    covered = (
+        spans.select(
+            "id",
+            F.explode(F.sequence("span_start", "span_end")).alias("__pos__"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("__pos__").alias("__cov__"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks__"))
+    kept = F.filter(
+        F.transform("__toks__", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.coalesce(
+            F.array_contains("__cov__", s["i"]), F.lit(False)
+        ),
+    )
+    return (
+        base.join(covered, "id", "left")
+        .withColumn("__kept__", kept)
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("__kept__", lambda s: s["t"])
+            ).alias("cleaned_text"),
+            F.size("__kept__").cast("int").alias("n_tokens_kept"),
+            (F.size("__toks__") - F.size("__kept__")).cast("int").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
 def rarity_weighted_terms(
     df: DataFrame,
     id_col: str,

@@ -534,3 +534,149 @@ def test_duplicate_spans_merges_adjacent_and_splits_gapped_runs(spark):
     # doc 1: run_a at 0..8, run_b at 12..19 -> two distinct islands
     assert spans1 == [(0, 8), (12, 19)]
     assert out.filter("id = 3").count() == 0
+
+
+def test_remove_spans_cuts_planted_duplicates_and_passes_clean_docs(spark):
+    """End-to-end find+cut: duplicate_spans locates the shared run,
+    remove_spans removes exactly those tokens; clean docs pass through
+    untouched with removed=0."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "u1 u2 " + shared + " u3"),
+        (2, shared + " v1 v2 v3"),
+        (3, " ".join(f"c{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    out = {
+        r["id"]: (r["cleaned_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("u1 u2 u3", 3, 10)
+    assert out[2] == ("v1 v2 v3", 3, 10)
+    assert out[3] == (" ".join(f"c{i}" for i in range(15)), 15, 0)
+
+
+def test_remove_spans_unions_overlapping_islands(spark):
+    """Two islands whose token intervals overlap (gap shorter than the
+    shingle) must be cut as their UNION — no token removed twice, no
+    covered token kept."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    run_a = " ".join(f"x{i}" for i in range(8))
+    run_b = " ".join(f"y{i}" for i in range(8))
+    # doc 1: run_a, 2-token gap, run_b -> islands at positions 0 and 10;
+    # spans [0,7] and [10,17]; the gap tokens g1 g2 survive
+    rows = [
+        (1, run_a + " g1 g2 " + run_b),
+        (2, run_a + " m1 m2 m3 " + run_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    out = {
+        r["id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("g1 g2", 16)
+    assert out[2] == ("m1 m2 m3", 16)
+
+
+def test_remove_spans_matches_duckdb_on_documents(spark):
+    """Cross-engine mirror of the find+cut composition on the real
+    documents table at the correctness SF — the same check the driver
+    gate will run once dup_span_removal enters the checked window."""
+    from tests.conftest import CORRECTNESS_SF, _norm, duck_con
+
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        duplicate_spans,
+        remove_spans,
+    )
+    from hazelcast_jet_contrib_spark.registry import table
+
+    docs = table(spark, CORRECTNESS_SF, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    sdf = remove_spans(docs, spans, "doc_id", "text")
+    spark_rows = sorted(
+        (r["id"], r["cleaned_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in sdf.collect()
+    )
+
+    con = duck_con(CORRECTNESS_SF)
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
+        FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+        WHERE len(t) >= 8
+    ),
+    counts AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY s),
+    dup AS (
+        SELECT sh.doc_id, sh.pos FROM sh JOIN counts USING (s) WHERE nd >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + off AS cpos
+        FROM dup, unnest(generate_series(0, 7)) AS o(off)
+    ),
+    kept AS (
+        SELECT toks.doc_id, i - 1 AS pos, t[i] AS tok
+        FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered c
+            WHERE c.doc_id = toks.doc_id AND c.cpos = i - 1
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id AS id,
+           COALESCE(agg.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(agg.n_kept, 0) AS INT) AS n_tokens_kept,
+           CAST(len(toks.t) - COALESCE(agg.n_kept, 0) AS INT)
+               AS n_tokens_removed
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """).fetchall()
+    )
+    assert len(spark_rows) == len(duck_rows)
+    assert spark_rows == duck_rows
+
+
+def test_remove_spans_plan_is_pure_catalyst(spark):
+    """The cut pass must never explode documents or leave codegen:
+    zero Python stages, and the only exploded relation is the span
+    side (covered positions)."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        duplicate_spans,
+        remove_spans,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+    from hazelcast_jet_contrib_spark.registry import table
+    from tests.conftest import SMOKE_SF
+
+    docs = table(spark, SMOKE_SF, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", shingle_tokens=8, min_docs=2)
+    a = audit(remove_spans(docs, spans, "doc_id", "text"))
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+    # Generates allowed: the shingle posexplode (appears on BOTH sides
+    # of the count join — unpersisted lineage, two numbered nodes) and
+    # the covered-position explode. The document token arrays stay
+    # packed inside higher-order functions: a 4th Generate means a
+    # corpus-sized explode leaked in.
+    import re
+    gens = len(re.findall(r"^\(\d+\) Generate", a.plan, re.M))
+    assert gens <= 3, f"document-side explode leaked in: {gens} Generate nodes"
