@@ -365,3 +365,55 @@ def test_ivf_topk_corpus_cost_linear_queries_fixed(spark, tmp_path):
         f"1x(cand={results['c1']['candidates']}, shuffle={results['c1']['shuffle']}) "
         f"8x(cand={results['c8']['candidates']}, shuffle={results['c8']['shuffle']})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (operators.curation.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+
+def _span_scale(spark, path: str, n_docs: int) -> dict[str, int]:
+    from hazelcast_jet_contrib_spark.operators.curation import duplicate_spans
+
+    _write_corpus(spark, path, n_docs)
+    df = spark.read.parquet(path)
+    spans = duplicate_spans(df, "id", "text", shingle_tokens=8, min_docs=2)
+    rows = spans.collect()
+    stats = executed_shuffle_stats(spans)
+    # planted truth: each pair (i-1, i) with i%10==9 shares its full
+    # 30-word sequence -> exactly one maximal [0, 29] span per member
+    ok = all(
+        (r["span_start"], r["span_end"], r["span_tokens"]) == (0, 29, 30)
+        and (r["id"] % 10 == 9 or r["id"] % 10 == 8)
+        for r in rows
+    )
+    return {
+        "n_docs": n_docs,
+        "spans": len(rows),
+        "span_set_ok": ok,
+        "shuffle_records": stats["shuffle_records"],
+        "shuffle_bytes": stats["shuffle_bytes"],
+    }
+
+
+@pytest.mark.slow
+def test_duplicate_spans_scale_linearly(spark, tmp_path):
+    """8x corpus -> ~8x shuffled records for span extraction (shingle
+    volume is linear in corpus tokens; the distinct-doc count and the
+    per-doc island window shuffle only (id, pos, hash) rows), with
+    planted-span recall exact at BOTH scales. A quadratic step anywhere
+    (e.g. a shingle-text join instead of the hash join) would show as
+    a 64x record blowup."""
+    r1 = _span_scale(spark, str(tmp_path / "c1"), N1)
+    r8 = _span_scale(spark, str(tmp_path / "c8"), N1 * 8)
+    assert r1["span_set_ok"] and r8["span_set_ok"]
+    # one span per member of each planted pair: 2 * n/10
+    assert r1["spans"] == 2 * (N1 // 10)
+    assert r8["spans"] == 2 * (N1 * 8 // 10)
+    growth = r8["shuffle_records"] / max(r1["shuffle_records"], 1)
+    assert growth <= 2 * 8, f"span-dedup shuffle grew {growth:.1f}x for 8x corpus"
+    print(
+        f"SPAN-SCALE 1x: {r1['shuffle_records']} rec "
+        f"{r1['shuffle_bytes']//1000} KB; 8x: {r8['shuffle_records']} rec "
+        f"{r8['shuffle_bytes']//1000} KB; growth {growth:.2f}x"
+    )
