@@ -408,6 +408,60 @@ def unigram_lm_score(
     )
 
 
+def mix_to_target(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Downsample-only mixture rebalancing to EXPLICIT target weights —
+    the data-mixing step where the recipe prescribes proportions per
+    source/domain (e.g. 60% web / 30% code / 10% reference) rather than
+    a power-law transform (that is ``temperature_resample``).
+
+    The output is the LARGEST corpus achievable by pure downsampling
+    whose group shares match ``targets``: with w_g the normalized
+    target weight and c_g the group count, total N = min_g(c_g / w_g)
+    and each group keeps rate r_g = w_g * N / c_g (the binding group
+    keeps everything). Groups absent from ``targets`` are dropped.
+
+    Scale shape: one count aggregation reduced to the (tiny) group
+    domain, rates computed on the driver from those scalars, and a
+    deterministic Knuth-hash accept per row — the corpus itself never
+    shuffles, identical to ``stratified_sample``. Rates use only
+    IEEE-754 +,*,/ (correctly rounded), so an external SQL oracle can
+    replay every accept decision bit-exactly.
+    """
+    if not targets or any(w < 0 for w in targets.values()):
+        raise ValueError("targets must be a non-empty {group: weight>=0} map")
+    tot_w = float(sum(targets.values()))
+    if tot_w <= 0:
+        raise ValueError("target weights sum to zero")
+    counts = {
+        r[group_col]: r["__c__"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c__")).collect()
+        if r[group_col] in targets
+    }
+    if not counts:
+        return df.limit(0)
+    # binding group: the one whose supply runs out first
+    n_total = min(counts[g] / (targets[g] / tot_w) for g in counts if targets[g] > 0)
+    p = 2147483647
+    rate_expr = None
+    for g in counts:
+        w = targets[g] / tot_w
+        r_g = min(1.0, (w * n_total) / counts[g]) if counts[g] else 0.0
+        branch = F.when(F.col(group_col) == g, F.lit(r_g))
+        rate_expr = branch if rate_expr is None else rate_expr.when(
+            F.col(group_col) == g, F.lit(r_g)
+        )
+    rate = rate_expr.otherwise(F.lit(-1.0))  # group not targeted: drop
+    accept = (
+        ((F.col(id_col) % p) * F.lit(2654435761 % p)) % p
+    ).cast("double") < rate * F.lit(float(p))
+    return df.filter(accept)
+
+
 def temperature_resample(
     df: DataFrame,
     group_col: str,

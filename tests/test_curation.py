@@ -680,3 +680,68 @@ def test_remove_spans_plan_is_pure_catalyst(spark):
     import re
     gens = len(re.findall(r"^\(\d+\) Generate", a.plan, re.M))
     assert gens <= 3, f"document-side explode leaked in: {gens} Generate nodes"
+
+
+def test_mix_to_target_hits_weights_and_is_deterministic(spark):
+    """Rebalance a 3-source corpus to explicit 60/30/10: the binding
+    group keeps everything, achieved shares land within sampling noise
+    of the targets, and every accept decision replays exactly (pure
+    hash, no RNG)."""
+    from hazelcast_jet_contrib_spark.operators.curation import mix_to_target
+
+    rows = (
+        [(i, "web") for i in range(6000)]
+        + [(10_000 + i, "code") for i in range(1200)]
+        + [(20_000 + i, "ref") for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_to_target(
+        df, "source", "doc_id", {"web": 0.6, "code": 0.3, "ref": 0.1}
+    )
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # binding group is code: N = min(6000/.6, 1200/.3, 2000/.1) = 4000
+    assert got["code"] == 1200, got  # rate 1.0 -> kept exactly
+    assert abs(got["web"] - 2400) < 150, got   # 0.6 * 4000
+    assert abs(got["ref"] - 400) < 80, got     # 0.1 * 4000
+    # deterministic replay: identical result set
+    again = mix_to_target(
+        df, "source", "doc_id", {"web": 0.6, "code": 0.3, "ref": 0.1}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mix_to_target_drops_untargeted_groups_and_validates(spark):
+    import pytest
+
+    from hazelcast_jet_contrib_spark.operators.curation import mix_to_target
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "spam"), (3, "web")], "doc_id long, source string"
+    )
+    out = mix_to_target(df, "source", "doc_id", {"web": 1.0})
+    assert {r["source"] for r in out.collect()} == {"web"}
+    with pytest.raises(ValueError):
+        mix_to_target(df, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        mix_to_target(df, "source", "doc_id", {"web": -1.0})
+    # no targeted group present in the data -> empty, not an error
+    assert mix_to_target(df, "source", "doc_id", {"news": 1.0}).count() == 0
+
+
+def test_mix_to_target_is_scan_level_filter(spark):
+    """The sampling pass itself must plan as a pure filter over the
+    scan — zero exchanges, zero Python (the count aggregation is a
+    separate tiny pre-pass, same design as stratified_sample)."""
+    from hazelcast_jet_contrib_spark.operators.curation import mix_to_target
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+    from hazelcast_jet_contrib_spark.registry import table
+    from tests.conftest import SMOKE_SF
+
+    docs = table(spark, SMOKE_SF, "documents")
+    out = mix_to_target(docs, "source", "doc_id", {"web": 0.5, "wiki": 0.5})
+    a = audit(out)
+    assert a.exchanges() == 0, f"sampling pass grew a shuffle: {a.exchanges()}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0

@@ -288,3 +288,55 @@ def test_winnowing_coverage_guarantee(spark, docs):
             assert window & by_doc[i], (
                 f"window [{s},{s + W}) of doc {i} has no fingerprint: {by_doc[i]}"
             )
+
+
+def _ref_duplicate_spans(docs, k, min_docs):
+    """Pure-Python reference for duplicate_spans: shingle occurrence
+    sets -> duplicated positions -> maximal consecutive runs."""
+    toks = {i: t.split() for i, t in docs}
+    occ: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    expect = set()
+    for i, ts in toks.items():
+        dup = sorted(
+            p
+            for p in range(len(ts) - k + 1)
+            if len(occ[tuple(ts[p : p + k])]) >= min_docs
+        )
+        runs: list[list[int]] = []
+        for p in dup:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            expect.add((i, s, e + k - 1, e - s + k))
+    return expect
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_duplicate_spans_match_python_reference(spark, token_lists):
+    """For ANY corpus (tiny vocab forces heavy shingle sharing):
+    duplicate_spans(k=2) returns exactly the maximal runs of positions
+    whose 2-shingle occurs in >= 2 distinct documents — byte-for-byte
+    the pure-Python reference, including empty docs, all-identical
+    docs, and single-token docs (no shingles)."""
+    from hazelcast_jet_contrib_spark.operators.curation import duplicate_spans
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", shingle_tokens=2, min_docs=2)
+    got = {
+        (r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in out.collect()
+    }
+    assert got == _ref_duplicate_spans(docs, 2, 2)
