@@ -370,3 +370,59 @@ def test_kmeans_inertia_non_increasing_and_layout_independent(spark):
         emb.repartition(17, "label"), "vec_id", "embedding", k=8, iters=2
     )
     assert base.orderBy("id").collect() == shuffled.orderBy("id").collect()
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """build_ivf_index + ivf_index_topk vs inline ivf_topk: identical
+    seed/sample -> identical centroids -> IDENTICAL results; and the
+    probe's scan must read ONLY the probed cells' partition files
+    (proven from the executed plan's numFiles metric, not the filter
+    text)."""
+    import glob as _glob
+
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import executed_scan_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).limit(8)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=16, sample_rows=2000)
+
+    inline = ivf_topk(queries, emb, k=5, nlist=16, nprobe=2, sample_rows=2000)
+    probed = ivf_index_topk(spark, path, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # partition pruning: the probe must scan fewer files than the index
+    # holds (16 cells, <=2 probed per query; 8 queries' union << 16)
+    total_files = len(_glob.glob(f"{path}/cell=*/*.parquet"))
+    out = ivf_index_topk(spark, path, queries, k=5, nprobe=2)
+    out.collect()
+    scanned = executed_scan_stats(out)
+    assert scanned["files"] < total_files, (
+        f"probe scanned {scanned['files']}/{total_files} files — pruning dead"
+    )
+
+
+def test_ivf_index_probe_union_bounded_by_nlist(spark, tmp_path):
+    """Even with MANY queries, the probed-cell union (and therefore the
+    static partition filter) is bounded by nlist — query count must not
+    widen the scan beyond the whole index."""
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=4, sample_rows=500)
+    out = ivf_index_topk(spark, path, emb, k=3, nprobe=4)  # all queries, all cells
+    # every query must get its k neighbors (no cell lost by the pruning)
+    n_q = emb.count()
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == n_q and all(r["count"] == 3 for r in got)
