@@ -340,3 +340,43 @@ def test_duplicate_spans_match_python_reference(spark, token_lists):
         for r in out.collect()
     }
     assert got == _ref_duplicate_spans(docs, 2, 2)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_remove_spans_complements_duplicate_spans(spark, token_lists):
+    """For ANY corpus: remove_spans keeps exactly the tokens outside
+    the union of duplicate_spans intervals, in original order, and
+    kept + removed == doc token count."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", shingle_tokens=2, min_docs=2)
+    expect_spans = _ref_duplicate_spans(docs, 2, 2)
+    out = {
+        r["id"]: (r["cleaned_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    for i, ts in enumerate(token_lists):
+        covered = set()
+        for sid, s, e, _n in expect_spans:
+            if sid == i:
+                covered.update(range(s, e + 1))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        # empty doc: split(trim('')) yields [''] in Spark — one token
+        n_toks = len(ts) if ts else 1
+        expect_kept = " ".join(kept) if ts else ""
+        got = out[i]
+        assert got[0] == expect_kept, (i, got, kept)
+        assert got[1] + got[2] == n_toks, (i, got, n_toks)
+        assert got[2] == len(covered), (i, got, covered)
