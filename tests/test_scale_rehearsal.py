@@ -417,3 +417,66 @@ def test_duplicate_spans_scale_linearly(spark, tmp_path):
         f"{r1['shuffle_bytes']//1000} KB; 8x: {r8['shuffle_records']} rec "
         f"{r8['shuffle_bytes']//1000} KB; growth {growth:.2f}x"
     )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit hamming band probe join (operators.dedup.band_probe_pairs_64)
+# ---------------------------------------------------------------------------
+
+
+def _band_probe_scale(spark, n_left: int) -> dict[str, int]:
+    from hazelcast_jet_contrib_spark.operators.dedup import band_probe_pairs_64
+
+    # left: n random 64-bit signatures; right: every 5th left id with
+    # <=3 bits flipped (positions derived from the id — deterministic)
+    left = spark.range(n_left).select(
+        F.col("id"), F.xxhash64("id").alias("sig")
+    )
+    flips = F.expr(
+        "shiftleft(1L, cast(pmod(xxhash64(id, 1), 64) as int)) | "
+        "shiftleft(1L, cast(pmod(xxhash64(id, 2), 64) as int))"
+    )
+    right = left.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.col("sig").bitwiseXOR(flips).alias("sig"),
+    )
+    # disable auto-broadcast so both scales run the 100 TB all-shuffle
+    # plan shape (at real scale the probe side exceeds any broadcast
+    # threshold); restore afterwards
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = band_probe_pairs_64(left, right, max_hamming=3, bands=4)
+        rows = pairs.collect()
+        stats = executed_shuffle_stats(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # accidental <=3-hamming pairs between random 64-bit signatures are
+    # possible (and fine); recall is asserted on the PLANTED subset
+    planted = sum(1 for a, b, _h in rows if b == a + 10_000_000 and a % 5 == 0)
+    return {
+        "n": n_left,
+        "pairs": len(rows),
+        "planted_found": planted,
+        "shuffle_records": stats["shuffle_records"],
+    }
+
+
+@pytest.mark.slow
+def test_band_probe_pairs_scale_linearly(spark, tmp_path):
+    """8x corpus + 8x probe side -> ~8x shuffled records for the
+    hamming band join (only (id, sig, 16-bit band) rows move; buckets
+    are 65536-way so in-bucket work grows linearly), with 100% planted
+    recall at both scales — pigeonhole over 4 bands is exact for
+    hamming <= 3. A signature-side cross join would show 64x."""
+    r1 = _band_probe_scale(spark, 20_000)
+    r8 = _band_probe_scale(spark, 160_000)
+    # exact recall of every planted pair (1-2 flipped bits < 4 bands)
+    assert r1["planted_found"] == 20_000 // 5
+    assert r8["planted_found"] == 160_000 // 5
+    growth = r8["shuffle_records"] / max(r1["shuffle_records"], 1)
+    assert growth <= 2 * 8, f"band probe shuffle grew {growth:.1f}x for 8x input"
+    print(
+        f"BAND-PROBE 1x: {r1['shuffle_records']} rec ({r1['pairs']} pairs); "
+        f"8x: {r8['shuffle_records']} rec ({r8['pairs']} pairs); growth {growth:.2f}x"
+    )
