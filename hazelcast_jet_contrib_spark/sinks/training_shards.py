@@ -1,0 +1,129 @@
+"""Training-shard materialization: the terminal sink of the curation
+pipeline (curate → pack → WRITE), with a verifiable manifest.
+
+Reference lineage: the reference's sinks deliver records to external
+systems with delivery guarantees (SinkBuilder contract,
+MongoDBSinkBuilder.java:169-183); a training pipeline's terminal sink
+instead delivers FILES whose integrity must be checkable long after the
+job — a reader about to feed 100 TB of shards to a trainer needs to
+know the corpus on disk is exactly what the curation job produced (no
+partial writes, no bit-rot, no post-hoc edits). The manifest carries
+per-shard row counts, token totals, and an order-independent 64-bit
+content hash that `verify_training_shards` recomputes from the files.
+
+Scale shape: the write is a plain partitioned parquet write (one
+shuffle on the shard key — already paid by the packing window);
+manifest stats aggregate map-side to one row per shard. The content
+hash is a BIT_XOR of per-row xxhash64 over canonicalized rows —
+commutative and overflow-free (a sum would trip ANSI-mode overflow),
+so it is independent of row order, partition layout, and parallelism.
+Any single edited or substituted row flips it; count and token totals
+independently catch loss/duplication (an identical row written twice
+XOR-cancels, which n_rows exposes). The contract targets integrity
+against partial writes and bit-rot, not adversarial tampering — pairs
+of edits engineered to XOR-cancel are out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _content_hash(df: DataFrame, cols: list[str]):
+    # xor of per-row hashes: commutative (order/layout independent) and
+    # overflow-free under ANSI mode, unlike a long sum
+    return F.expr(
+        "bit_xor(xxhash64({}))".format(", ".join(f"`{c}`" for c in cols))
+    ).cast("long")
+
+
+def _shard_stats(df: DataFrame, shard_col: str, token_col: str | None) -> DataFrame:
+    hash_cols = sorted(c for c in df.columns)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        _content_hash(df, hash_cols).alias("content_hash"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    return df.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+) -> dict:
+    """Write `df` as parquet partitioned by `shard_col` and a manifest
+    sidecar (`_manifest.json` — the `_` prefix keeps it invisible to
+    parquet readers). Returns the manifest dict.
+
+    The manifest is computed from the INPUT DataFrame in the same job;
+    `verify_training_shards` recomputes it from the written files, so
+    the pair proves the round trip. Deterministic: rewriting the same
+    input yields byte-identical manifest content.
+    """
+    if shard_col not in df.columns:
+        raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    stats = _shard_stats(df, shard_col, token_col).collect()
+    manifest = {
+        "columns": sorted(df.columns),
+        "token_col": token_col,
+        "shards": {
+            str(r["shard"]): {
+                "n_rows": r["n_rows"],
+                "content_hash": r["content_hash"],
+                **(
+                    {"n_tokens": r["n_tokens"]} if token_col is not None else {}
+                ),
+            }
+            for r in stats
+        },
+    }
+    manifest["total_rows"] = sum(s["n_rows"] for s in manifest["shards"].values())
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
+    """Recompute every manifest quantity from the files on disk and
+    compare. Returns {"ok": True, ...} or raises ValueError naming the
+    first shard whose reality diverges from the manifest — the check a
+    trainer runs before consuming a corpus."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    missing = set(manifest["columns"]) - set(df.columns)
+    if missing:
+        raise ValueError(f"manifest columns missing on disk: {sorted(missing)}")
+    got = {
+        str(r["shard"]): r
+        for r in _shard_stats(df, "shard", manifest.get("token_col")).collect()
+    }
+    if set(got) != set(manifest["shards"]):
+        raise ValueError(
+            f"shard set mismatch: manifest {sorted(manifest['shards'])} "
+            f"vs disk {sorted(got)}"
+        )
+    for shard, expect in manifest["shards"].items():
+        r = got[shard]
+        if r["n_rows"] != expect["n_rows"]:
+            raise ValueError(
+                f"shard {shard}: {r['n_rows']} rows on disk, manifest says "
+                f"{expect['n_rows']}"
+            )
+        if r["content_hash"] != expect["content_hash"]:
+            raise ValueError(f"shard {shard}: content hash mismatch")
+        if "n_tokens" in expect and r["n_tokens"] != expect["n_tokens"]:
+            raise ValueError(f"shard {shard}: token total mismatch")
+    return {"ok": True, "shards": len(got), "total_rows": manifest["total_rows"]}
