@@ -462,6 +462,99 @@ def mix_to_target(
     return df.filter(accept)
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    interp: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM quality scoring — the context-aware step
+    up from ``unigram_lm_score`` toward the n-gram-KenLM filters CCNet
+    ships: token i scores under
+    ``p = interp * p_bigram + (1-interp) * p_unigram`` with
+    ``p_bigram = (c(prev,cur)+α)/(c(prev)+αV)`` and the additive-
+    smoothed unigram as backoff; each document's FIRST token scores
+    with the unigram alone (no left context). Catches what a unigram
+    cannot: shuffled/boilerplate word salad whose tokens are all
+    common but whose transitions never co-occur in the corpus.
+
+    Emits per document: ``n_tokens``, ``bits_per_token``
+    (avg -log2 p), and ``mean_inv_p`` (avg 1/p — the fully rational
+    perplexity proxy; division is IEEE-correctly-rounded so external
+    engines replay it exactly, unlike libm log2).
+
+    Scale shape: tokenization explodes once per token and once per
+    bigram (both linear, pure Catalyst HOFs — no self-join to form
+    pairs); counts reduce to the unigram/bigram vocabularies; scoring
+    joins each doc's bigram rows to the two count relations by key.
+    At test scale those model sides broadcast; at open-web scale the
+    bigram table outgrows any broadcast and the join degrades
+    gracefully to a hash join on the bigram key — still linear, and
+    AQE skew-splits stopword-pair hot keys. Driver-side scalars are
+    O(1) (N, V).
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("__t__")).withColumn(
+        "__n__", F.size("__t__")
+    )
+    uni = base.select("id", F.explode("__t__").alias("tok"))
+    # bigram rows via HOF slice — no positional self-join
+    big = base.filter(F.col("__n__") >= 2).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(2), F.col("__n__")),
+                lambda i: F.struct(
+                    F.element_at("__t__", i - 1).alias("prev"),
+                    F.element_at("__t__", i).alias("cur"),
+                ),
+            )
+        ).alias("__i__", "bg"),
+    ).select("id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    ucounts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    bcounts = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    tot = ucounts.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, vocab = int(tot["n"] or 0), int(tot["v"] or 0)
+    udenom = float(n_total) + alpha * vocab or 1.0
+
+    p_uni = (F.col("cu") + F.lit(alpha)) / F.lit(udenom)
+    # first token of every doc: unigram only
+    first = base.filter(F.col("__n__") >= 1).select(
+        "id", F.element_at("__t__", 1).alias("tok")
+    )
+    first_scored = first.join(ucounts, "tok").select(
+        "id", p_uni.alias("p")
+    )
+    prev_c = ucounts.select(F.col("tok").alias("prev"), F.col("cu").alias("cprev"))
+    cur_c = ucounts.select(F.col("tok").alias("cur"), F.col("cu").alias("ccur"))
+    p_big = (F.col("cb") + F.lit(alpha)) / (
+        F.col("cprev") + F.lit(alpha * vocab)
+    )
+    p_cur = (F.col("ccur") + F.lit(alpha)) / F.lit(udenom)
+    rest_scored = (
+        big.join(bcounts, ["prev", "cur"])
+        .join(prev_c, "prev")
+        .join(cur_c, "cur")
+        .select(
+            "id",
+            (F.lit(interp) * p_big + F.lit(1.0 - interp) * p_cur).alias("p"),
+        )
+    )
+    return (
+        first_scored.unionByName(rest_scored)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.avg(-F.log2("p")).alias("bits_per_token"),
+            F.avg(F.lit(1.0) / F.col("p")).alias("mean_inv_p"),
+        )
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     group_col: str,

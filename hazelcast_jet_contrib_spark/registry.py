@@ -116,10 +116,11 @@ _PRIORITY = [
     # 1) New in round 6 (no CORRECTNESS row yet) and implementation
     #    changed this round (re-proof required by the stated policy):
     #    the phash query now persists its signature relation so the
-    #    Arrow decode kernel runs once. (operators.curation.remove_spans
-    #    — the cut half of span dedup — is pytest+DuckDB-mirrored this
-    #    round and takes a registry slot next rotation; the window is
-    #    exactly full at 50.)
+    #    Arrow decode kernel runs once. (Round-6 operators awaiting a
+    #    registry slot next rotation — the window is exactly full at
+    #    50: curation.remove_spans (pytest+DuckDB-mirrored),
+    #    curation.mix_to_target, curation.bigram_lm_score,
+    #    sinks.training_shards.)
     "dup_span_extraction",
     "media_phash_near_dup",
     # 2) The 48 queries last driver-green in r04 (untouched since,

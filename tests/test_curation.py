@@ -745,3 +745,67 @@ def test_mix_to_target_is_scan_level_filter(spark):
     a = audit(out)
     assert a.exchanges() == 0, f"sampling pass grew a shuffle: {a.exchanges()}"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_bigram_lm_exact_probabilities_tiny_corpus(spark):
+    """Pin the smoothed interpolated probabilities by hand on a 2-doc
+    corpus: every count, denominator, and interpolation weight checked
+    against closed-form arithmetic."""
+    import math
+
+    from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
+
+    # corpus tokens: d1 = [a, b], d2 = [a, b]  ->  N=4, V=2
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in
+           bigram_lm_score(df, "doc_id", "text", alpha=0.5, interp=0.7).collect()}
+    N, V, a = 4, 2, 0.5
+    p_a = (2 + a) / (N + a * V)          # unigram p(a)
+    p_b = (2 + a) / (N + a * V)          # unigram p(b)
+    p_b_given_a = (2 + a) / (2 + a * V)  # bigram c(a,b)=2, c(a)=2
+    p2 = 0.7 * p_b_given_a + 0.3 * p_b
+    expect_bits = (-math.log2(p_a) - math.log2(p2)) / 2
+    expect_inv = (1 / p_a + 1 / p2) / 2
+    for i in (1, 2):
+        r = out[i]
+        assert r["n_tokens"] == 2
+        assert abs(r["bits_per_token"] - expect_bits) < 1e-9, r
+        assert abs(r["mean_inv_p"] - expect_inv) < 1e-9, r
+
+
+def test_bigram_lm_flags_shuffled_word_salad_unigram_cannot(spark):
+    """The motivating case: a document built from COMMON tokens in
+    never-seen transitions must score materially worse (higher bits)
+    than the fluent documents its unigram profile matches."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        bigram_lm_score,
+        unigram_lm_score,
+    )
+
+    fluent = [(i, "the cat sat on the mat " * 4) for i in range(1, 9)]
+    salad = [(100, "mat the on sat the cat " * 4)]  # same tokens, alien bigrams
+    df = spark.createDataFrame(fluent + salad, "doc_id long, text string")
+
+    bg = {r["id"]: r["bits_per_token"]
+          for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    ug = {r["id"]: r["bits_per_token"]
+          for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    # unigram is blind: identical token multiset -> identical score
+    assert abs(ug[100] - ug[1]) < 1e-9
+    # bigram separates by a real margin
+    assert bg[100] > bg[1] + 0.5, (bg[100], bg[1])
+
+
+def test_bigram_lm_single_token_and_empty_docs(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b a")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["n_tokens"]
+           for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert out[1] == 1      # unigram-only first token
+    assert 2 not in out     # empty doc: no tokens, no row
+    assert out[3] == 3
