@@ -809,3 +809,68 @@ def test_bigram_lm_single_token_and_empty_docs(spark):
     assert out[1] == 1      # unigram-only first token
     assert 2 not in out     # empty doc: no tokens, no row
     assert out[3] == 3
+
+
+def test_bigram_lm_matches_duckdb_on_documents(spark):
+    """Cross-engine mirror on the real documents table: n_tokens and
+    the rational mean_inv_p (no libm) replayed exactly by a DuckDB
+    replica — the oracle shape bigram_lm will register with next
+    rotation."""
+    from tests.conftest import CORRECTNESS_SF, duck_con
+
+    from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
+    from hazelcast_jet_contrib_spark.registry import table
+
+    docs = table(spark, CORRECTNESS_SF, "documents")
+    sdf = bigram_lm_score(docs, "doc_id", "text", alpha=0.5, interp=0.7)
+    spark_rows = sorted(
+        (r["id"], r["n_tokens"], round(r["mean_inv_p"], 4)) for r in sdf.collect()
+    )
+
+    con = duck_con(CORRECTNESS_SF)
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    uc AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+    tot AS (SELECT SUM(cu) AS n, COUNT(*) AS v FROM uc),
+    big AS (
+        SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+        FROM toks, unnest(generate_series(2, len(t))) AS g(i)
+        WHERE len(t) >= 2
+    ),
+    bc AS (SELECT prev, cur, COUNT(*) AS cb FROM big GROUP BY prev, cur),
+    firsts AS (
+        SELECT doc_id, (uc.cu + 0.5) / (tot.n + 0.5 * tot.v) AS p
+        FROM toks, uc, tot
+        WHERE len(t) >= 1 AND uc.tok = t[1]
+    ),
+    rest AS (
+        SELECT big.doc_id,
+               0.7 * ((bc.cb + 0.5) / (up.cu + 0.5 * tot.v))
+             + 0.3 * ((ucur.cu + 0.5) / (tot.n + 0.5 * tot.v)) AS p
+        FROM big
+        JOIN bc USING (prev, cur)
+        JOIN uc up ON up.tok = big.prev
+        JOIN uc ucur ON ucur.tok = big.cur
+        CROSS JOIN tot
+    ),
+    allp AS (SELECT * FROM firsts UNION ALL SELECT * FROM rest)
+    SELECT doc_id AS id, CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(AVG(1.0 / p), 4) AS mean_inv_p
+    FROM allp GROUP BY doc_id
+    """).fetchall()
+    )
+    assert len(spark_rows) == len(duck_rows)
+    mismatches = [
+        (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
+    ]
+    assert not mismatches, mismatches[:3]
