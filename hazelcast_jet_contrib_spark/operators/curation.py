@@ -442,19 +442,22 @@ def mix_to_target(
         for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c__")).collect()
         if r[group_col] in targets
     }
-    if not counts:
+    # binding group: the one whose supply runs out first. Zero-weight
+    # targets contribute no supply constraint (their rate is 0); if no
+    # POSITIVE-weight group has any rows, the mix is empty.
+    supplies = [counts[g] / (targets[g] / tot_w) for g in counts if targets[g] > 0]
+    if not supplies:
         return df.limit(0)
-    # binding group: the one whose supply runs out first
-    n_total = min(counts[g] / (targets[g] / tot_w) for g in counts if targets[g] > 0)
+    n_total = min(supplies)
     p = 2147483647
     rate_expr = None
     for g in counts:
         w = targets[g] / tot_w
-        r_g = min(1.0, (w * n_total) / counts[g]) if counts[g] else 0.0
-        branch = F.when(F.col(group_col) == g, F.lit(r_g))
-        rate_expr = branch if rate_expr is None else rate_expr.when(
-            F.col(group_col) == g, F.lit(r_g)
-        )
+        r_g = min(1.0, (w * n_total) / counts[g])
+        if rate_expr is None:
+            rate_expr = F.when(F.col(group_col) == g, F.lit(r_g))
+        else:
+            rate_expr = rate_expr.when(F.col(group_col) == g, F.lit(r_g))
     rate = rate_expr.otherwise(F.lit(-1.0))  # group not targeted: drop
     accept = (
         ((F.col(id_col) % p) * F.lit(2654435761 % p)) % p

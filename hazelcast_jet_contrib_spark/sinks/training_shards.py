@@ -75,6 +75,12 @@ def write_training_shards(
     stats = _shard_stats(df, shard_col, token_col).collect()
     manifest = {
         "columns": sorted(df.columns),
+        # dtypes pin the hash inputs: partition-column values read back
+        # through directory-name inference (e.g. a LONG shard column
+        # comes back INT), and xxhash64 is type-sensitive — verify
+        # casts the on-disk frame to these before hashing
+        "dtypes": dict(df.dtypes),
+        "shard_col": shard_col,
         "token_col": token_col,
         "shards": {
             str(r["shard"]): {
@@ -106,9 +112,15 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     missing = set(manifest["columns"]) - set(df.columns)
     if missing:
         raise ValueError(f"manifest columns missing on disk: {sorted(missing)}")
+    # re-establish the written dtypes: the partition column's values are
+    # re-inferred from directory names on read and xxhash64 is
+    # type-sensitive, so hash on the manifest-recorded types
+    for c, t in manifest.get("dtypes", {}).items():
+        df = df.withColumn(c, F.col(c).cast(t))
+    shard_col = manifest.get("shard_col", "shard")
     got = {
         str(r["shard"]): r
-        for r in _shard_stats(df, "shard", manifest.get("token_col")).collect()
+        for r in _shard_stats(df, shard_col, manifest.get("token_col")).collect()
     }
     if set(got) != set(manifest["shards"]):
         raise ValueError(

@@ -874,3 +874,22 @@ def test_bigram_lm_matches_duckdb_on_documents(spark):
         (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_mix_to_target_zero_weight_groups(spark):
+    """A zero-weight target drops its group without crashing the
+    binding-group computation; all-zero present weights yield empty."""
+    from hazelcast_jet_contrib_spark.operators.curation import mix_to_target
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(10)] + [(100 + i, "code") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = mix_to_target(df, "source", "doc_id", {"web": 0.0, "code": 1.0})
+    srcs = {r["source"] for r in out.collect()}
+    assert srcs == {"code"}
+    # only zero-weight groups present in the data -> empty result
+    only_zero = mix_to_target(
+        df.filter("source = 'web'"), "source", "doc_id", {"web": 0.0, "code": 1.0}
+    )
+    assert only_zero.count() == 0

@@ -98,3 +98,19 @@ def test_write_requires_shard_column(spark, tmp_path):
         write_training_shards(
             _corpus(spark).drop("shard"), str(tmp_path / "x")
         )
+
+
+def test_custom_shard_column_and_long_dtype_roundtrip(spark, tmp_path):
+    """Regression: verify must honor the manifest's shard_col (not a
+    hardcoded 'shard') and re-cast partition values to the written
+    dtypes — a LONG shard column is re-inferred as INT from directory
+    names on read, and xxhash64 is type-sensitive."""
+    path = str(tmp_path / "shards")
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),  # LONG shard column, custom name
+    )
+    write_training_shards(df, path, shard_col="bucket")
+    out = verify_training_shards(spark, path)
+    assert out["ok"] and out["shards"] == 3 and out["total_rows"] == 60
