@@ -713,15 +713,29 @@ def duplicate_spans(
     base = df.select(F.col(id_col).alias("id"), toks.alias("__toks__")).withColumn(
         "__n__", F.size("__toks__")
     )
-    pos_df = base.filter(F.col("__n__") >= shingle_tokens).select(
-        "id",
-        F.posexplode(
-            F.sequence(F.lit(0), F.col("__n__") - shingle_tokens)
-        ).alias("pos", "__s__"),
-        F.xxhash64(
-            F.concat_ws(" ", F.slice("__toks__", F.col("__s__") + 1, shingle_tokens))
-        ).alias("__sh__"),
-    ).drop("__s__")
+    from pyspark import StorageLevel
+
+    # persist the (id, pos, hash) shingle relation: it feeds BOTH the
+    # distinct-doc count and the join back — without the persist the
+    # split + posexplode + hash lineage (the corpus tokenization, the
+    # dominant linear cost) runs once per consumer (same persist
+    # precedent as minhash_lsh_pairs' shared signature aggregate)
+    pos_df = (
+        base.filter(F.col("__n__") >= shingle_tokens)
+        .select(
+            "id",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("__n__") - shingle_tokens)
+            ).alias("pos", "__s__"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice("__toks__", F.col("__s__") + 1, shingle_tokens)
+                )
+            ).alias("__sh__"),
+        )
+        .drop("__s__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = pos_df.groupBy("__sh__").agg(F.count_distinct("id").alias("__nd__"))
     dup = (
         pos_df.join(counts, "__sh__")

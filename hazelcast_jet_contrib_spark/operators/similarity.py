@@ -348,9 +348,16 @@ def ivf_index_topk(
         order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
-    q = queries.select(
-        F.col(query_id).alias("qid"), as_double(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    from pyspark import StorageLevel
+
+    # persist the probed queries: the relation feeds BOTH the
+    # distinct-cell collect below and the scoring join — without it the
+    # probe_cells kernel runs twice (once per consumer)
+    q = (
+        queries.select(F.col(query_id).alias("qid"), as_double(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # the probed-cell union is ≤ nlist values — a driver-side collect of
     # a bounded set, turned into a static partition filter
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
