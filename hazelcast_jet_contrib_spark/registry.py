@@ -120,6 +120,7 @@ _PRIORITY = [
     #    registry slot next rotation — the window is exactly full at
     #    50: curation.remove_spans (pytest+DuckDB-mirrored),
     #    curation.mix_to_target, curation.bigram_lm_score,
+    #    timeseries.znorm_pattern_topk (DuckDB-mirrored),
     #    sinks.training_shards.)
     "dup_span_extraction",
     "media_phash_near_dup",

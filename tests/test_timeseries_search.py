@@ -1,0 +1,130 @@
+"""Time-series subsequence search tests: z-normalization invariance
+(scaled + shifted copies of the pattern match at distance 0),
+zero-variance window convention, plan shape (codegen-only, bounded
+top-k), and a DuckDB mirror on the real events table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.timeseries import znorm_pattern_topk
+
+PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0]
+
+
+def _series_df(spark):
+    rows = []
+    # key A: noise, then the pattern scaled x10 shifted +100 at offset 4
+    a_vals = [7.0, 7.5, 6.0, 8.0] + [100 + 10 * x for x in PATTERN] + [9.0]
+    rows += [("A", i, v) for i, v in enumerate(a_vals)]
+    # key B: the raw pattern at offset 0, then constant tail
+    b_vals = PATTERN + [5.0, 5.0, 5.0, 5.0, 5.0]
+    rows += [("B", i, v) for i, v in enumerate(b_vals)]
+    # key C: strictly decreasing (anti-correlated-ish, no exact match)
+    rows += [("C", i, float(20 - i)) for i in range(10)]
+    return spark.createDataFrame(rows, "key string, ts long, value double")
+
+
+def test_znorm_invariance_finds_scaled_shifted_copies(spark):
+    df = _series_df(spark)
+    out = znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=3).collect()
+    top2 = {(r["key"], r["start"]): r["dist"] for r in out[:2]}
+    # both embedded copies (affine transforms of the pattern) at dist 0
+    assert top2 == {("A", 4): 0.0, ("B", 0): 0.0}, out
+    assert out[2]["dist"] > 0.1
+
+
+def test_zero_variance_window_matches_flat_pattern_only(spark):
+    df = _series_df(spark)
+    # flat pattern z-normalizes to zeros -> constant windows (B's tail)
+    # are exact matches
+    flat = znorm_pattern_topk(df, "key", "ts", "value", [2.0, 2.0, 2.0], k=2).collect()
+    assert all(r["dist"] == 0.0 and r["key"] == "B" for r in flat), flat
+
+
+def test_pattern_validation_and_short_series(spark):
+    df = _series_df(spark)
+    with pytest.raises(ValueError):
+        znorm_pattern_topk(df, "key", "ts", "value", [1.0])
+    # pattern longer than every series -> empty result, no error
+    assert (
+        znorm_pattern_topk(df, "key", "ts", "value", [float(i) for i in range(50)]).count()
+        == 0
+    )
+
+
+def test_plan_is_codegen_with_bounded_topk(spark):
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+
+    df = _series_df(spark)
+    out = znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=3)
+    a = audit(out)
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+    assert "TakeOrderedAndProject" in a.plan, "global top-k must not full-sort"
+    assert a.exchanges() <= 2, f"series build + top-k only: {a.exchanges()}"
+
+
+def test_matches_duckdb_on_events(spark):
+    """Cross-engine mirror on the real events table at the correctness
+    SF — identical top-20 (key, start, dist) under the same fold order
+    and rounding (the oracle shape for a future registry slot)."""
+    from tests.conftest import CORRECTNESS_SF, duck_con
+
+    from hazelcast_jet_contrib_spark.registry import table
+
+    events = table(spark, CORRECTNESS_SF, "events")
+    sdf = znorm_pattern_topk(
+        events, "user_id", "ts", "value", PATTERN, k=20, tiebreak_col="event_id"
+    )
+    spark_rows = [(r["key"], r["start"], r["dist"]) for r in sdf.collect()]
+
+    import math
+
+    m = len(PATTERN)
+    mu = sum(PATTERN) / m
+    sd = math.sqrt(sum((x - mu) ** 2 for x in PATTERN) / m)
+    qz = [(x - mu) / sd for x in PATTERN]
+    qz_sql = "[" + ", ".join(repr(v) for v in qz) + "]"
+
+    con = duck_con(CORRECTNESS_SF)
+    duck_rows = [
+        tuple(r)
+        for r in con.execute(f"""
+    WITH series AS (
+        SELECT user_id AS key, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    ),
+    win AS (
+        SELECT key, i AS start, vals[i + 1 : i + {m}] AS w
+        FROM series, unnest(generate_series(0, len(vals) - {m})) AS g(i)
+        WHERE len(vals) >= {m}
+    ),
+    stats AS (
+        SELECT key, start, w,
+               list_aggregate(w, 'sum') / {m} AS mu
+        FROM win
+    ),
+    stats2 AS (
+        SELECT key, start, w, mu,
+               sqrt(list_aggregate(list_transform(w, x -> (x - mu) * (x - mu)),
+                                   'sum') / {m}) AS sd
+        FROM stats
+    ),
+    dists AS (
+        SELECT key, CAST(start AS INT) AS start,
+               ROUND(sqrt(list_aggregate(
+                   list_transform(
+                       list_zip(CASE WHEN sd > 0
+                                     THEN list_transform(w, x -> (x - mu) / sd)
+                                     ELSE list_transform(w, x -> x * 0.0) END,
+                                {qz_sql}),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   'sum')), 6) AS dist
+        FROM stats2
+    )
+    SELECT key, start, dist FROM dists
+    ORDER BY dist ASC, key ASC, start ASC LIMIT 20
+    """).fetchall()
+    ]
+    assert spark_rows == duck_rows
