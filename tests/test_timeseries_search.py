@@ -128,3 +128,34 @@ def test_matches_duckdb_on_events(spark):
     """).fetchall()
     ]
     assert spark_rows == duck_rows
+
+
+def test_affine_invariance_property(spark):
+    """Z-normalized distance is invariant under per-series affine
+    transforms (a*x + b, a > 0): transforming every series must leave
+    every (key, start, dist) identical up to rounding. Checked over a
+    deterministic batch of pseudo-random integer series rather than
+    per-example Spark jobs (one job, many series)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for key in range(12):
+        n = rng.randint(6, 15)
+        vals = [float(rng.randint(-50, 50)) for _ in range(n)]
+        rows += [(f"k{key}", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    # per-key affine params (a > 0)
+    transformed = df.withColumn(
+        "value",
+        F.col("value") * (F.crc32(F.col("key")) % 5 + 1).cast("double")
+        + (F.crc32(F.col("key")) % 97).cast("double"),
+    )
+    base = znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=50).collect()
+    tx = znorm_pattern_topk(transformed, "key", "ts", "value", PATTERN, k=50).collect()
+    got_b = [(r["key"], r["start"], r["dist"]) for r in base]
+    got_t = [(r["key"], r["start"], r["dist"]) for r in tx]
+    assert len(got_b) == len(got_t)
+    for (kb, sb, db), (kt, st, dt) in zip(got_b, got_t):
+        assert (kb, sb) == (kt, st), (got_b, got_t)
+        assert abs(db - dt) <= 2e-6, ((kb, sb), db, dt)
