@@ -425,6 +425,12 @@ def mix_to_target(
     and each group keeps rate r_g = w_g * N / c_g (the binding group
     keeps everything). Groups absent from ``targets`` are dropped.
 
+    A POSITIVE-weight target group with zero rows in the data is an
+    error (``ValueError``), not a silent re-mix: the only conforming
+    mixture would be empty, and the overwhelmingly likely cause is a
+    typo'd group name — which previously returned 100% of the present
+    groups at full size, a silently wrong training mixture.
+
     Scale shape: one count aggregation reduced to the (tiny) group
     domain, rates computed on the driver from those scalars, and a
     deterministic Knuth-hash accept per row — the corpus itself never
@@ -442,12 +448,19 @@ def mix_to_target(
         for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c__")).collect()
         if r[group_col] in targets
     }
+    missing = sorted(g for g, w in targets.items() if w > 0 and g not in counts)
+    if missing:
+        raise ValueError(
+            f"positive-weight target group(s) absent from the data: {missing}; "
+            "the only mixture conforming to the targets is empty — check the "
+            "group names (a typo here would otherwise silently re-mix over the "
+            "present groups only)"
+        )
     # binding group: the one whose supply runs out first. Zero-weight
-    # targets contribute no supply constraint (their rate is 0); if no
-    # POSITIVE-weight group has any rows, the mix is empty.
+    # targets contribute no supply constraint (their rate is 0); every
+    # positive-weight group is present (checked above), so supplies is
+    # non-empty whenever tot_w > 0.
     supplies = [counts[g] / (targets[g] / tot_w) for g in counts if targets[g] > 0]
-    if not supplies:
-        return df.limit(0)
     n_total = min(supplies)
     p = 2147483647
     rate_expr = None

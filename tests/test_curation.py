@@ -727,8 +727,15 @@ def test_mix_to_target_drops_untargeted_groups_and_validates(spark):
         mix_to_target(df, "source", "doc_id", {})
     with pytest.raises(ValueError):
         mix_to_target(df, "source", "doc_id", {"web": -1.0})
-    # no targeted group present in the data -> empty, not an error
-    assert mix_to_target(df, "source", "doc_id", {"news": 1.0}).count() == 0
+    # a positive-weight target group absent from the data is an ERROR
+    # (almost certainly a typo'd group name), never a silent re-mix
+    with pytest.raises(ValueError, match="news"):
+        mix_to_target(df, "source", "doc_id", {"news": 1.0})
+    # the partially-missing case from the round-6 review: {web, code}
+    # targeted but no 'code' rows — previously returned 100% web at
+    # full size, a silently wrong training mixture
+    with pytest.raises(ValueError, match="code"):
+        mix_to_target(df, "source", "doc_id", {"web": 0.5, "code": 0.5})
 
 
 def test_mix_to_target_is_scan_level_filter(spark):
@@ -741,7 +748,7 @@ def test_mix_to_target_is_scan_level_filter(spark):
     from tests.conftest import SMOKE_SF
 
     docs = table(spark, SMOKE_SF, "documents")
-    out = mix_to_target(docs, "source", "doc_id", {"web": 0.5, "wiki": 0.5})
+    out = mix_to_target(docs, "source", "doc_id", {"src0": 0.5, "src1": 0.5})
     a = audit(out)
     assert a.exchanges() == 0, f"sampling pass grew a shuffle: {a.exchanges()}"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
@@ -878,7 +885,10 @@ def test_bigram_lm_matches_duckdb_on_documents(spark):
 
 def test_mix_to_target_zero_weight_groups(spark):
     """A zero-weight target drops its group without crashing the
-    binding-group computation; all-zero present weights yield empty."""
+    binding-group computation; an absent ZERO-weight group is fine
+    (nothing to drop), but an absent positive-weight group raises."""
+    import pytest
+
     from hazelcast_jet_contrib_spark.operators.curation import mix_to_target
 
     df = spark.createDataFrame(
@@ -888,8 +898,13 @@ def test_mix_to_target_zero_weight_groups(spark):
     out = mix_to_target(df, "source", "doc_id", {"web": 0.0, "code": 1.0})
     srcs = {r["source"] for r in out.collect()}
     assert srcs == {"code"}
-    # only zero-weight groups present in the data -> empty result
-    only_zero = mix_to_target(
-        df.filter("source = 'web'"), "source", "doc_id", {"web": 0.0, "code": 1.0}
-    )
-    assert only_zero.count() == 0
+    # absent zero-weight group: no error (its only effect — dropping
+    # rows — is a no-op), full positive-weight group survives
+    ok = mix_to_target(df, "source", "doc_id", {"spam": 0.0, "code": 1.0, "web": 0.0})
+    assert {r["source"] for r in ok.collect()} == {"code"}
+    assert ok.count() == 10
+    # the positive-weight group being the absent one raises
+    with pytest.raises(ValueError, match="code"):
+        mix_to_target(
+            df.filter("source = 'web'"), "source", "doc_id", {"web": 0.0, "code": 1.0}
+        )
