@@ -726,14 +726,17 @@ def duplicate_spans(
     base = df.select(F.col(id_col).alias("id"), toks.alias("__toks__")).withColumn(
         "__n__", F.size("__toks__")
     )
-    from pyspark import StorageLevel
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
 
     # persist the (id, pos, hash) shingle relation: it feeds BOTH the
     # distinct-doc count and the join back — without the persist the
     # split + posexplode + hash lineage (the corpus tokenization, the
     # dominant linear cost) runs once per consumer (same persist
-    # precedent as minhash_lsh_pairs' shared signature aggregate)
-    pos_df = (
+    # precedent as minhash_lsh_pairs' shared signature aggregate).
+    # Lifetime: tracked — long-lived sessions reclaim it via
+    # cache.release_tracked() (the bench harness clearCache()s per
+    # query anyway).
+    pos_df = tracked_persist(
         base.filter(F.col("__n__") >= shingle_tokens)
         .select(
             "id",
@@ -747,7 +750,6 @@ def duplicate_spans(
             ).alias("__sh__"),
         )
         .drop("__s__")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = pos_df.groupBy("__sh__").agg(F.count_distinct("id").alias("__nd__"))
     dup = (

@@ -348,15 +348,16 @@ def ivf_index_topk(
         order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
-    from pyspark import StorageLevel
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
 
     # persist the probed queries: the relation feeds BOTH the
     # distinct-cell collect below and the scoring join — without it the
-    # probe_cells kernel runs twice (once per consumer)
-    q = (
+    # probe_cells kernel runs twice (once per consumer). Lifetime:
+    # tracked (cache.release_tracked() reclaims it between probe
+    # batches in a long-lived serving session).
+    q = tracked_persist(
         queries.select(F.col(query_id).alias("qid"), as_double(vec_col).alias("qv"))
         .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the probed-cell union is ≤ nlist values — a driver-side collect of
     # a bounded set, turned into a static partition filter

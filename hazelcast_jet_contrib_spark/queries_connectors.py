@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
 # S7 TwitterSources.search — paged REST walk. The 'API' serves the part
@@ -313,8 +313,10 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(_media_frame(spark, sf_dir), frame_samples=256)
 
 
-@query(
+@retired_query(
     "ivf_cosine_topk",
+    reason="r07: same degenerate-exact (nprobe=nlist) gate now proven "
+    "through the persisted-index path by ivf_index_probe_topk",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
@@ -453,8 +455,10 @@ def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "media_phash_dup_groups",
+    reason="r07: exact-dup tier subsumed by media_phash_near_dup "
+    "(hamming radius 0 of the same signature relation)",
     oracle="""
     WITH m AS (
         SELECT doc_id AS media_id,
@@ -693,11 +697,12 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost at scale, paid twice (VERDICT r05 #1). Persisted, the decode
     # kernel appears once in the plan (2 Arrow stages, pinned) and the
     # cached relation carries only (id, sig) — 16 bytes/row, payloads
-    # never enter the cache.
-    from pyspark import StorageLevel
+    # never enter the cache. Lifetime: tracked (cache.release_tracked()
+    # reclaims it in long-lived sessions).
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
 
-    sig_df = feats.select(F.col("media_id").alias("id"), sig.alias("sig")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig_df = tracked_persist(
+        feats.select(F.col("media_id").alias("id"), sig.alias("sig"))
     )
     pairs = band_probe_pairs_64(
         sig_df.filter(F.col("id") < 3000000),

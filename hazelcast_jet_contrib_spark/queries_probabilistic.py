@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.functions.probabilistic import hash64, hyper_log_log
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
 @query(
@@ -64,8 +64,10 @@ def hll_customers_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "hll_events_users_accuracy",
+    reason="r07: same ±tolerance accuracy gate as hll_customers_accuracy "
+    "on a second table; one driver slot suffices for the gate shape",
     oracle="""
     SELECT CAST(1 AS INT) AS within_5pct
     """,

@@ -9,15 +9,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hazelcast_jet_contrib_spark.registry import query
+from hazelcast_jet_contrib_spark.registry import query, retired_query
 from hazelcast_jet_contrib_spark.sources.docstore import docstore_source
 from hazelcast_jet_contrib_spark.sources.kv import kv_source, sorted_set_source
 from hazelcast_jet_contrib_spark.sources.timeseries import measurement_source
 
 
 # S3 RedisSources.hash — KV snapshot read emitting (key, value) entries.
-@query(
+@retired_query(
     "kv_hash_snapshot",
+    reason="r07: HGETALL snapshot read subsumed by "
+    "kv_hash_catalyst_pushdown (same store, DSv2 + pushdown on top)",
     oracle="""
     SELECT c_name AS key, CAST(c_custkey AS VARCHAR) AS value
     FROM customer
@@ -31,8 +33,10 @@ def kv_hash_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # S4 RedisSources.sortedSet — ZRANGEBYSCORE with the range evaluated
 # server-side (both ends inclusive, RedisSourceTest.java:114-127).
-@query(
+@retired_query(
     "sorted_set_range",
+    reason="r07: manual-pushdown range read subsumed by "
+    "zset_range_catalyst_pushdown (same store, Catalyst pushFilters)",
     oracle="""
     SELECT value AS score, CAST(event_id AS VARCHAR) AS member
     FROM events

@@ -16,11 +16,13 @@ from hazelcast_jet_contrib_spark.operators.windows import (
     sliding,
     tumbling,
 )
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
-@query(
+@retired_query(
     "window_tumbling_daily",
+    reason="r07: tumbling is window_sliding_12h's slide==width special "
+    "case; session windows keep their own entry (distinct gap semantics)",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
            time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) + INTERVAL '1 day' AS window_end,

@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Retired queries: removed from the driver-checked registry (see the
+# REGISTRY-SIZE POLICY below) but NOT from the proof surface — each
+# keeps its implementation, its oracle, and a pytest that runs the
+# exact driver comparison (tests/test_retired.py), so retirement moves
+# the proof from the driver gate to the pytest gate with zero
+# information loss. RETIRED_REASONS documents, per query, which LIVE
+# registry query subsumes the capability it proved.
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+RETIRED_REASONS: dict[str, str] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` marks a non-SQL-expressible op
@@ -35,6 +46,20 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def retired_query(name: str, oracle: str | None = None, reason: str = ""):
+    """Register a RETIRED query: excluded from the driver window, still
+    oracle-checked every pytest run (tests/test_retired.py)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            RETIRED_ORACLES[name] = textwrap.dedent(oracle).strip()
+        RETIRED_REASONS[name] = reason
         return fn
 
     return deco
@@ -71,6 +96,7 @@ from hazelcast_jet_contrib_spark import queries_connectors  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_joins  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_curation  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: part of the correctness-gate contract.
@@ -95,37 +121,116 @@ from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 # The union of rounds covers the full registry; no query is ever
 # permanently unchecked.
 #
-# REGISTRY-SIZE POLICY (decided round 6): the registry stays at ~98
-# entries and the proof cadence is codified as a TESTED invariant
-# rather than collapsed below the 50-window. Invariant: every query is
-# either inside this round's checked-50 window or has a green row in
-# the PREVIOUS round's CORRECTNESS file — i.e. maximum driver-proof
-# staleness is 2 rounds, enforced by
-# tests/test_driver_contract.py::test_rotation_staleness_at_most_one_round.
-# Rationale: collapsing near-redundant pairs (simhash/simhash128,
-# ivf_cosine_topk/ivf_recall_at_nprobe, ...) would delete distinct
-# oracle shapes (128-bit banding vs 64-bit, recall-gate vs top-k) that
-# each catch real regressions; a tested 2-round cadence keeps them all
-# provable with zero information loss.
+# REGISTRY-SIZE POLICY (revised round 7; round-6 version kept the
+# registry at ~98 with a tested 2-round cadence): the driver checks 50
+# queries per round, so a 2-round cadence REQUIRES <= 100 registered
+# queries — at 104+ the invariant is arithmetically impossible. Rules:
+#
+#   a. HARD CAP: len(QUERIES) <= 100 (tested). Registering a new query
+#      requires either free headroom or RETIRING a query whose
+#      capability a live query subsumes. Retired queries (see
+#      retired_query) keep implementation + oracle + an every-run
+#      pytest running the exact driver comparison — retirement moves
+#      the proof from the driver gate to the pytest gate, it never
+#      deletes one. Round-7 retirements (6, each subsumed):
+#        media_phash_dup_groups    ⊂ media_phash_near_dup (exact tier)
+#        window_tumbling_daily     ⊂ window_sliding_12h (slide==width)
+#        kv_hash_snapshot          ⊂ kv_hash_catalyst_pushdown (DSv2)
+#        sorted_set_range          ⊂ zset_range_catalyst_pushdown
+#        hll_events_users_accuracy ⊂ hll_customers_accuracy (same gate)
+#        ivf_cosine_topk           ⊂ ivf_index_probe_topk (same
+#                                    degenerate-exact gate, persisted)
+#   b. STALENESS INVARIANT (unchanged): every query is inside this
+#      round's checked-50 window or green in one of the TWO latest
+#      CORRECTNESS files (<= 2-round proof age), enforced by
+#      tests/test_driver_contract.py::test_rotation_staleness_at_most_one_round.
+#   c. RE-PROOF RULE: a query whose implementation or oracle changed
+#      since its last green row re-enters the window — where "changed"
+#      means any edit that can alter the result set, schema, or
+#      physical plan. Bookkeeping edits proven semantics-neutral are
+#      exempt; the only exemption claimed this round is
+#      cache.tracked_persist (returns the same DataFrame a plain
+#      .persist() would — object identity + plan equality asserted by
+#      tests/test_cache.py), adopted by duplicate_spans /
+#      media_phash_near_dup / ivf_index_topk.
+#   d. ROTATION MARKER: _ROTATION_ROUND below names the round this
+#      _PRIORITY was built for; while CORRECTNESS_r{that round} does
+#      not exist yet, the window must consist of queries NOT already
+#      green in the latest file (modulo the changed-query re-proof
+#      allowance) — shipping without rotating fails pytest BEFORE the
+#      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
+_ROTATION_ROUND = 7
 _PRIORITY = [
-    # --- round-6 rotation. CORRECTNESS_r05 proved the round-5 priority
-    # set (48) + the 2-entry demoted overflow (semantic_dedup_pairs,
-    # decontamination_near_dup); the remaining 48 r04-green queries age
-    # to two rounds unless re-proven now — they are the window.
-    # 1) New in round 6 (no CORRECTNESS row yet) and implementation
-    #    changed this round (re-proof required by the stated policy):
-    #    the phash query now persists its signature relation so the
-    #    Arrow decode kernel runs once. (Round-6 operators awaiting a
-    #    registry slot next rotation — the window is exactly full at
-    #    50: curation.remove_spans (pytest+DuckDB-mirrored),
-    #    curation.mix_to_target, curation.bigram_lm_score,
-    #    timeseries.znorm_pattern_topk (DuckDB-mirrored),
-    #    sinks.training_shards.)
+    # --- round-7 rotation (window = exactly 50). CORRECTNESS_r06
+    # proved the round-6 priority set (50/50 green); the 44 surviving
+    # r05-green queries below age to two rounds unless re-proven now.
+    # 1) New in round 7 (no CORRECTNESS row yet): the five round-6
+    #    operators promoted per VERDICT r06 item 1 + the persisted-IVF
+    #    probe path (item 3).
+    "dup_span_removal",
+    "corpus_mix_to_target",
+    "bigram_lm_quality",
+    "znorm_subseq_topk",
+    "training_shards_roundtrip",
+    "ivf_index_probe_topk",
+    # 2) The 44 queries last driver-green in r05 (untouched since —
+    #    mix_to_target's round-7 missing-group fix is exercised by the
+    #    NEW corpus_mix_to_target entry above; tracked_persist adoption
+    #    is plan-neutral per policy rule c). Heaviest first.
+    "curation_pipeline_end2end",
+    "minhash_lsh_near_dup",
+    "neardup_clusters",
+    "simhash_near_dup",
+    "semantic_dedup_pairs",
+    "decontamination_near_dup",
+    "ivf_recall_at_nprobe",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "doc_chunking_overlap",
+    "tfidf_salient_terms",
+    "asof_last_purchase_before_click",
+    "range_join_value_bands",
+    "window_session_30m",
+    "window_sliding_12h",
+    "text_stats",
+    "text_quality_scores",
+    "token_length_profile",
+    "fingerprint_dedup",
+    "rolling_running_total",
+    "measurement_timeseries_read",
+    "paged_rest_parts",
+    "dedup_exact_keepfirst",
+    "ngram_jaccard_pairs",
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    "service_token_stats",
+    "stratified_sample_by_lang",
+    "pack_token_budget_shards",
+    "ngram_vocab_top100",
+    "pii_redaction_stats",
+    "contamination_ngram_overlap",
+    "repetition_dup_ngrams",
+    "snapshot_diff_statuses",
+    "docstore_find_pushdown",
+    "json_props_extraction",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r06, implementation and oracle untouched
+    # since (media_phash_dup_groups retired). 49 entries -> next
+    # round's window holds them all with one slot of headroom.
+    # Heaviest/most-algorithmic first so any overflow re-proves the
+    # most algorithmic queries preferentially.
     "dup_span_extraction",
     "media_phash_near_dup",
-    # 2) The 48 queries last driver-green in r04 (untouched since,
-    #    pytest-re-proven every round). Heaviest/most-algorithmic first.
     "simhash128_near_dup",
     "kmeans_cluster_profile",
     "winnowing_fingerprints",
@@ -143,7 +248,6 @@ _PRIORITY = [
     "zset_range_catalyst_pushdown",
     "bloom_membership_filter",
     "cms_user_frequency",
-    "media_phash_dup_groups",
     "lang_id_distribution",
     "media_image_features",
     "media_audio_frames",
@@ -174,61 +278,6 @@ _PRIORITY = [
     "parts_never_bulk_ordered",
     "hash64_distinct_customers",
     "hll_customers_accuracy",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r05, implementation and oracle untouched
-    # since. Priority holds exactly 50 this round, so no demoted entry
-    # re-enters the window; ordered heaviest-first anyway so any future
-    # overflow re-proves the most algorithmic queries preferentially.
-    "curation_pipeline_end2end",
-    "minhash_lsh_near_dup",
-    "neardup_clusters",
-    "simhash_near_dup",
-    "semantic_dedup_pairs",
-    "decontamination_near_dup",
-    "ivf_cosine_topk",
-    "ivf_recall_at_nprobe",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "doc_chunking_overlap",
-    "tfidf_salient_terms",
-    "asof_last_purchase_before_click",
-    "range_join_value_bands",
-    "window_session_30m",
-    "window_tumbling_daily",
-    "window_sliding_12h",
-    "text_stats",
-    "text_quality_scores",
-    "token_length_profile",
-    "fingerprint_dedup",
-    "rolling_running_total",
-    "measurement_timeseries_read",
-    "paged_rest_parts",
-    "dedup_exact_keepfirst",
-    "ngram_jaccard_pairs",
-    "q2_min_cost_supplier",
-    "q4_priority_with_returns",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_concentrated_suppliers",
-    "q21_waiting_suppliers",
-    "service_token_stats",
-    "stratified_sample_by_lang",
-    "pack_token_budget_shards",
-    "ngram_vocab_top100",
-    "pii_redaction_stats",
-    "contamination_ngram_overlap",
-    "repetition_dup_ngrams",
-    "snapshot_diff_statuses",
-    "sorted_set_range",
-    "docstore_find_pushdown",
-    "json_props_extraction",
-    "hll_events_users_accuracy",
-    "kv_hash_snapshot",
 ]
 
 

@@ -64,15 +64,22 @@ def write_training_shards(
     sidecar (`_manifest.json` — the `_` prefix keeps it invisible to
     parquet readers). Returns the manifest dict.
 
-    The manifest is computed from the INPUT DataFrame in the same job;
-    `verify_training_shards` recomputes it from the written files, so
-    the pair proves the round trip. Deterministic: rewriting the same
-    input yields byte-identical manifest content.
+    The manifest is computed by re-reading the JUST-WRITTEN files (with
+    the input dtypes re-established, exactly as `verify_training_shards`
+    does) — never by re-evaluating the input DataFrame's lineage, which
+    for a nondeterministic upstream (rand() sampling, current_timestamp,
+    nondeterministic UDFs) would produce a manifest no verify can ever
+    match (ADVICE r06). The manifest is therefore pinned to the on-disk
+    bytes by construction; `verify_training_shards` re-derives it from
+    the same files, so the pair proves the round trip.
     """
     if shard_col not in df.columns:
         raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
     df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
-    stats = _shard_stats(df, shard_col, token_col).collect()
+    on_disk = df.sparkSession.read.parquet(path)
+    for c, t in df.dtypes:
+        on_disk = on_disk.withColumn(c, F.col(c).cast(t))
+    stats = _shard_stats(on_disk, shard_col, token_col).collect()
     manifest = {
         "columns": sorted(df.columns),
         # dtypes pin the hash inputs: partition-column values read back

@@ -69,20 +69,26 @@ def _norm(v):
     return v
 
 
-def compare_with_oracle(spark, name: str, sf_dir: str = CORRECTNESS_SF):
+def compare_with_oracle(
+    spark, name: str, sf_dir: str = CORRECTNESS_SF, queries=None, oracles=None
+):
     """Run registered query `name` on Spark and its oracle on DuckDB over
     the same parquet; assert row count, column names, and multiset of
-    normalized rows (columns sorted by name) are identical."""
+    normalized rows (columns sorted by name) are identical. Pass
+    `queries`/`oracles` to check a non-default dict (e.g. the retired
+    registry)."""
     from hazelcast_jet_contrib_spark.registry import ORACLES, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir)
+    if queries is None:
+        queries, oracles = QUERIES, ORACLES
+    sdf = queries[name](spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [
         tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()
     ]
 
     con = duck_con(sf_dir)
-    res = con.execute(ORACLES[name])
+    res = con.execute(oracles[name])
     duck_cols_raw = [d[0] for d in res.description]
     duck_cols = sorted(duck_cols_raw)
     idx = [duck_cols_raw.index(c) for c in duck_cols]

@@ -70,29 +70,90 @@ def test_bench_emits_slowest_subset_not_full_dict():
     )
 
 
-def test_rotation_staleness_at_most_one_round():
-    """THE registry-size-policy invariant (registry.py): every query is
-    either inside this round's checked-50 window (first 50 in registry
-    order) or has a green row in the LATEST CORRECTNESS file — so no
-    query's driver proof is ever more than 2 rounds old. Fails when a
-    rotation forgets a query or a new query lands outside the window
-    with no prior proof."""
-    registry = _registry()
-    window = set(list(registry.QUERIES)[:50])
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    if not files:  # first round: nothing can be stale yet
-        return
-    latest = json.load(open(files[-1]))
-    green = {
+def _green(path: str) -> set[str]:
+    rows = json.load(open(path))
+    return {
         name
-        for name, row in latest.items()
+        for name, row in rows.items()
         if row.get("err") is None and row.get("rows_match")
     }
+
+
+def _correctness_files() -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+
+
+def test_rotation_staleness_at_most_one_round():
+    """THE registry-size-policy invariant (registry.py rule b): every
+    query is either inside this round's checked-50 window (first 50 in
+    registry order) or green in one of the TWO latest CORRECTNESS
+    files — so no query's driver proof is ever more than 2 rounds old.
+
+    Two files, not one (VERDICT r06 what's-wrong #1): the stated
+    invariant is 2-round staleness, and the driver writes its file
+    AFTER the builder's rotation — with a one-file horizon the test
+    went structurally red the moment the new file landed, even though
+    every proof was within age. Green in EITHER of the two latest
+    files satisfies the invariant; a query aging to 3 rounds is green
+    in neither and still fails."""
+    registry = _registry()
+    window = set(list(registry.QUERIES)[:50])
+    files = _correctness_files()
+    if not files:  # first round: nothing can be stale yet
+        return
+    green = _green(files[-1])
+    if len(files) >= 2:
+        green |= _green(files[-2])
     uncovered = set(registry.QUERIES) - window - green
     assert not uncovered, (
         f"queries neither in this round's checked-50 window nor green in "
-        f"{os.path.basename(files[-1])} (staleness would exceed 2 rounds): "
-        f"{sorted(uncovered)}"
+        f"the two latest CORRECTNESS files (staleness would exceed 2 "
+        f"rounds): {sorted(uncovered)}"
+    )
+
+
+def test_registry_respects_the_driver_window_cap():
+    """REGISTRY-SIZE POLICY rule a: with a 50-query driver window, a
+    2-round proof cadence is arithmetically impossible above 100
+    registered queries — additions beyond the cap must retire a
+    subsumed query (which keeps its oracle proof in
+    tests/test_retired.py)."""
+    registry = _registry()
+    assert len(registry.QUERIES) <= 100, (
+        f"{len(registry.QUERIES)} registered queries > 100: the 50-query "
+        "window can no longer prove every query within 2 rounds — retire "
+        "a subsumed query (registry.py policy rule a)"
+    )
+
+
+def test_rotation_was_refreshed_for_this_round():
+    """REGISTRY-SIZE POLICY rule d (VERDICT r06 item 8): while this
+    rotation's own CORRECTNESS file does not exist yet, the window must
+    spend its slots on queries NOT already green in the latest file —
+    i.e. the builder actually rotated before shipping. A small
+    allowance covers changed queries legitimately re-entering the
+    window. Once the driver writes CORRECTNESS_r{_ROTATION_ROUND}, the
+    check retires for the round (the staleness invariant above keeps
+    holding either way)."""
+    registry = _registry()
+    this_rounds_file = os.path.join(
+        REPO, f"CORRECTNESS_r{registry._ROTATION_ROUND:02d}.json"
+    )
+    if os.path.exists(this_rounds_file):
+        return  # driver already ran on this rotation
+    files = _correctness_files()
+    if not files:
+        return
+    window = set(list(registry.QUERIES)[:50])
+    already_green = window & _green(files[-1])
+    assert len(already_green) <= 8, (
+        f"{len(already_green)} window slots re-prove queries already green "
+        f"in {os.path.basename(files[-1])} — the rotation for round "
+        f"{registry._ROTATION_ROUND} looks stale (bump _ROTATION_ROUND and "
+        f"rebuild _PRIORITY): {sorted(already_green)[:10]}"
     )
 
 

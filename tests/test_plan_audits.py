@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from hazelcast_jet_contrib_spark.plans.audit import audit
-from hazelcast_jet_contrib_spark.registry import QUERIES
+from hazelcast_jet_contrib_spark.registry import QUERIES, RETIRED_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,7 +33,7 @@ def test_sorted_set_range_pushdown_is_inside_the_client_read(spark):
     """The score range executes inside the source's client read (manual
     pushdown, the reference's own mechanism) — the Spark plan must
     contain NO Filter node doing the range post-hoc."""
-    a = audit(QUERIES["sorted_set_range"](spark, SF))
+    a = audit(RETIRED_QUERIES["sorted_set_range"](spark, SF))
     assert "Filter" not in a.plan, "range must not be re-evaluated Spark-side"
 
 
@@ -163,20 +163,26 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         "media_image_resize": 1,
         "media_video_frame_sample": 1,
         "media_audio_frames": 1,
-        "media_phash_dup_groups": 1,  # image_features decode kernel
+        "media_phash_dup_groups": 1,  # image_features decode kernel (retired)
         "media_phash_near_dup": 1,  # image_features decode, persisted once
         "embedding_near_dup": 1,  # persisted hyperplane sketch, shared by both join sides
-        "ivf_cosine_topk": 3,  # cell_of (corpus) + cell_of/probe_cells (queries)
+        "ivf_cosine_topk": 3,  # cell_of (corpus) + cell_of/probe_cells (retired)
         "ivf_recall_at_nprobe": 3,
         "service_token_stats": 1,  # mapUsingService is by definition an Arrow stage
-        "kv_hash_snapshot": 1,
-        "sorted_set_range": 1,
+        "kv_hash_snapshot": 1,  # retired: client read partition fn
+        "sorted_set_range": 1,  # retired: client read partition fn
         "docstore_find_pushdown": 1,
         "measurement_timeseries_read": 1,
         "paged_rest_parts": 1,
+        # round-7 additions: all pure Catalyst, and the two eager
+        # queries (training_shards_roundtrip, ivf_index_probe_topk)
+        # return local relations — their kernels run inside the query
+        # body and are pinned by their own operator tests.
     }
     offenders = []
-    for name, fn in QUERIES.items():
+    # retired queries stay under the same blanket guard: they remain
+    # shipped API surface even though the driver no longer runs them
+    for name, fn in {**QUERIES, **RETIRED_QUERIES}.items():
         a = audit(fn(spark, SF))
         if a.python_stages() > 0:
             offenders.append(name)

@@ -1,0 +1,47 @@
+"""Retired-query gate (REGISTRY-SIZE POLICY rule a, registry.py):
+every retired query keeps running the EXACT driver comparison (row
+count + schema + normalized value multiset vs its DuckDB oracle) in
+pytest, each round, at the driver's correctness SF — retirement moves
+the proof from the driver window to this file, it never deletes one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hazelcast_jet_contrib_spark.registry import (
+    QUERIES,
+    RETIRED_ORACLES,
+    RETIRED_QUERIES,
+    RETIRED_REASONS,
+)
+from tests.conftest import compare_with_oracle
+
+EXPECTED_RETIRED = {
+    "media_phash_dup_groups",
+    "window_tumbling_daily",
+    "kv_hash_snapshot",
+    "sorted_set_range",
+    "hll_events_users_accuracy",
+    "ivf_cosine_topk",
+}
+
+
+def test_retired_set_is_exactly_the_documented_one():
+    assert set(RETIRED_QUERIES) == EXPECTED_RETIRED
+    assert set(RETIRED_ORACLES) == EXPECTED_RETIRED, "every retired query keeps its oracle"
+    # disjoint from the live registry, and every reason names the
+    # subsuming live query
+    assert not set(RETIRED_QUERIES) & set(QUERIES)
+    for name, reason in RETIRED_REASONS.items():
+        assert reason, f"{name}: retirement must document its subsuming query"
+        assert any(live in reason for live in QUERIES), (
+            f"{name}: reason must name a live registry query: {reason}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_RETIRED))
+def test_retired_query_still_matches_oracle(spark, name):
+    compare_with_oracle(
+        spark, name, queries=RETIRED_QUERIES, oracles=RETIRED_ORACLES
+    )
