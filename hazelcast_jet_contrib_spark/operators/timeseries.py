@@ -31,8 +31,73 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _segmented_windows(
+    df: DataFrame,
+    key_col: str,
+    order_fields: list[Column],
+    val_col: str,
+    m: int,
+    seg: int,
+) -> DataFrame:
+    """(key, start, w) windows via bounded segments: each point gets a
+    0-based per-key index (spillable sort, never a whole-series array),
+    lands in its owning segment idx//seg and — when it falls in the
+    first m-1 positions of a segment — also in the previous segment's
+    overlap tail, so every length-m window is fully contained in the
+    segment owning its start. Max array row: seg + m - 1 doubles."""
+    w = Window.partitionBy("key").orderBy(*[f.asc() for f in order_fields])
+    pts = df.select(
+        F.col(key_col).alias("key"),
+        *order_fields,
+        F.col(val_col).cast("double").alias("v"),
+    ).withColumn("__i__", F.row_number().over(w) - 1)
+    seg_of = (F.col("__i__") / seg).cast("long")
+    copies = pts.select(
+        "key",
+        "v",
+        "__i__",
+        F.explode(
+            F.when(
+                (F.col("__i__") % seg <= m - 2) & (seg_of >= 1),
+                F.array(seg_of, seg_of - 1),
+            ).otherwise(F.array(seg_of))
+        ).alias("__seg__"),
+    )
+    arrays = (
+        copies.groupBy("key", "__seg__")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__i__"), F.col("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("vals"),
+            F.min("__i__").alias("__base__"),
+        )
+        .withColumn("__n__", F.size("vals"))
+        .filter(F.col("__n__") >= m)
+    )
+    return (
+        arrays.select(
+            "key",
+            "__seg__",
+            "__base__",
+            F.posexplode(F.sequence(F.lit(0), F.col("__n__") - m)).alias(
+                "__l__", "__o__"
+            ),
+            F.col("vals"),
+        )
+        # ownership: only windows whose global start falls inside this
+        # segment's own range — overlap-tail starts belong to the
+        # previous segment and would otherwise appear twice
+        .withColumn("start", (F.col("__base__") + F.col("__l__")).cast("int"))
+        .filter((F.col("start") / seg).cast("long") == F.col("__seg__"))
+        .select("key", "start", F.slice("vals", F.col("__o__") + 1, m).alias("w"))
+    )
 
 
 def znorm_pattern_topk(
@@ -43,6 +108,7 @@ def znorm_pattern_topk(
     pattern: list[float],
     k: int = 10,
     tiebreak_col: str | None = None,
+    max_segment: int | None = None,
 ) -> DataFrame:
     """Top-k closest subsequences to ``pattern`` under z-normalized
     euclidean distance, across all keys' series (each key's values
@@ -53,12 +119,28 @@ def znorm_pattern_topk(
     zero vector — the UCR convention — so it matches a flat pattern
     exactly and anything else at distance ||q_z||.
 
+    ``max_segment`` (SCALE.md / VERDICT r06 item 4): by default each
+    key's series materializes as ONE array row — fine for bounded
+    per-key series, but a single billion-point key would put one
+    multi-GB row in one task. With ``max_segment=S`` (must be >= the
+    pattern length), the series is instead carved into segments of S
+    points with an m-1 point overlap, each segment a bounded array row;
+    every length-m window lies entirely within exactly the segment that
+    OWNS its start offset (ownership = floor(start / S)), so results
+    are IDENTICAL to the unsegmented path (property-tested) while the
+    largest row is S+m-1 doubles. Cost: the overlap re-ships m-1 points
+    per segment (amplification 1 + (m-1)/S) and a per-key row_number
+    window replaces the collect_list — the sort is spillable, so no
+    single task ever holds a whole key's series in memory.
+
     Output: (key, start int, dist double) — ``start`` is the 0-based
     offset of the window in the key's ordered series.
     """
     m = len(pattern)
     if m < 2:
         raise ValueError("pattern must have at least 2 points")
+    if max_segment is not None and max_segment < m:
+        raise ValueError("max_segment must be >= the pattern length")
     mu = sum(pattern) / m
     sd = math.sqrt(sum((x - mu) ** 2 for x in pattern) / m)
     qz = [(x - mu) / sd if sd > 0 else 0.0 for x in pattern]
@@ -66,29 +148,36 @@ def znorm_pattern_topk(
     order_fields = [F.col(order_col)]
     if tiebreak_col is not None:
         order_fields.append(F.col(tiebreak_col))
-    series = (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.struct(*order_fields, F.col(val_col).cast("double").alias("v")).alias(
-                "__s__"
+    if max_segment is None:
+        series = (
+            df.select(
+                F.col(key_col).alias("key"),
+                F.struct(
+                    *order_fields, F.col(val_col).cast("double").alias("v")
+                ).alias("__s__"),
+            )
+            .groupBy("key")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("__s__")), lambda s: s["v"]
+                ).alias("vals")
+            )
+            .withColumn("__n__", F.size("vals"))
+            .filter(F.col("__n__") >= m)
+        )
+        win = series.select(
+            "key",
+            F.posexplode(F.sequence(F.lit(0), F.col("__n__") - m)).alias(
+                "start", "__o__"
             ),
+            F.col("vals"),
+        ).select(
+            "key", "start", F.slice("vals", F.col("__o__") + 1, m).alias("w")
         )
-        .groupBy("key")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("__s__")), lambda s: s["v"]
-            ).alias("vals")
+    else:
+        win = _segmented_windows(
+            df, key_col, order_fields, val_col, m, max_segment
         )
-        .withColumn("__n__", F.size("vals"))
-        .filter(F.col("__n__") >= m)
-    )
-    win = series.select(
-        "key",
-        F.posexplode(F.sequence(F.lit(0), F.col("__n__") - m)).alias("start", "__o__"),
-        F.col("vals"),
-    ).select(
-        "key", "start", F.slice("vals", F.col("__o__") + 1, m).alias("w")
-    )
     mean = F.aggregate("w", F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
     stats = win.withColumn("__mu__", mean).withColumn(
         "__sd__",

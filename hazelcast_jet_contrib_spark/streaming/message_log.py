@@ -196,11 +196,22 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
     Rows route to the stream named by the ``stream`` option, or — if
     absent — by each row's ``stream`` column."""
 
-    def __init__(self, root: str, stream: str | None, crash_flag: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        stream: str | None,
+        crash_flag: str | None = None,
+        staged_ttl_seconds: float = 3600.0,
+    ):
         import uuid
 
         self.root = root
         self.stream = stream
+        # reclamation horizon for FOREIGN-run staged files (see
+        # commit()'s second sweep); generous by default — a live
+        # writer's staged epoch is seconds old, a hard-killed run's
+        # files only ever age
+        self.staged_ttl_seconds = float(staged_ttl_seconds)
         # Per-query run id, minted once driver-side and carried to every
         # executor inside the pickled writer: staged names embed it so
         # commit()'s orphan sweep can be scoped to THIS writer's own
@@ -309,15 +320,29 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
         # in-flight staged epoch; within one run, epochs are serialized
         # by the engine, so any surviving `.staged-{run_id}-` file
         # belongs to a dead attempt of an already-committed epoch.
+        # Foreign-run staged files are swept only past a TTL (ADVICE
+        # r06): a run that died HARD (process kill — abort() never ran,
+        # and the restarted query mints a new run_id) leaves staged
+        # files no run-id-scoped sweep will ever reclaim. Age is the
+        # discriminator: a concurrently-LIVE writer's staged epoch is
+        # seconds old (epochs are bounded by the trigger interval),
+        # while a dead run's files only ever age — so a generous TTL
+        # reclaims leaks without racing live writers.
         own_prefix = f".staged-{self.run_id}-"
+        now = time.time()
         for stream in touched:
             sdir = os.path.join(self.root, stream)
             for f in os.listdir(sdir):
-                if f.startswith(own_prefix):
-                    try:
-                        os.unlink(os.path.join(sdir, f))
-                    except FileNotFoundError:
-                        pass
+                if not f.startswith(".staged-"):
+                    continue
+                path = os.path.join(sdir, f)
+                try:
+                    if not f.startswith(own_prefix):
+                        if now - os.path.getmtime(path) < self.staged_ttl_seconds:
+                            continue  # possibly a live concurrent writer
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         for msg in messages:
@@ -336,7 +361,9 @@ class MessageLogDataSource(DataSource):
     admission control, the analog of maxOffsetsPerTrigger / the
     reference's bounded per-fill batches (InfluxDbSources.java:234-238).
     Writer options: `path` (required); `stream` (target stream name;
-    omit to route by each row's `stream` column).
+    omit to route by each row's `stream` column); `stagedTtlSeconds`
+    (age past which FOREIGN-run staged orphans are reclaimed at
+    commit; default 3600).
 
     Register once per session:
         spark.dataSource.register(MessageLogDataSource)
@@ -362,8 +389,12 @@ class MessageLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("message_log sink requires option 'path'")
+        ttl = self.options.get("stagedttlseconds")
         return MessageLogStreamWriter(
-            path, self.options.get("stream"), self.options.get("injectcrashflag")
+            path,
+            self.options.get("stream"),
+            self.options.get("injectcrashflag"),
+            staged_ttl_seconds=float(ttl) if ttl is not None else 3600.0,
         )
 
 

@@ -65,8 +65,14 @@ def test_bench_emits_slowest_subset_not_full_dict():
     src = open(os.path.join(REPO, "bench.py")).read()
     assert '"queries": slowest' in src, "bench.py line must carry the slowest-N subset"
     assert "BENCH_TIMINGS.json" in src, "full timings must go to BENCH_TIMINGS.json"
-    assert re.search(r"assert len\(line\) < 1500", src), (
-        "bench.py must self-check its line length"
+    # ADVICE r06: enforcement must survive python -O and must DEGRADE
+    # (shrink the payload) rather than raise after the sweep ran —
+    # a bare assert here loses the whole run's driver record
+    assert re.search(r"while len\(line\) >= 1500", src), (
+        "bench.py must shrink the line to fit the tail budget"
+    )
+    assert not re.search(r"^\s*assert len\(line\)", src, re.M), (
+        "tail budget must not be a bare assert (stripped under -O)"
     )
 
 

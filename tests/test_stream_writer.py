@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -339,3 +340,45 @@ def test_stream_writer_partition_id_overflow_raises(tmp_path):
     with mock.patch("pyspark.TaskContext.get", return_value=ctx):
         with pytest.raises(ValueError, match="10\\*\\*6"):
             writer.write(iter([Row(key="k", value="v")]))
+
+
+def test_dead_run_staged_files_reclaimed_past_ttl(tmp_path):
+    """ADVICE r06: a run that dies HARD (abort() never runs; the
+    restarted query mints a new run_id) leaves staged files no
+    run-id-scoped sweep can ever reclaim. commit() therefore sweeps
+    FOREIGN-run staged files past a TTL — old enough that no live
+    writer's in-flight epoch (seconds old) can be confused with a
+    leak — while keeping fresh foreign files untouched."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    root = str(tmp_path / "root")
+    sdir = os.path.join(root, "s")
+    os.makedirs(sdir)
+    # a dead run's orphan: staged 2 hours ago, run long gone
+    dead = os.path.join(sdir, ".staged-deadbeef0000-0000-x.staging")
+    open(dead, "w").write('{"key": "zombie", "value": "z"}\n')
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    # a live concurrent writer's fresh staged epoch
+    fresh = os.path.join(sdir, ".staged-cafecafe0000-0000-y.staging")
+    open(fresh, "w").write('{"key": "live", "value": "l"}\n')
+
+    w = MessageLogStreamWriter(root, stream="s", staged_ttl_seconds=3600.0)
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        msg = w.write(iter([Row(key="a", value="1")]))
+    w.commit([msg], batchId=1)
+
+    names = set(os.listdir(sdir))
+    assert os.path.basename(dead) not in names, "dead run's orphan not reclaimed"
+    assert os.path.basename(fresh) in names, "live writer's staged epoch swept"
+    # and the zombie content never became a visible segment
+    keys = sorted(r["key"] for r in _read_all(root, "s"))
+    assert keys == ["a"]

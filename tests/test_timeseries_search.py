@@ -159,3 +159,51 @@ def test_affine_invariance_property(spark):
     for (kb, sb, db), (kt, st, dt) in zip(got_b, got_t):
         assert (kb, sb) == (kt, st), (got_b, got_t)
         assert abs(db - dt) <= 2e-6, ((kb, sb), db, dt)
+
+
+def test_segmented_equals_unsegmented_property(spark):
+    """VERDICT r06 item 4: the max_segment path (bounded S+m-1 arrays,
+    spillable per-key sort — the billion-point-key scale path) must be
+    RESULT-IDENTICAL to the whole-series path for ANY series and any
+    legal segment size, including S smaller than, equal to, and larger
+    than individual series, and S=m (maximal segmentation)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for key in range(10):
+        n = rng.randint(3, 40)  # some series shorter than the pattern
+        rows += [
+            (f"k{key}", i, float(rng.randint(-30, 30))) for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    base = [
+        (r["key"], r["start"], r["dist"])
+        for r in znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=200).collect()
+    ]
+    m = len(PATTERN)
+    for S in (m, m + 1, 8, 17, 64):
+        seg = [
+            (r["key"], r["start"], r["dist"])
+            for r in znorm_pattern_topk(
+                df, "key", "ts", "value", PATTERN, k=200, max_segment=S
+            ).collect()
+        ]
+        assert seg == base, f"segmented(S={S}) diverged: {seg[:5]} vs {base[:5]}"
+
+
+def test_segmented_validation_and_bounded_arrays(spark):
+    import pytest
+
+    df = _series_df(spark)
+    with pytest.raises(ValueError):
+        znorm_pattern_topk(df, "key", "ts", "value", PATTERN, max_segment=len(PATTERN) - 1)
+    # plan stays pure Catalyst with the bounded-segment build
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+
+    out = znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=3, max_segment=6)
+    a = audit(out)
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+    assert "TakeOrderedAndProject" in a.plan, "global top-k must not full-sort"
+    got = {(r["key"], r["start"]): r["dist"] for r in out.collect()}
+    assert got[("A", 4)] == 0.0 and got[("B", 0)] == 0.0

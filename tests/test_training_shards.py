@@ -114,3 +114,28 @@ def test_custom_shard_column_and_long_dtype_roundtrip(spark, tmp_path):
     write_training_shards(df, path, shard_col="bucket")
     out = verify_training_shards(spark, path)
     assert out["ok"] and out["shards"] == 3 and out["total_rows"] == 60
+
+
+def test_manifest_pins_on_disk_bytes_for_nondeterministic_input(spark, tmp_path):
+    """ADVICE r06: the manifest must be computed from the just-written
+    files, not by re-evaluating input lineage — a nondeterministic
+    upstream (rand() sampling) re-evaluated post-write would yield a
+    manifest that can NEVER verify. With the fix, verify passes."""
+    from hazelcast_jet_contrib_spark.sinks.training_shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("int").alias("shard"),
+            F.rand(seed=None).alias("score"),  # fresh randomness per evaluation
+        )
+    )
+    path = str(tmp_path / "nondet")
+    manifest = write_training_shards(df, path, "shard")
+    assert manifest["total_rows"] == 200
+    out = verify_training_shards(spark, path)
+    assert out["ok"] and out["shards"] == 3
