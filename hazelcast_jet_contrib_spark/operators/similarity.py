@@ -372,3 +372,201 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN MEMORY path. Where IVF prunes which
+# rows a probe scans, PQ shrinks what each row COSTS: vectors compress to
+# m byte-codes (m subspaces x k centroids), and query-time scoring reads
+# the codes against a tiny per-query lookup table — pure Catalyst, no
+# Python in the hot loop. At 100 TB this is the difference between
+# scanning 4*dim bytes/vector and m bytes/vector (32x for dim=64, m=8).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    kcent: int = 16,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks on a bounded, hash-ordered sample
+    (the same deterministic draw as `_train_ivf_centroids` — independent
+    of partition layout). Vectors are L2-normalized first, so the ADC
+    inner product approximates COSINE. Returns (m, kcent, dim//m)
+    float64 — kilobytes, broadcastable by closure."""
+    sample = np.array(
+        [
+            row["v"]
+            for row in corpus.select(
+                F.col(corpus_id).alias("sid"), as_double(vec_col).alias("v")
+            )
+            .orderBy(F.xxhash64(F.col("sid"), F.lit(seed)), F.col("sid"))
+            .limit(sample_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, kcent, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(kcent, len(sub)), replace=False)]
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if len(cent) < kcent:  # degenerate tiny sample: pad by repetition
+            cent = np.vstack([cent] * (kcent // len(cent) + 1))[:kcent]
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m subspace centroid ids (the corpus's
+    at-rest ANN representation: m small ints per row instead of dim
+    floats). One vectorized Arrow kernel over the corpus — the declared
+    Python boundary, run once at index build (same footing as the IVF
+    cell assignment kernel). Output: (cid, codes array<int>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks  # (m, kcent, dsub), captured by closure
+    m, kcent, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = (
+                -2.0 * sub @ books[j].T
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(corpus_id).alias("cid"), encode(as_double(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    kcent: int = 16,
+    rerank: int | None = None,
+    codebooks: np.ndarray | None = None,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance (ADC), with
+    optional exact re-ranking — the production memory-bound ANN shape.
+
+    How the scoring stays Spark-first: each query precomputes a lookup
+    table LUT[j*kcent + c] = <q_subj, codebook[j][c]> (an m*kcent-double
+    array — one tiny Arrow kernel over the QUERY side only); the
+    broadcast join then scores every corpus row in PURE CATALYST as
+        adc = sum_j LUT[j*kcent + codes[j]]
+    (an indexed HOF transform + aggregate over the m byte-codes) — the
+    corpus scan reads (cid, codes) only, never the vectors, and no
+    Python runs per corpus row.
+
+    ``rerank=R``: take the top-R ADC shortlist per query, join back to
+    the ORIGINAL vectors for those R rows only, and rank the shortlist
+    by exact cosine — recall approaches exact search while the full
+    corpus is still only ever touched through its codes. This is the
+    standard PQ + re-rank serving topology; compose with the IVF
+    partition pruning of `build_ivf_index` for the full IVF-PQ stack.
+
+    Output: (query_id, neighbor_id, rank) — the ivf_topk contract.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, corpus_id, vec_col, m=m, kcent=kcent,
+            sample_rows=sample_rows, seed=seed,
+        )
+    books = codebooks
+    m, kcent, dsub = books.shape
+    flat = books.reshape(m * kcent, dsub)  # LUT layout: j*kcent + c
+
+    @pandas_udf("array<double>")
+    def lut_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(mat), m * kcent), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            luts[:, j * kcent : (j + 1) * kcent] = sub @ books[j].T
+        return pd.Series(list(luts))
+
+    enc = pq_encode(corpus, books, corpus_id, vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("qid"), lut_of(as_double(vec_col)).alias("lut")
+        )
+    )
+    adc = F.round(
+        F.aggregate(
+            F.transform(
+                "codes",
+                lambda c, j: F.element_at("lut", j * kcent + c + 1),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    scored = enc.join(q).select("qid", "cid", adc.alias("adc"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    short = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (rerank if rerank is not None else k)
+    )
+    if rerank is None:
+        return short.select(
+            F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank"
+        )
+    # exact re-rank of the shortlist: only queries*R vectors re-enter
+    vecs = corpus.select(
+        F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
+    )
+    qv = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), as_double(vec_col).alias("qv"))
+    )
+    exact = (
+        short.select("qid", "cid")
+        .join(vecs, "cid")
+        .join(qv, "qid")
+        .select("qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank")
+    )

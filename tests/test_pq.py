@@ -1,0 +1,105 @@
+"""Product-quantization ANN tests: code determinism, the ADC scoring
+contract (pure Catalyst over byte-codes — no Python per corpus row),
+self-match sanity, and the recall gates with and without exact
+re-ranking (the HLL ±tolerance pattern applied to ANN)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.similarity import (
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from hazelcast_jet_contrib_spark.registry import table
+from tests.conftest import CORRECTNESS_SF
+
+
+def _emb(spark):
+    return table(spark, CORRECTNESS_SF, "embeddings")
+
+
+def test_codebooks_shape_and_determinism(spark):
+    emb = _emb(spark)
+    b1 = train_pq_codebooks(emb, m=8, kcent=16)
+    b2 = train_pq_codebooks(emb, m=8, kcent=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2), "training must be deterministic (seeded, hash-ordered sample)"
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_encode_emits_valid_codes(spark):
+    emb = _emb(spark)
+    books = train_pq_codebooks(emb, m=8, kcent=16)
+    enc = pq_encode(emb, books).collect()
+    assert len(enc) == 500
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_planted_duplicate_ranks_first_with_rerank(spark):
+    """A corpus row identical to the query must come back rank 1 after
+    exact re-ranking (cos=1.0 beats everything)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    dup = q.select((F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+    corpus = emb.filter(F.col("vec_id") >= 10).unionByName(dup)
+    out = pq_topk(q, corpus, k=3, rerank=50)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rank"] == 1}
+    assert top1 == {i: i + 9000 for i in range(5)}, top1
+
+
+def test_recall_gates_adc_and_rerank(spark):
+    """Recall@5 vs exact brute force on the near-uniform synthetic
+    embeddings — ANN's WORST case (no cluster structure, distances
+    concentrate), so these floors are conservative; clustered real
+    corpora land far higher. Measured sweep (this dataset): m=8/k=16
+    ADC-only 0.22, m=8/k=128 0.48, m=16/k=64 0.70. Gates: the quality
+    config (m=16, kcent=64 — 16x at-rest compression) must clear 0.5
+    ADC-only; the cheap config (m=8, kcent=16 — 32x compression, 4-bit
+    codes) must recover to 0.7 via a 50-deep exact re-rank, the
+    production serving topology."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, c, k=5).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(q, c, k=5, m=16, kcent=64).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(q, c, k=5, m=8, kcent=16, rerank=50).collect()
+    }
+    recall_adc = len(truth & adc) / len(truth)
+    recall_rr = len(truth & rr) / len(truth)
+    assert recall_adc >= 0.5, f"quality-config ADC recall@5 too low: {recall_adc}"
+    assert recall_rr >= 0.7, f"cheap-config re-ranked recall@5 too low: {recall_rr}"
+
+
+def test_adc_scoring_is_pure_catalyst_and_corpus_never_shuffles(spark):
+    """The scale contract: the two declared Arrow kernels (corpus
+    encode, query LUT) are all the Python there is — ADC scoring and
+    ranking run in codegen over the broadcast join; the corpus side
+    joins without a shuffle."""
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    books = train_pq_codebooks(c, m=8, kcent=16)
+    a = audit(pq_topk(q, c, k=5, codebooks=books))
+    assert a.python_stages() == 0, "row-at-a-time Python in the ADC path"
+    assert a.arrow_python_stages() == 2, "exactly encode + LUT kernels"
+    assert a.broadcast_joins() >= 1, "query/LUT side must broadcast"
+    assert a.shuffle_joins() == 0, "corpus must never shuffle for the join"
+    assert "CartesianProduct" not in a.plan
