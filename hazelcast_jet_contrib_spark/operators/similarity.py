@@ -268,6 +268,8 @@ def build_ivf_index(
     nlist: int = 16,
     sample_rows: int = 10_000,
     seed: int = 42,
+    pq_m: int | None = None,
+    pq_kcent: int = 16,
 ) -> None:
     """Materialize an IVF index on disk: the corpus written as parquet
     PARTITIONED BY cell, plus the trained centroids in a `_`-prefixed
@@ -281,6 +283,12 @@ def build_ivf_index(
     reads only ~nprobe/nlist of the corpus files — at 100 TB the probe
     cost drops at the I/O layer, before any join or shuffle (proven
     from executed numFiles metrics in tests/test_dedup_similarity.py).
+
+    ``pq_m`` adds the PQ layer (IVF-PQ, the full serving stack): each
+    row also stores its m byte-codes, and the PQ codebooks land in a
+    second sidecar. An `ivf_pq_topk` probe then reads ONLY (cid, codes)
+    from the pruned cells — parquet column pruning keeps the full
+    vectors on disk until the exact re-rank shortlist asks for them.
     """
     import json
     import os
@@ -295,15 +303,22 @@ def build_ivf_index(
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series((mat @ cent.T).argmax(axis=1)).astype("int32")
 
-    (
-        corpus.select(
-            F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
+    indexed = corpus.select(
+        F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
+    ).withColumn("cell", cell_of(F.col("cv")))
+    books = None
+    if pq_m is not None:
+        books = train_pq_codebooks(
+            corpus, corpus_id, vec_col, m=pq_m, kcent=pq_kcent,
+            sample_rows=sample_rows, seed=seed,
         )
-        .withColumn("cell", cell_of(F.col("cv")))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+        codes = pq_encode(corpus, books, corpus_id, vec_col)
+        indexed = indexed.join(codes, "cid")
+    # sidecars go in AFTER the write — mode("overwrite") wipes the dir
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if books is not None:
+        with open(os.path.join(path, "_pq_codebooks.json"), "w") as f:
+            json.dump(books.tolist(), f)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(cent.tolist(), f)
 
@@ -562,6 +577,117 @@ def pq_topk(
         short.select("qid", "cid")
         .join(vecs, "cid")
         .join(qv, "qid")
+        .select("qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank")
+    )
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (`build_ivf_index(..., pq_m=m)`):
+    the full serving stack, with each scale axis handled at the right
+    layer —
+
+      * I/O:    the probed-cell union becomes a static partition filter
+                → the scan SKIPS unprobed cells' files entirely;
+      * bytes:  the ADC pass selects only (cid, codes) → parquet COLUMN
+                pruning never reads the vectors (plan-asserted: the
+                probe scan's ReadSchema carries codes, not cv);
+      * CPU:    ADC scoring is the pure-Catalyst indexed-HOF lookup of
+                `pq_topk` — no Python per corpus row;
+      * recall: ``rerank=R`` re-reads full vectors for ONLY the top-R
+                shortlist per query (a second, still partition-pruned
+                scan joined on the broadcast shortlist).
+
+    Output: (query_id, neighbor_id, rank) — the ivf_topk contract.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent = np.array(json.load(f), dtype=np.float64)
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        books = np.array(json.load(f), dtype=np.float64)
+    nprobe = min(nprobe, len(cent))
+    m, kcent, dsub = books.shape
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    @pandas_udf("array<double>")
+    def lut_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(mat), m * kcent), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            luts[:, j * kcent : (j + 1) * kcent] = sub @ books[j].T
+        return pd.Series(list(luts))
+
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    # one probed-query relation feeds the distinct-cell collect AND the
+    # scoring join (same persist rationale as ivf_index_topk)
+    q = tracked_persist(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            as_double(vec_col).alias("qv"),
+        )
+        .withColumn("lut", lut_of(F.col("qv")))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    # ADC pass: pruned cells, codes column ONLY (vectors never read)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    adc = F.round(
+        F.aggregate(
+            F.transform(
+                "codes", lambda c, j: F.element_at("lut", j * kcent + c + 1)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    scored = idx.select("cid", "codes", "cell").join(
+        F.broadcast(q.select("qid", "lut", "cell")), "cell"
+    ).select("qid", "cid", adc.alias("adc"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    short = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= (rerank if rerank is not None else k)
+    )
+    if rerank is None:
+        return short.select(
+            F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"), "rank"
+        )
+    # exact re-rank: second pruned scan, vectors for the shortlist only
+    vecs = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select("cid", "cv")
+    )
+    exact = (
+        vecs.join(F.broadcast(short.select("qid", "cid")), "cid")
+        .join(F.broadcast(q.select("qid", "qv").distinct()), "qid")
         .select("qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))

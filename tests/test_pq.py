@@ -103,3 +103,56 @@ def test_adc_scoring_is_pure_catalyst_and_corpus_never_shuffles(spark):
     assert a.broadcast_joins() >= 1, "query/LUT side must broadcast"
     assert a.shuffle_joins() == 0, "corpus must never shuffle for the join"
     assert "CartesianProduct" not in a.plan
+
+
+def test_ivf_pq_index_probe_prunes_columns_and_partitions(spark, tmp_path):
+    """The full IVF-PQ serving stack: build once (cells + codes +
+    sidecars), probe with ADC reading ONLY (cid, codes) from the pruned
+    cells — the vectors must be absent from the ADC scan's ReadSchema
+    (parquet column pruning is the memory win) — then exact re-rank
+    recovers recall using vectors for the shortlist alone."""
+    import os
+
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_pq_topk,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import audit
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(c, path, nlist=8, pq_m=8, pq_kcent=16)
+    assert os.path.exists(os.path.join(path, "_centroids.json"))
+    assert os.path.exists(os.path.join(path, "_pq_codebooks.json"))
+
+    try:
+        # ADC-only probe: codes read, vectors NOT read
+        adc_out = ivf_pq_topk(spark, path, q, k=5, nprobe=8)
+        a = audit(adc_out)
+        index_schemas = [s for s in a.read_schemas() if "codes" in s]
+        assert index_schemas, f"no codes scan found: {a.read_schemas()}"
+        assert all("cv" not in s for s in index_schemas), (
+            f"ADC probe read the vectors: {index_schemas}"
+        )
+        assert a.python_stages() == 0
+
+        # exact re-rank at full probe width: recall vs brute force
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(q, c, k=5).collect()
+        }
+        rr = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(spark, path, q, k=5, nprobe=8, rerank=50).collect()
+        }
+        recall = len(truth & rr) / len(truth)
+        assert recall >= 0.7, f"IVF-PQ re-ranked recall@5 too low: {recall}"
+        # a narrower probe still returns k results per query
+        narrow = ivf_pq_topk(spark, path, q, k=5, nprobe=2, rerank=20)
+        per_q = {r["query_id"] for r in narrow.collect() if r["rank"] == 1}
+        assert len(per_q) == 10
+    finally:
+        release_tracked()
