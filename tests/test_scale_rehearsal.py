@@ -480,3 +480,51 @@ def test_band_probe_pairs_scale_linearly(spark, tmp_path):
         f"BAND-PROBE 1x: {r1['shuffle_records']} rec ({r1['pairs']} pairs); "
         f"8x: {r8['shuffle_records']} rec ({r8['pairs']} pairs); growth {growth:.2f}x"
     )
+
+
+def test_pq_topk_shuffle_is_corpus_size_independent(spark, tmp_path):
+    """PQ's growth law (round 7): the ADC pass is a broadcast join over
+    the code relation — the corpus never shuffles, and WindowGroupLimit
+    keeps the exchange at O(partitions x queries x k) regardless of
+    corpus size. 8x corpus => ~1x shuffle records; and the codes are
+    what scans, not the vectors. Self-recall sanity at both scales with
+    a 50-deep exact re-rank: every query is a verbatim corpus vector and
+    must come back rank 1."""
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    results = {}
+    for tag, n in (("c1", N1), ("c8", N1 * 8)):
+        path = str(tmp_path / tag)
+        _write_embeddings(spark, path, n)
+        corpus = spark.read.parquet(path)
+        queries = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < N1))
+        books = train_pq_codebooks(corpus, m=8, kcent=16)
+        topk = pq_topk(queries, corpus, k=5, codebooks=books, rerank=50)
+        rows = topk.collect()
+        stats = executed_shuffle_stats(topk)
+        spark.catalog.clearCache()
+        results[tag] = {"rows": rows, "shuffle": stats["shuffle_records"]}
+
+    n_queries = N1 // 100
+    for tag in ("c1", "c8"):
+        rank1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in results[tag]["rows"]
+            if r["rank"] == 1
+        }
+        assert len(rank1) == n_queries, tag
+        assert all(q == nb for q, nb in rank1.items()), (
+            f"{tag}: PQ+rerank lost a verbatim self-match"
+        )
+    shuffle_ratio = results["c8"]["shuffle"] / max(1, results["c1"]["shuffle"])
+    assert shuffle_ratio <= 2, (
+        f"PQ top-k shuffle grew {shuffle_ratio:.1f}x for 8x corpus"
+    )
+    print(
+        f"pq rehearsal: queries={n_queries} "
+        f"1x shuffle={results['c1']['shuffle']} "
+        f"8x shuffle={results['c8']['shuffle']} (ratio {shuffle_ratio:.2f})"
+    )
