@@ -521,6 +521,11 @@ def pq_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
+    if rerank is not None and rerank < k:
+        # the ADC shortlist caps at `rerank` rows per query, so the
+        # exact re-rank could never return k neighbors — error now
+        # instead of silently under-filling (ADVICE r07)
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, corpus_id, vec_col, m=m, kcent=kcent,
@@ -617,10 +622,19 @@ def ivf_pq_topk(
     import json
     import os
 
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     with open(os.path.join(path, "_centroids.json")) as f:
         cent = np.array(json.load(f), dtype=np.float64)
-    with open(os.path.join(path, "_pq_codebooks.json")) as f:
-        books = np.array(json.load(f), dtype=np.float64)
+    try:
+        with open(os.path.join(path, "_pq_codebooks.json")) as f:
+            books = np.array(json.load(f), dtype=np.float64)
+    except FileNotFoundError:
+        raise ValueError(
+            f"IVF index at {path} has no PQ layer (_pq_codebooks.json "
+            "missing): build it with build_ivf_index(..., pq_m=...), or "
+            "probe the plain index with ivf_index_topk instead"
+        ) from None
     nprobe = min(nprobe, len(cent))
     m, kcent, dsub = books.shape
 

@@ -49,12 +49,21 @@ def _segmented_windows(
     first m-1 positions of a segment — also in the previous segment's
     overlap tail, so every length-m window is fully contained in the
     segment owning its start. Max array row: seg + m - 1 doubles."""
-    w = Window.partitionBy("key").orderBy(*[f.asc() for f in order_fields])
     pts = df.select(
         F.col(key_col).alias("key"),
         *order_fields,
         F.col(val_col).cast("double").alias("v"),
-    ).withColumn("__i__", F.row_number().over(w) - 1)
+    )
+    # Total order must match the unsegmented path exactly: there,
+    # array_sort(struct(order_fields..., v)) uses the VALUE as the
+    # final struct field, so duplicate order keys still sort
+    # deterministically by v. Append v here too — without it, ties on
+    # (order_fields) would leave row_number nondeterministic and the
+    # two paths could diverge (ADVICE r07).
+    w = Window.partitionBy("key").orderBy(
+        *[f.asc() for f in order_fields], F.col("v").asc()
+    )
+    pts = pts.withColumn("__i__", F.row_number().over(w) - 1)
     seg_of = (F.col("__i__") / seg).cast("long")
     copies = pts.select(
         "key",

@@ -301,8 +301,9 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
                 continue
             for stream, staged_path, pid in msg.staged:
                 touched.add(stream)
+                seq = batchId * 10**6 + pid
                 if os.path.exists(staged_path):
-                    self._promote(stream, staged_path, batchId * 10**6 + pid)
+                    self._promote(stream, staged_path, seq)
                     os.unlink(staged_path)
                     promoted += 1
                     if (
@@ -313,6 +314,29 @@ class MessageLogStreamWriter(DataSourceStreamWriter):
                         os.unlink(self.crash_flag)
                         raise RuntimeError(
                             "injected crash mid-commit (one file promoted)"
+                        )
+                else:
+                    # Staged file gone. Exactly two legitimate causes:
+                    # (a) idempotent replay — a prior attempt of THIS
+                    #     epoch already promoted+unlinked it, so the
+                    #     target segment exists; or
+                    # (b) loss — e.g. another run's TTL sweep reclaimed
+                    #     a live-but-stalled epoch's staged file
+                    #     (trigger stalled past staged_ttl_seconds,
+                    #     mtime/clock skew on a shared FS). Silently
+                    #     skipping here would drop the epoch's data with
+                    #     no error (ADVICE r07); the segment's absence
+                    #     is the discriminator — raise so the engine
+                    #     retries the epoch and the data is re-staged.
+                    seg = os.path.join(self.root, stream, f"{seq:06d}.jsonl")
+                    if not os.path.exists(seg):
+                        raise RuntimeError(
+                            f"message_log sink: staged file {staged_path} for "
+                            f"segment {seg} disappeared before promotion and "
+                            "the segment does not exist — staged epoch was "
+                            "reclaimed externally (TTL sweep of a stalled "
+                            "writer, or manual cleanup). Failing the epoch so "
+                            "the engine replays it instead of losing data."
                         )
         # sweep staged orphans from prior crashed attempts of THIS
         # writer only — staged names embed self.run_id, so a concurrent

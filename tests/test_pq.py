@@ -156,3 +156,38 @@ def test_ivf_pq_index_probe_prunes_columns_and_partitions(spark, tmp_path):
         assert len(per_q) == 10
     finally:
         release_tracked()
+
+
+def test_rerank_smaller_than_k_rejected(spark, tmp_path):
+    """ADVICE r07: the ADC shortlist caps at `rerank` rows per query,
+    so rerank < k could never fill k neighbors — both PQ entry points
+    must reject it up front instead of silently under-returning."""
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_pq_topk,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(q, emb, k=10, rerank=5)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, nlist=4, pq_m=8, pq_kcent=16)
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_pq_topk(spark, path, q, k=10, nprobe=2, rerank=5)
+
+
+def test_probe_of_pq_less_index_names_required_build(spark, tmp_path):
+    """ADVICE r07: probing an index built WITHOUT pq_m must fail with
+    an actionable error naming build_ivf_index(..., pq_m=...), not a
+    bare FileNotFoundError on the sidecar."""
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_pq_topk,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "plain_idx")
+    build_ivf_index(emb, path, nlist=4)  # no PQ layer
+    with pytest.raises(ValueError, match="pq_m"):
+        ivf_pq_topk(spark, path, emb.filter(F.col("vec_id") < 3), k=5)

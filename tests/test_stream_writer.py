@@ -382,3 +382,41 @@ def test_dead_run_staged_files_reclaimed_past_ttl(tmp_path):
     # and the zombie content never became a visible segment
     keys = sorted(r["key"] for r in _read_all(root, "s"))
     assert keys == ["a"]
+
+
+def test_missing_staged_file_raises_unless_segment_exists(tmp_path):
+    """ADVICE r07: commit() finding a staged file GONE is only safe
+    when the target segment already exists (idempotent replay of a
+    crash-mid-commit epoch). If the segment does NOT exist either, the
+    staged epoch was reclaimed externally (e.g. another run's TTL
+    sweep raced a stalled writer) — silently skipping would lose the
+    epoch's data, so commit() must fail the epoch for replay."""
+    import pytest
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+    )
+
+    root = str(tmp_path / "root")
+    w = MessageLogStreamWriter(root, stream="s")
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        msg = w.write(iter([Row(key="a", value="1")]))
+    # normal promotion, then a REPLAY of the same commit message whose
+    # staged file is gone but whose segment exists: idempotent no-op
+    w.commit([msg], batchId=1)
+    assert sorted(r["key"] for r in _read_all(root, "s")) == ["a"]
+    w.commit([msg], batchId=1)  # must not raise
+    # a NEW epoch whose staged file vanishes before promotion (and no
+    # segment was ever written): loss — must raise, never skip
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        msg2 = w.write(iter([Row(key="b", value="2")]))
+    os.unlink(msg2.staged[0][1])
+    with pytest.raises(RuntimeError, match="reclaimed externally"):
+        w.commit([msg2], batchId=2)
+    # and the lost epoch's data never became visible
+    assert sorted(r["key"] for r in _read_all(root, "s")) == ["a"]

@@ -207,3 +207,31 @@ def test_segmented_validation_and_bounded_arrays(spark):
     assert "TakeOrderedAndProject" in a.plan, "global top-k must not full-sort"
     got = {(r["key"], r["start"]): r["dist"] for r in out.collect()}
     assert got[("A", 4)] == 0.0 and got[("B", 0)] == 0.0
+
+
+def test_segmented_matches_unsegmented_on_duplicate_order_keys(spark):
+    """ADVICE r07: with duplicate order keys and no tiebreak_col, the
+    segmented path's row_number must fall back to the VALUE as the
+    final tiebreaker — exactly the total order the unsegmented path
+    gets from array_sort(struct(order, v)) — or the two paths diverge
+    nondeterministically."""
+    rows = []
+    # every key has REPEATED ts values; values differ, so (ts, v) is a
+    # unique total order but ts alone is not
+    for key in ("A", "B"):
+        for ts in range(8):
+            for bump in (3.0, 1.0, 2.0):  # arrival order deliberately unsorted
+                rows.append((key, ts, float(ts % 4) + bump / 10.0))
+    df = spark.createDataFrame(rows, "key string, ts long, value double")
+    base = sorted(
+        (r["key"], r["start"], r["dist"])
+        for r in znorm_pattern_topk(df, "key", "ts", "value", PATTERN, k=100).collect()
+    )
+    for seg in (len(PATTERN), 7, 16):
+        got = sorted(
+            (r["key"], r["start"], r["dist"])
+            for r in znorm_pattern_topk(
+                df, "key", "ts", "value", PATTERN, k=100, max_segment=seg
+            ).collect()
+        )
+        assert got == base, f"seg={seg} diverged on duplicate order keys"
