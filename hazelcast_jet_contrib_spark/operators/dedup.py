@@ -651,6 +651,61 @@ def dedup_canonical_per_cluster(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster,
+    mark as canonical the document with the BEST quality (ties break on
+    the smaller id); documents in no cluster are their own canonicals.
+
+    This is the retention policy production dedup actually wants —
+    `dedup_canonical_per_cluster` keeps the arbitrary min-id member,
+    but a training pipeline keeps the highest-quality copy (longest,
+    best LM score, least boilerplate) and drops the rest. ``pairs`` is
+    any (id_a, id_b) near-dup relation (MinHash, SimHash, embedding…);
+    ``quality_col`` is any per-document numeric (n_chars, a Gopher
+    score, unigram/bigram LM quality…).
+
+    Scale shape: components come from min-label propagation over the
+    PAIR graph only (near-dups are a small fraction of the corpus); the
+    corpus joins that relation once on id (left join — AQE broadcasts
+    the component side when small), and the per-cluster argmax is one
+    window rank partitioned by component. Singleton documents never
+    enter the window: their component is themselves and they are
+    canonical by construction, so the window's input is bounded by the
+    CLUSTERED rows, not the corpus.
+
+    Output: (``id_col``, component_id, cluster_size int, is_canonical
+    boolean) — one row per input document.
+    """
+    comps = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    joined = df.select(id_col, quality_col).join(comps, id_col, "left")
+    singles = joined.filter(F.col("component_id").isNull()).select(
+        F.col(id_col),
+        F.col(id_col).alias("component_id"),
+        F.lit(1).alias("cluster_size"),
+        F.lit(True).alias("is_canonical"),
+    )
+    q = F.col(quality_col)
+    rank_w = Window.partitionBy("component_id").orderBy(
+        q.desc() if higher_is_better else q.asc(), F.col(id_col).asc()
+    )
+    size_w = Window.partitionBy("component_id")
+    clustered = (
+        joined.filter(F.col("component_id").isNotNull())
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("int"))
+        .withColumn("is_canonical", F.row_number().over(rank_w) == 1)
+        .select(id_col, "component_id", "cluster_size", "is_canonical")
+    )
+    return singles.unionByName(clustered)
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints
 # ---------------------------------------------------------------------------

@@ -1,0 +1,175 @@
+"""Lexical retrieval: distributed BM25 scoring and top-k search over a
+document corpus.
+
+Reference lineage: the reference ships source-side *search* hooks —
+Mongo `find` with filter pushdown (MongoDBSources.java:80-96) and the
+Twitter search endpoint (TwitterSources.java:179-187) — but no ranking
+function over the fetched text. BM25 is the standard lexical ranking
+layer a training-data / retrieval pipeline puts on top of those
+sources (the Lucene-default scoring function), so it joins the engine's
+similarity family as the SPARSE counterpart of the dense ANN operators
+in operators/similarity.py.
+
+Scale shape (how this survives 100 TB):
+  * The only full-corpus pass is one tokenize→explode restricted to the
+    QUERY'S terms — ``array_intersect`` drops every non-query token
+    BEFORE the explode, so the shuffled relation is at most
+    |query_terms| rows per document, never |doc| tokens per document.
+  * Corpus stats (N, avgdl) are one partial-aggregated global agg; the
+    per-term document frequencies aggregate over the already-tiny
+    query-term relation. Both join back as broadcasts.
+  * Scoring is pure Catalyst arithmetic (log/multiply/divide in
+    whole-stage codegen); the final top-k is an orderBy+limit that
+    Spark executes as TakeOrderedAndProject — per-partition heaps, one
+    bounded merge, never a global sort. The bulk variant
+    (``bm25_score_all``) skips ranking entirely, so no single-partition
+    window ever materializes the full corpus.
+  * Nothing is collected to the driver; the stats join broadcasts one
+    row.
+
+Determinism: scores round to 6 dp; ties break on doc id — replay-stable
+across engines, so an exact DuckDB oracle exists (queries_retrieval.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the Lucene/ES default BM25 parameters
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col: str):
+    """Whitespace tokens of lower-cased trimmed text (the corpus-wide
+    tokenizer shared with functions/text.py token counting)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
+
+
+def bm25_score_all(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """BM25 relevance of every document matching >= 1 query term.
+
+    Per-term weight uses the Lucene formulation (non-negative IDF):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with tf the term's count in the doc, dl the doc's token length, and
+    avgdl the corpus mean token length. Documents matching no query
+    term score 0 and are excluded (a retrieval system returns matches).
+
+    Output: (``id_col``, score double).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    qarr = F.array(*[F.lit(t) for t in terms])
+
+    toks = docs.select(
+        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+    ).select(
+        "__id__",
+        F.size("__t__").alias("dl"),
+        # restrict to query terms BEFORE exploding: the downstream
+        # relation is <= |terms| rows/doc regardless of document size
+        F.array_intersect("__t__", qarr).alias("__hit__"),
+        F.col("__t__").alias("__all__"),
+    )
+
+    # corpus stats: one global partial agg -> a single broadcast row
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    # (doc, term, tf) for query terms only; tf via a HOF filter so the
+    # full token array never explodes
+    tf = (
+        toks.select(
+            "__id__",
+            "dl",
+            F.explode("__hit__").alias("term"),
+            F.col("__all__"),
+        )
+        .withColumn(
+            "tf",
+            F.size(F.filter("__all__", lambda x: x == F.col("term"))).cast(
+                "double"
+            ),
+        )
+        .drop("__all__")
+    )
+
+    # document frequency per query term: aggregates the tiny relation
+    df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    return (
+        tf.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("__id__")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .select(F.col("__id__").alias(id_col), "score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to ``query_terms`` (see
+    ``bm25_score_all`` for the scoring formula).
+
+    Output: (``id_col``, score double, rank int) — rank 1 is the best
+    match; ties order by doc id ascending. The orderBy+limit executes
+    as TakeOrderedAndProject; the rank window runs over k rows only.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    scored = bm25_score_all(
+        docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, "score", "rank")
+    )
+
+
+__all__ = ["bm25_topk", "bm25_score_all", "DEFAULT_K1", "DEFAULT_B"]

@@ -219,3 +219,84 @@ def znorm_pattern_topk(
         .orderBy(F.col("dist").asc(), F.col("key").asc(), F.col("start").asc())
         .limit(k)
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    lookback: int = 20,
+    threshold: float = 3.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each point is scored
+    against the mean/stddev of its own trailing ``lookback`` points
+    (the point itself EXCLUDED — the standard online convention, so a
+    spike cannot mask itself by inflating its own baseline), and
+    flagged when |z| exceeds ``threshold``.
+
+    Reference lineage: the reference reads measurement series
+    (InfluxDbSources.java:79-136) and ships rolling aggregation
+    (HyperLogLogTest.java:79-86's rollingAggregate shape); this is the
+    composition those primitives exist for — the monitoring-pipeline
+    anomaly screen over ingested series.
+
+    Scale shape: ONE shuffle on the key; the rolling window is a bounded
+    ROWS BETWEEN frame (state = lookback points), evaluated per key in
+    whole-stage codegen by Spark's WindowExec — no arrays, no Python,
+    and the per-key sort spills. Holds at any series length because the
+    frame, not the series, bounds memory.
+
+    Variance uses the two-pass-free population formula over the frame
+    (avg of squares minus square of avg, clamped at 0 for fp jitter);
+    windows with fewer than 2 trailing points or zero variance emit
+    NULL z and are never flagged.
+
+    Output: (key, ``order_col``, value, z double, is_anomaly boolean)
+    for every point with a full NON-DEGENERATE baseline (>= 2 trailing
+    points); z rounds to 6 dp so an exact external oracle exists.
+    """
+    if lookback < 2:
+        raise ValueError("lookback must be >= 2")
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(F.col(key_col))
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(val_col).cast("double")
+    # materialize each window aggregate ONCE (inlining them into the z
+    # expression would make Catalyst evaluate a separate aggregate
+    # buffer per textual occurrence — 16 instead of 3)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col),
+        v.alias("value"),
+        F.count(v).over(w).alias("__n__"),
+        F.avg(v).over(w).alias("__mu__"),
+        F.avg(v * v).over(w).alias("__msq__"),
+    )
+    # population variance of the frame; greatest(0) absorbs negative
+    # fp residue when the frame is near-constant
+    sd = F.sqrt(
+        F.greatest(
+            F.col("__msq__") - F.col("__mu__") * F.col("__mu__"), F.lit(0.0)
+        )
+    )
+    z = F.round((F.col("value") - F.col("__mu__")) / sd, 6)
+    return (
+        base.withColumn(
+            "z", F.when((F.col("__n__") >= 2) & (sd > 0), z)
+        )
+        .filter(F.col("z").isNotNull())
+        .select(
+            "key",
+            order_col,
+            "value",
+            "z",
+            (F.abs(F.col("z")) > threshold).alias("is_anomaly"),
+        )
+    )

@@ -616,3 +616,77 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return semantic_dedup_pairs(aug, "id", "embedding", k=16, min_cosine=0.999)
+
+
+@query(
+    "neardup_keep_best",
+    oracle="""
+    WITH RECURSIVE aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM aug
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u),
+    qual AS (SELECT doc_id, LENGTH(text) AS q FROM aug),
+    clustered AS (
+        SELECT c.doc_id, c.component_id,
+               CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS INT) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY qu.q DESC, c.doc_id) = 1 AS is_canonical
+        FROM comp c JOIN qual qu USING (doc_id)
+    )
+    SELECT doc_id, component_id, cluster_size, is_canonical FROM clustered
+    UNION ALL
+    SELECT doc_id, doc_id AS component_id, 1 AS cluster_size, TRUE AS is_canonical
+    FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the near-dup clusters of
+    neardup_clusters' corpus: within each cluster the LONGEST document
+    (char length as the quality proxy; ties to the smaller id) is
+    canonical, singletons are their own canonicals — the retention
+    policy that turns cluster detection into an actual dedup decision,
+    proven against the oracle's transitive-closure components plus a
+    window argmax. Scale: components come from the pair graph only,
+    the corpus joins them once on id, and the argmax window sees only
+    CLUSTERED rows (operators/dedup.py keep_best_per_cluster)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import keep_best_per_cluster
+
+    docs = _docs_with_near_copies(spark, sf_dir, subset_mod=5)
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return keep_best_per_cluster(
+        docs.withColumn("q", F.length("text")), pairs, "doc_id", "q"
+    )

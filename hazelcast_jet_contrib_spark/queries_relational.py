@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
 # --------------------------------------------------------------------------
@@ -71,8 +71,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicates reach the parquet scan; no shuffle at all beyond the final
 # single-row combine.
 # --------------------------------------------------------------------------
-@query(
+@retired_query(
     "q6_forecast_revenue",
+    reason="r08: pure scan-filter-aggregate — the triple predicate "
+    "pushdown and arithmetic agg are q1_pricing_summary's shape with "
+    "zero grouping columns; the global single-row agg path stays "
+    "driver-proven via hash64_distinct_customers",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
@@ -176,8 +180,11 @@ def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ROLLUP (hierarchical grouping sets) over order status/priority.
 # --------------------------------------------------------------------------
-@query(
+@retired_query(
     "rollup_order_status",
+    reason="r08: ROLLUP's grouping sets are a strict subset of "
+    "cube_status_priority's CUBE over the same orders columns and the "
+    "same Expand+hash-agg physical machinery",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
@@ -220,8 +227,12 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sort + limit with a total deterministic order.
 # --------------------------------------------------------------------------
-@query(
+@retired_query(
     "top10_parts_by_price",
+    reason="r08: global orderBy+limit executes as TakeOrderedAndProject "
+    "— exactly znorm_subseq_topk's (and bm25_topk_docs') final "
+    "physical op; per-group top-k stays live via "
+    "topk_customers_per_nation",
     oracle="""
     SELECT p_partkey, p_name, p_retailprice
     FROM part

@@ -97,6 +97,7 @@ from hazelcast_jet_contrib_spark import queries_joins  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_curation  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: part of the correctness-gate contract.
@@ -140,6 +141,12 @@ from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
 #        hll_events_users_accuracy ⊂ hll_customers_accuracy (same gate)
 #        ivf_cosine_topk           ⊂ ivf_index_probe_topk (same
 #                                    degenerate-exact gate, persisted)
+#      Round-8 retirements (3, reasons at their @retired_query sites):
+#        rollup_order_status       ⊂ cube_status_priority
+#        q6_forecast_revenue       ⊂ q1_pricing_summary (+ global-agg
+#                                    path via hash64_distinct_customers)
+#        top10_parts_by_price      ⊂ znorm_subseq_topk / bm25_topk_docs
+#                                    (TakeOrderedAndProject shape)
 #   b. STALENESS INVARIANT (unchanged): every query is inside this
 #      round's checked-50 window or green in one of the TWO latest
 #      CORRECTNESS files (<= 2-round proof age), enforced by
@@ -148,11 +155,11 @@ from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
 #      since its last green row re-enters the window — where "changed"
 #      means any edit that can alter the result set, schema, or
 #      physical plan. Bookkeeping edits proven semantics-neutral are
-#      exempt; the only exemption claimed this round is
-#      cache.tracked_persist (returns the same DataFrame a plain
-#      .persist() would — object identity + plan equality asserted by
-#      tests/test_cache.py), adopted by duplicate_spans /
-#      media_phash_near_dup / ivf_index_topk.
+#      exempt; exemptions claimed for round 8 (the ADVICE-r07 fixes):
+#      znorm's tiebreak fix touches the SEGMENTED path only (the
+#      registry query runs unsegmented), and the PQ validation /
+#      missing-sidecar / staged-file-loss changes are error paths that
+#      cannot alter any green query's result, schema, or plan.
 #   d. ROTATION MARKER: _ROTATION_ROUND below names the round this
 #      _PRIORITY was built for; while CORRECTNESS_r{that round} does
 #      not exist yet, the window must consist of queries NOT already
@@ -160,24 +167,80 @@ from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 7
+_ROTATION_ROUND = 8
 _PRIORITY = [
-    # --- round-7 rotation (window = exactly 50). CORRECTNESS_r06
-    # proved the round-6 priority set (50/50 green); the 44 surviving
-    # r05-green queries below age to two rounds unless re-proven now.
-    # 1) New in round 7 (no CORRECTNESS row yet): the five round-6
-    #    operators promoted per VERDICT r06 item 1 + the persisted-IVF
-    #    probe path (item 3).
+    # --- round-8 rotation (window = exactly 50). CORRECTNESS_r07
+    # proved the round-7 priority set (50/50 green); the 49 surviving
+    # r06-green queries age to two rounds unless re-proven now — three
+    # of them retire this round (subsumption documented at their
+    # @retired_query sites), leaving 46 mandatory re-proofs plus the
+    # four NEW round-8 operators (no CORRECTNESS row yet):
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "neardup_keep_best",
+    # 2) the 46 queries last driver-green in r06, untouched since
+    #    (ADVICE-r07 fixes touched znorm's SEGMENTED path only — the
+    #    registry query runs unsegmented — and PQ/staged-file error
+    #    paths that cannot alter any green query's result or plan).
+    #    Order preserved from the round-7 demotion list, heaviest
+    #    first.
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "kmeans_cluster_profile",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_image_features",
+    "media_audio_frames",
+    "media_image_resize",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q14_promo_effect",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "parts_never_bulk_ordered",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r07, implementation and oracle untouched
+    # since. 50 entries -> next round's window holds them all exactly.
     "dup_span_removal",
     "corpus_mix_to_target",
     "bigram_lm_quality",
     "znorm_subseq_topk",
     "training_shards_roundtrip",
     "ivf_index_probe_topk",
-    # 2) The 44 queries last driver-green in r05 (untouched since —
-    #    mix_to_target's round-7 missing-group fix is exercised by the
-    #    NEW corpus_mix_to_target entry above; tracked_persist adoption
-    #    is plan-neutral per policy rule c). Heaviest first.
     "curation_pipeline_end2end",
     "minhash_lsh_near_dup",
     "neardup_clusters",
@@ -222,62 +285,6 @@ _PRIORITY = [
     "snapshot_diff_statuses",
     "docstore_find_pushdown",
     "json_props_extraction",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r06, implementation and oracle untouched
-    # since (media_phash_dup_groups retired). 49 entries -> next
-    # round's window holds them all with one slot of headroom.
-    # Heaviest/most-algorithmic first so any overflow re-proves the
-    # most algorithmic queries preferentially.
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "kmeans_cluster_profile",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_image_features",
-    "media_audio_frames",
-    "media_image_resize",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q14_promo_effect",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "rollup_order_status",
-    "cube_status_priority",
-    "top10_parts_by_price",
-    "setop_building_urgent_customers",
-    "parts_never_bulk_ordered",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
 ]
 
 

@@ -1,0 +1,273 @@
+"""Round-8 analytics operator tests: BM25 retrieval, rolling z-score
+anomalies, strict-order funnels, and quality-aware canonical selection
+— semantics, edge cases, and plan-shape assertions (shuffle counts,
+window-buffer dedup, no Python in the hot path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import keep_best_per_cluster
+from hazelcast_jet_contrib_spark.operators.funnel import funnel_steps
+from hazelcast_jet_contrib_spark.operators.retrieval import (
+    bm25_score_all,
+    bm25_topk,
+)
+from hazelcast_jet_contrib_spark.operators.timeseries import (
+    rolling_zscore_anomalies,
+)
+from hazelcast_jet_contrib_spark.registry import table
+from tests.conftest import CORRECTNESS_SF
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    rows = [
+        (1, "spark runs spark jobs on spark clusters"),
+        (2, "duckdb runs sql"),
+        (3, "spark sql joins tables"),
+        (4, "completely unrelated text here"),
+        (5, "sql sql sql sql sql sql sql sql sql sql"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_term_frequency_and_excludes_nonmatches(spark):
+    out = bm25_topk(_corpus(spark), ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1, "highest-tf doc must rank first for a 1-term query"
+    assert 4 not in ids and 5 not in ids, "non-matching docs must be absent"
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    """'sql' appears in 3/5 docs, 'clusters' in 1/5 — a doc matching
+    only the rare term must beat a doc matching only the common term
+    at equal tf and comparable length."""
+    rows = [
+        (1, "clusters alpha beta gamma"),
+        (2, "sql alpha beta gamma"),
+        (3, "sql other words here"),
+        (4, "sql more words again"),
+        (5, "nothing relevant at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_all(docs, ["clusters", "sql"]).collect()
+    }
+    assert scores[1] > scores[2], (rows, scores)
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf in a shorter doc scores higher (b=0.75 length penalty)."""
+    rows = [
+        (1, "needle one two"),
+        (2, "needle one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["score"] for r in bm25_score_all(docs, ["needle"]).collect()
+    }
+    assert scores[1] > scores[2]
+
+
+def test_bm25_validation(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), [], k=5)
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), ["x"], k=0)
+
+
+def test_bm25_plan_topk_is_take_ordered_and_no_python(spark):
+    docs = table(spark, CORRECTNESS_SF, "documents")
+    out = bm25_topk(docs, ["data", "model"], k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "top-k must never be a full sort"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "stats/df must join back as broadcasts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomalies
+# ---------------------------------------------------------------------------
+
+
+def _spike_series(spark):
+    rows = [("a", i, float(i % 3)) for i in range(30)]
+    rows[15] = ("a", 15, 50.0)
+    # key b: constant series — zero variance, nothing ever flagged
+    rows += [("b", i, 7.0) for i in range(30)]
+    return spark.createDataFrame(rows, "key string, ts long, value double")
+
+
+def test_zscore_flags_exactly_the_spike(spark):
+    out = rolling_zscore_anomalies(
+        _spike_series(spark), "key", "ts", "value", lookback=10, threshold=3.0
+    ).collect()
+    flagged = [(r["key"], r["ts"]) for r in out if r["is_anomaly"]]
+    assert flagged == [("a", 15)]
+    assert all(r["key"] == "a" for r in out), (
+        "constant series has zero variance everywhere -> no scored rows"
+    )
+
+
+def test_zscore_baseline_excludes_self(spark):
+    """The spike's OWN row uses the clean trailing baseline (huge |z|);
+    the row right after the spike has the spike IN its baseline — its z
+    must be far smaller than the spike's."""
+    out = {
+        r["ts"]: r["z"]
+        for r in rolling_zscore_anomalies(
+            _spike_series(spark), "key", "ts", "value", lookback=10
+        ).collect()
+        if r["key"] == "a"
+    }
+    assert abs(out[15]) > 10 * abs(out[16])
+
+
+def test_zscore_validation_and_warmup(spark):
+    df = _spike_series(spark)
+    with pytest.raises(ValueError):
+        rolling_zscore_anomalies(df, "key", "ts", "value", lookback=1)
+    out = rolling_zscore_anomalies(
+        df, "key", "ts", "value", lookback=10
+    ).collect()
+    # first two positions have < 2 trailing points: never scored
+    assert all(r["ts"] >= 2 for r in out)
+
+
+def test_zscore_plan_one_exchange_three_window_buffers(spark):
+    ev = table(spark, CORRECTNESS_SF, "events")
+    out = rolling_zscore_anomalies(
+        ev, "user_id", "ts", "value", lookback=20, tiebreak_col="event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[(.*?)\], \[", plan)
+    assert len(windows) == 1, "all three aggregates must share ONE Window node"
+    assert windows[0].count("windowspecdefinition") == 3, (
+        "inlining the window aggs would multiply buffers (got "
+        f"{windows[0].count('windowspecdefinition')})"
+    )
+    assert plan.count("Exchange") <= 2  # hash on key (+AQE read)
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+
+def _clicks(spark):
+    rows = [
+        (1, 1, "view"), (1, 2, "cart"), (1, 3, "buy"),
+        (2, 5, "view"), (2, 4, "cart"),          # cart BEFORE view
+        (3, 1, "view"), (3, 2, "cart"),
+        (4, 9, "cart"), (4, 10, "buy"),          # never viewed
+        (5, 1, "view"), (5, 1, "cart"),          # same ts: strict order fails
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    out = {
+        r["step_name"]: (r["users"], r["conversion"])
+        for r in funnel_steps(_clicks(spark), ["view", "cart", "buy"]).collect()
+    }
+    assert out == {
+        "view": (4, 1.0),
+        "cart": (2, 0.5),
+        "buy": (1, 0.25),
+    }
+
+
+def test_funnel_earliest_completion_not_any(spark):
+    """Step k anchors on the EARLIEST step-(k-1) completion: a user who
+    views at t=1 and t=10 converts via a cart at t=5."""
+    rows = [(1, 1, "view"), (1, 10, "view"), (1, 5, "cart")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["step_name"]: r["users"] for r in funnel_steps(df, ["view", "cart"]).collect()}
+    assert out == {"view": 1, "cart": 1}
+
+
+def test_funnel_validation(spark):
+    df = _clicks(spark)
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view", "view"])
+
+
+def test_funnel_empty_first_step_zero_conversion(spark):
+    out = funnel_steps(_clicks(spark), ["nosuch", "cart"]).collect()
+    assert [(r["users"], r["conversion"]) for r in out] == [(0, 0.0), (0, 0.0)]
+
+
+def test_funnel_plan_single_user_shuffle(spark):
+    ev = table(spark, CORRECTNESS_SF, "events")
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on user + the final single-partition agg; the
+    # chained step windows must NOT re-exchange per step
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# keep_best_per_cluster
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_selects_quality_not_min_id(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 8)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["doc_id"]: tuple(r) for r in keep_best_per_cluster(
+        docs, pairs, "doc_id", "quality"
+    ).collect()}
+    # cluster {1,2,3}: canonical is 3 (highest quality), component=min id
+    assert out[3] == (3, 1, 3, True) and not out[1][3] and not out[2][3]
+    assert out[6] == (6, 5, 2, True)
+    # singletons are their own canonical
+    assert out[4] == (4, 4, 1, True) and out[7] == (7, 7, 1, True)
+
+
+def test_keep_best_lower_is_better_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 9.0)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["is_canonical"] for r in keep_best_per_cluster(
+        docs, pairs, "doc_id", "q", higher_is_better=False
+    ).collect()}
+    assert out == {1: True, 2: False, 3: False}, "tie -> smaller id wins"
+
+
+def test_keep_best_exactly_one_canonical_per_component(spark):
+    docs = table(spark, CORRECTNESS_SF, "documents").withColumn(
+        "q", F.length("text")
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    out = keep_best_per_cluster(docs, pairs, "doc_id", "q")
+    bad = (
+        out.groupBy("component_id")
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("cluster_size").alias("sz"),
+        )
+        .filter((F.col("n_canon") != 1) | (F.col("sz") != F.col("n")))
+        .count()
+    )
+    assert bad == 0

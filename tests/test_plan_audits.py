@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_q6_filters_pushed_to_scan(spark):
-    a = audit(QUERIES["q6_forecast_revenue"](spark, SF))
+    a = audit(RETIRED_QUERIES["q6_forecast_revenue"](spark, SF))
     assert a.pushed_filters(), "q6's date/discount/quantity filters must reach the scan"
     assert a.scans_read_only(
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"

@@ -24,6 +24,9 @@ EXPECTED_RETIRED = {
     "sorted_set_range",
     "hll_events_users_accuracy",
     "ivf_cosine_topk",
+    "rollup_order_status",
+    "q6_forecast_revenue",
+    "top10_parts_by_price",
 }
 
 
