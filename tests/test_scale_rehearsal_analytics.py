@@ -1,0 +1,142 @@
+"""Scale rehearsal for the round-8 analytics family: measured evidence
+(executed-plan shuffle accumulators, not docstring claims) that BM25,
+the rolling z-score screen, and the funnel each cost ~8x for an 8x
+input — the growth law that must hold for the 100 TB mandate — and
+that BM25's shuffle volume is bounded by |query terms| per document,
+never by document LENGTH (the array_intersect-before-explode design).
+
+Corpora are generated with pure Catalyst expressions (xxhash64-driven
+word/value choice), deterministic and scale-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.funnel import funnel_steps
+from hazelcast_jet_contrib_spark.operators.retrieval import bm25_score_all
+from hazelcast_jet_contrib_spark.operators.timeseries import (
+    rolling_zscore_anomalies,
+)
+from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+N1 = 4_000
+WORDS = 40
+VOCAB = 500
+
+
+def _docs(spark, tmp_path, n_docs: int):
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS - 1)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id"), p), F.lit(VOCAB)).cast("string"),
+        ),
+    )
+    # round-trip through parquet: spark.range carries a KNOWN output
+    # partitioning on id, which lets Catalyst elide the per-doc agg
+    # exchange entirely — real corpora come off a scan with unknown
+    # partitioning, so the honest rehearsal must too
+    path = str(tmp_path / f"docs_{n_docs}")
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _bm25_scale(spark, tmp_path, n_docs: int) -> dict[str, int]:
+    scored = bm25_score_all(_docs(spark, tmp_path, n_docs), ["w1", "w2", "w3"])
+    rows = scored.collect()
+    stats = executed_shuffle_stats(scored)
+    return {
+        "n": n_docs,
+        "matches": len(rows),
+        "shuffle_records": stats["shuffle_records"],
+    }
+
+
+@pytest.mark.slow
+def test_bm25_shuffle_linear_and_term_bounded(spark, tmp_path):
+    """8x corpus -> ~8x shuffled records, and the absolute volume is
+    bounded by matches x |terms| (x2 for the map/reduce sides of the
+    per-doc agg + df agg), NOT by corpus tokens: with 40-word docs, a
+    tokenize-then-explode-everything design would shuffle ~13x more."""
+    r1 = _bm25_scale(spark, tmp_path, N1)
+    r8 = _bm25_scale(spark, tmp_path, N1 * 8)
+    growth = r8["shuffle_records"] / max(r1["shuffle_records"], 1)
+    assert growth <= 2 * 8, f"bm25 shuffle grew {growth:.1f}x for 8x corpus"
+    for r in (r1, r8):
+        # every doc matches w.h.p. (40 draws over 500 words); the bound
+        # that matters is TERMS per doc, not WORDS per doc
+        bound = 4 * r["matches"] * 3
+        assert r["shuffle_records"] <= bound, (
+            f"{r['shuffle_records']} shuffled records exceeds the "
+            f"|terms|-per-doc bound {bound} — is the full token explode "
+            "reaching the shuffle?"
+        )
+    print(
+        f"BM25-SCALE 1x: {r1['shuffle_records']} rec ({r1['matches']} match); "
+        f"8x: {r8['shuffle_records']} rec ({r8['matches']} match); "
+        f"growth {growth:.2f}x"
+    )
+
+
+def _events(spark, n_users: int, per_user: int = 64):
+    n = n_users * per_user
+    return spark.range(n).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (F.col("id") / n_users).cast("long").alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0).alias("value"),
+        F.concat(
+            F.lit("t"), F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5)).cast("string")
+        ).alias("event_type"),
+    )
+
+
+@pytest.mark.slow
+def test_zscore_shuffle_linear_in_events(spark):
+    """8x events -> ~8x shuffled records: the rolling frame adds no
+    shuffle amplification (each row ships once to its key's partition;
+    the baseline is windowed state, not data duplication)."""
+
+    def run(n_users):
+        out = rolling_zscore_anomalies(
+            _events(spark, n_users), "user_id", "ts", "value",
+            lookback=20, tiebreak_col="event_id",
+        )
+        n = len(out.collect())
+        return n, executed_shuffle_stats(out)["shuffle_records"]
+
+    n1, s1 = run(64)
+    n8, s8 = run(64 * 8)
+    growth = s8 / max(s1, 1)
+    assert growth <= 2 * 8, f"zscore shuffle grew {growth:.1f}x for 8x events"
+    # each input row shuffles exactly once (plus nothing else)
+    assert s1 <= 64 * 64 + 64 and s8 <= 64 * 8 * 64 + 512
+    assert n8 > n1
+    print(f"ZSCORE-SCALE 1x: {s1} rec; 8x: {s8} rec; growth {growth:.2f}x")
+
+
+@pytest.mark.slow
+def test_funnel_shuffle_linear_in_events(spark):
+    """8x events -> ~8x shuffled records; K funnel steps add ZERO extra
+    exchanges (all step windows share the user partitioning) and the
+    per-user reduction means the post-window agg rows are user-count,
+    not event-count."""
+
+    def run(n_users):
+        out = funnel_steps(_events(spark, n_users), ["t0", "t1", "t2"])
+        rows = out.collect()
+        assert len(rows) == 3
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert final.count("Exchange hashpartitioning(user_id") == 1
+        return executed_shuffle_stats(out)["shuffle_records"]
+
+    s1 = run(64)
+    s8 = run(64 * 8)
+    growth = s8 / max(s1, 1)
+    assert growth <= 2 * 8, f"funnel shuffle grew {growth:.1f}x for 8x events"
+    print(f"FUNNEL-SCALE 1x: {s1} rec; 8x: {s8} rec; growth {growth:.2f}x")
