@@ -129,3 +129,87 @@ def streaming_running_count(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    lookback: int = 20,
+    threshold: float = 3.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.rolling_zscore_anomalies``:
+    per-key rolling z-score against the trailing ``lookback`` values
+    (self excluded), with the trailing window carried ACROSS
+    micro-batches in checkpointed state — a point arriving years after
+    the previous one is still scored against its key's true history,
+    which no watermark-bounded built-in window can express.
+
+    Arithmetic is kept identical to the batch operator (population
+    variance over the frame, 6-dp rounding), so splitting one input
+    into ANY micro-batch partitioning yields byte-identical results to
+    the batch run (asserted in tests). Rows are scored in (``ts_col``
+    [, ``tiebreak_col``]) order within each batch; cross-batch order is
+    arrival order — the stream contract (pair with an upstream
+    watermark sort if event-time order must be enforced first).
+
+    State per key: at most ``lookback`` doubles — O(1) per key, so
+    state-store size is keys x lookback regardless of stream length.
+    Output: (key string, ts long, value double, z double,
+    is_anomaly boolean) — only scored rows (>= 2 trailing points,
+    non-zero variance) are emitted.
+    """
+    if lookback < 2:
+        raise ValueError("lookback must be >= 2")
+    import math
+
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        batch = [p for p in pdfs if len(p)]
+        if not batch:
+            state.update((buf,))
+            return
+        rows = pd.concat(batch, ignore_index=True).sort_values(sort_cols)
+        out: dict[str, list] = {"ts": [], "value": [], "z": [], "is_anomaly": []}
+        for ts, v in zip(rows[ts_col], rows[val_col]):
+            v = float(v)
+            n = len(buf)
+            if n >= 2:
+                mu = sum(buf) / n
+                var = max(sum(x * x for x in buf) / n - mu * mu, 0.0)
+                if var > 0:
+                    z = round((v - mu) / math.sqrt(var), 6)
+                    out["ts"].append(int(ts))
+                    out["value"].append(v)
+                    out["z"].append(z)
+                    out["is_anomaly"].append(abs(z) > threshold)
+            buf.append(v)
+            if len(buf) > lookback:
+                del buf[: len(buf) - lookback]
+        state.update((buf,))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "key": str(key[0]),
+                    "ts": out["ts"],
+                    "value": out["value"],
+                    "z": out["z"],
+                    "is_anomaly": out["is_anomaly"],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key string, ts long, value double, z double, is_anomaly boolean"
+        ),
+        stateStructType="buf array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

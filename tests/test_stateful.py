@@ -145,3 +145,67 @@ def test_streaming_rolling_hll_to_kv_sink(spark, tmp_path):
         assert abs(est - exact) / exact <= 0.05, (est, exact)
     final = int(read_kv_hash(kv)["users"])
     assert abs(final - 3000) / 3000 <= 0.05, final
+
+
+def test_streaming_zscore_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming z-score screen must emit EXACTLY the batch
+    operator's rows no matter how the input is micro-batched — the
+    trailing window lives in checkpointed state, so a restart between
+    batches changes nothing. Spike planted mid-series; series split
+    2 segments + restart + 1 segment."""
+    from hazelcast_jet_contrib_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from hazelcast_jet_contrib_spark.streaming.stateful import (
+        streaming_zscore_anomalies,
+    )
+
+    vals = [float(i % 3) for i in range(30)]
+    vals[15] = 50.0
+    recs = [
+        {"key": "a", "value": f"{i}:{v}"} for i, v in enumerate(vals)
+    ]
+    root = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(segments):
+        for seg in segments:
+            message_log.append_segment(root, "s", seg)
+        src = _log_stream(spark, root).select(
+            "key",
+            F.split("value", ":")[0].cast("long").alias("ts"),
+            F.split("value", ":")[1].cast("double").alias("val"),
+        )
+        q = (
+            streaming_zscore_anomalies(
+                src, "key", "ts", "val", lookback=10, threshold=3.0
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run([recs[:12], recs[12:20]])   # two segments -> >=2 batches
+    run([recs[20:]])                # restart, then the tail arrives
+
+    got = sorted(
+        (r["key"], r["ts"], r["value"], r["z"], r["is_anomaly"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch_df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "key string, ts long, val double",
+    )
+    want = sorted(
+        (r["key"], r["ts"], r["value"], r["z"], r["is_anomaly"])
+        for r in rolling_zscore_anomalies(
+            batch_df, "key", "ts", "val", lookback=10, threshold=3.0
+        ).collect()
+    )
+    assert got == want, "streaming output must equal the batch operator's"
+    assert [t for (_, t, _, _, a) in got if a] == [15]
