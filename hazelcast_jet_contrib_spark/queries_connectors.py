@@ -218,8 +218,13 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_media_frame(spark, sf_dir))
 
 
-@query(
+@retired_query(
     "media_image_resize",
+    reason="r08: the 1-to-1 binary->binary Arrow transform contract "
+    "(schema, stub decode, bounded batch) is media_video_frame_sample's "
+    "1-to-N shape restricted to N=1, over the same _media_frame "
+    "plumbing; feature extraction keeps its own entry via "
+    "media_image_features",
     oracle="""
     SELECT doc_id AS media_id, 8 AS width, 8 AS height, 64 AS n_bytes
     FROM documents

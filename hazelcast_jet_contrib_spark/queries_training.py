@@ -395,3 +395,63 @@ def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_id long, neighbor_id long, rank int"
     )
+
+
+@query(
+    "ivf_pq_probe_exact_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id >= 10),
+    scored AS (
+        SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 6) AS cos FROM q, c
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, rank FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ivf_pq_probe_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 IVF-PQ serving stack driver-proven end-to-end: build
+    a persisted index WITH the PQ layer (cells + byte-codes +
+    codebook/centroid sidecars), probe it through the full pipeline —
+    query LUTs, partition-pruned scan of (cid, codes) only, pure-
+    Catalyst ADC scoring, shortlist, exact re-rank on a second pruned
+    scan — in the degenerate-exact configuration (every cell probed,
+    shortlist uncapped), so the oracle is exact brute-force cosine and
+    any defect anywhere in train/encode/LUT/ADC/re-rank flips the hash.
+    The approximation quality at nprobe < nlist / bounded rerank is
+    pytest-gated (tests/test_pq.py recall gates); partition pruning is
+    proven from executed numFiles metrics
+    (tests/test_dedup_similarity.py, test_pq.py). Same eager-compute +
+    temp-index cleanup as ivf_index_probe_topk
+    (operators/similarity.py build_ivf_index, ivf_pq_topk)."""
+    import shutil
+    import tempfile
+
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+    from hazelcast_jet_contrib_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = tempfile.mkdtemp(prefix="ivf_pq_index_q_")
+    try:
+        build_ivf_index(corpus, path, nlist=8, pq_m=8, pq_kcent=16)
+        rows = [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_pq_topk(
+                spark, path, queries_df, k=5, nprobe=8, rerank=10**7
+            ).collect()
+        ]
+    finally:
+        release_tracked()
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank int"
+    )

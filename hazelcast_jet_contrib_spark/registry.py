@@ -147,6 +147,9 @@ from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 #                                    path via hash64_distinct_customers)
 #        top10_parts_by_price      ⊂ znorm_subseq_topk / bm25_topk_docs
 #                                    (TakeOrderedAndProject shape)
+#        media_image_resize        ⊂ media_video_frame_sample (1-to-N
+#                                    Arrow transform at N=1) +
+#                                    media_image_features
 #   b. STALENESS INVARIANT (unchanged): every query is inside this
 #      round's checked-50 window or green in one of the TWO latest
 #      CORRECTNESS files (<= 2-round proof age), enforced by
@@ -179,6 +182,7 @@ _PRIORITY = [
     "rolling_zscore_anomaly",
     "funnel_conversion_steps",
     "neardup_keep_best",
+    "ivf_pq_probe_exact_topk",
     # 2) the 46 queries last driver-green in r06, untouched since
     #    (ADVICE-r07 fixes touched znorm's SEGMENTED path only — the
     #    registry query runs unsegmented — and PQ/staged-file error
@@ -207,7 +211,6 @@ _PRIORITY = [
     "lang_id_distribution",
     "media_image_features",
     "media_audio_frames",
-    "media_image_resize",
     "media_video_frame_sample",
     "media_metadata_sniff",
     "sketch_hll_rollup_union",

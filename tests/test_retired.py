@@ -27,6 +27,7 @@ EXPECTED_RETIRED = {
     "rollup_order_status",
     "q6_forecast_revenue",
     "top10_parts_by_price",
+    "media_image_resize",
 }
 
 
