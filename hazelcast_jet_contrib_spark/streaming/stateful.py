@@ -213,3 +213,78 @@ def streaming_zscore_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_progress(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_steps``: per-key
+    strict-order step progress carried ACROSS micro-batches in
+    checkpointed state, emitting one row whenever a key advances to a
+    new deepest step.
+
+    Semantics match the batch operator: a key reaches step k when an
+    event of the step-k type occurs STRICTLY AFTER the key's earliest
+    step-(k-1) completion — and because the state stores exactly those
+    earliest completion times, a key's final (deepest step, completion
+    time) is identical to the batch funnel's no matter how the stream
+    is micro-batched (asserted in tests). Within a batch rows process
+    in ``ts_col`` order; late events that would BACKDATE an earlier
+    step's completion time are ignored once the step is held (the
+    monotone-progress streaming convention — the batch operator on the
+    full history is the reconciliation path, same split as
+    streaming_rolling_hll vs the batch HLL).
+
+    State per key: ``len(steps)`` nullable timestamps — O(1). Output:
+    (key string, step int 1-based, step_name string, ts long) — one
+    append-mode row per newly reached step, so downstream conversion
+    counts are a plain groupBy(step).count() over the emitted log.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    state_ddl = ", ".join(f"t{i} long" for i in range(k))
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t = list(state.get) if state.exists else [None] * k
+        batch = [p for p in pdfs if len(p)]
+        if not batch:
+            state.update(tuple(t))
+            return
+        rows = pd.concat(batch, ignore_index=True).sort_values(ts_col)
+        new_steps: list[tuple[int, str, int]] = []
+        for ts, typ in zip(rows[ts_col], rows[type_col]):
+            ts = int(ts)
+            for i, step in enumerate(steps):
+                if typ != step or t[i] is not None:
+                    continue
+                if i == 0 or (t[i - 1] is not None and ts > t[i - 1]):
+                    t[i] = ts
+                    new_steps.append((i + 1, step, ts))
+                break
+        state.update(tuple(t))
+        if new_steps:
+            yield pd.DataFrame(
+                {
+                    "key": str(key[0]),
+                    "step": [s for s, _, _ in new_steps],
+                    "step_name": [n for _, n, _ in new_steps],
+                    "ts": [ts for _, _, ts in new_steps],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="key string, step int, step_name string, ts long",
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -209,3 +209,75 @@ def test_streaming_zscore_matches_batch_and_survives_restart(spark, tmp_path):
     )
     assert got == want, "streaming output must equal the batch operator's"
     assert [t for (_, t, _, _, a) in got if a] == [15]
+
+
+def test_streaming_funnel_matches_batch_counts_across_restart(spark, tmp_path):
+    """Per-key funnel progress carried in state: with in-order arrival,
+    the set of keys reaching each step (and their completion times)
+    equals the batch funnel's counts, regardless of micro-batching or
+    a restart between batches."""
+    import random
+
+    from hazelcast_jet_contrib_spark.operators.funnel import funnel_steps
+    from hazelcast_jet_contrib_spark.streaming.stateful import (
+        streaming_funnel_progress,
+    )
+
+    rng = random.Random(8)
+    types = ["view", "click", "purchase", "noise"]
+    events = sorted(
+        (ts, rng.randrange(12), rng.choice(types))
+        for ts in range(300)
+    )
+    recs = [
+        {"key": str(u), "value": f"{ts}:{typ}"} for ts, u, typ in events
+    ]
+    root = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(segments):
+        for seg in segments:
+            message_log.append_segment(root, "s", seg)
+        src = _log_stream(spark, root).select(
+            F.col("key").alias("user_id"),
+            F.split("value", ":")[0].cast("long").alias("ts"),
+            F.split("value", ":")[1].alias("event_type"),
+        )
+        q = (
+            streaming_funnel_progress(src, ["view", "click", "purchase"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run([recs[:80], recs[80:150]])
+    run([recs[150:]])  # restart mid-stream
+
+    got = spark.read.parquet(out_dir).collect()
+    # each key emits each step at most once, in strictly increasing ts
+    per_key: dict[str, dict[int, int]] = {}
+    for r in got:
+        assert r["step"] not in per_key.setdefault(r["key"], {}), "dup step"
+        per_key[r["key"]][r["step"]] = r["ts"]
+    for ks in per_key.values():
+        assert sorted(ks) == list(range(1, len(ks) + 1)), "no skipped steps"
+        ts_seq = [ks[s] for s in sorted(ks)]
+        assert ts_seq == sorted(ts_seq) and len(set(ts_seq)) == len(ts_seq)
+
+    batch_df = spark.createDataFrame(
+        [(str(u), ts, typ) for ts, u, typ in events],
+        "user_id string, ts long, event_type string",
+    )
+    want = {
+        r["step"]: r["users"]
+        for r in funnel_steps(batch_df, ["view", "click", "purchase"]).collect()
+    }
+    got_counts = {
+        s: sum(1 for ks in per_key.values() if s in ks) for s in (1, 2, 3)
+    }
+    assert got_counts == want, (got_counts, want)
