@@ -380,3 +380,122 @@ def test_remove_spans_complements_duplicate_spans(spark, token_lists):
         assert got[0] == expect_kept, (i, got, kept)
         assert got[1] + got[2] == n_toks, (i, got, n_toks)
         assert got[2] == len(covered), (i, got, covered)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=16),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=3, unique=True),
+)
+@_settings
+def test_bm25_doc_order_invariant_and_match_complete(spark, docs, terms):
+    """For ANY corpus and query: (1) permuting the corpus changes no
+    score; (2) exactly the documents containing >= 1 query term appear;
+    (3) scores are non-negative (Lucene non-negative idf)."""
+    from hazelcast_jet_contrib_spark.operators.retrieval import bm25_score_all
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rev = spark.createDataFrame(
+        [(i, t) for i, t in reversed(list(enumerate(docs)))],
+        "doc_id long, text string",
+    )
+    a = {(r["doc_id"], r["score"]) for r in bm25_score_all(df, terms).collect()}
+    b = {(r["doc_id"], r["score"]) for r in bm25_score_all(rev, terms).collect()}
+    assert a == b
+    tset = {t.lower() for t in terms}
+    expect_ids = {
+        i for i, t in enumerate(docs)
+        if tset & set(t.lower().strip().split())
+    }
+    assert {i for i, _ in a} == expect_ids
+    assert all(s >= 0 for _, s in a)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # user
+            st.integers(0, 30),                     # ts
+            st.sampled_from(["s1", "s2", "s3", "x"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@_settings
+def test_funnel_monotone_and_reference(spark, events):
+    """For ANY event set: step counts are non-increasing along the
+    funnel, and equal a direct per-user reference computation of the
+    strict-order semantics."""
+    from hazelcast_jet_contrib_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        events or [(0, 0, "never")], "user_id long, ts long, event_type string"
+    )
+    steps = ["s1", "s2", "s3"]
+    got = {
+        r["step"]: r["users"] for r in funnel_steps(df, steps).collect()
+    }
+    assert got[1] >= got[2] >= got[3]
+    # reference: per user, earliest completion chain
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, ts, typ in events:
+        by_user.setdefault(u, []).append((ts, typ))
+    want = {1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        prev = None
+        for k, s in enumerate(steps):
+            cand = [
+                ts for ts, typ in evs
+                if typ == s and (k == 0 or (prev is not None and ts > prev))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            want[k + 1] += 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=15,
+    ).map(lambda ps: [(a, b) for a, b in ps if a != b])
+)
+@_settings
+def test_keep_best_partition_properties(spark, pairs):
+    """For ANY pair graph over a fixed corpus: every doc appears exactly
+    once, exactly one canonical per component, cluster_size sums to the
+    corpus size, and the canonical has the component's max quality."""
+    from hazelcast_jet_contrib_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 7) % 11)) for i in range(15)], "doc_id long, q double"
+    )
+    pdf = spark.createDataFrame(
+        pairs or [(990, 991)], "id_a long, id_b long"
+    )  # out-of-corpus sentinel pair when empty -> all singletons
+    out = keep_best_per_cluster(docs, pdf, "doc_id", "q").collect()
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == list(range(15)), "exactly one row per doc"
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    qual = {i: float((i * 7) % 11) for i in range(15)}
+    n_docs = 0
+    for comp, rows in by_comp.items():
+        if comp >= 900:
+            continue  # sentinel component (not in corpus -> no rows)
+        canon = [r for r in rows if r["is_canonical"]]
+        assert len(canon) == 1, f"component {comp}: {len(canon)} canonicals"
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+        n_docs += len(rows)
+        best = max(qual[r["doc_id"]] for r in rows)
+        assert qual[canon[0]["doc_id"]] == best
+    assert n_docs == 15
