@@ -1,0 +1,109 @@
+"""Graph analytics over edge lists: damped PageRank by synchronous
+power iteration.
+
+Reference lineage: the reference ships no graph operators; this joins
+the engine's graph family next to the min-label connected components
+in operators/dedup.py (the near-dup clustering step) — PageRank is the
+canonical "importance over detected relationships" follow-up (rank
+canonical documents inside a link/citation/near-dup graph, weight
+sources by reference structure before sampling).
+
+Scale shape: one out-degree aggregation up front, then per iteration
+exactly ONE shuffle join (ranks ⋈ edges on src) + one aggregation on
+dst — the same bounded-lineage loop as the k-means and label-
+propagation operators (per-iteration persist, no driver-side data
+except the O(1) dangling-mass scalar). Ranks relation is |V| rows,
+edges |E| rows; nothing quadratic anywhere. Iterations are FIXED
+(default 10), not convergence-polled, so the result is deterministic
+and replayable — at web scale you run the standard 10-50 sweeps.
+
+Semantics (the standard formulation): uniform init 1/N, dangling-node
+mass redistributed uniformly each sweep, rank = (1-d)/N + d*(inflow +
+dangling/N). Ranks sum to 1 every iteration (asserted in tests);
+rounding to 8 dp happens only at OUTPUT so iteration arithmetic stays
+full-precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicate edges count once).
+
+    Output: (node, rank double) for every node appearing as src or dst,
+    rank rounded to 8 dp; ranks sum to ~1.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree attached once; deg NULL marks a dangling node
+    base = nodes.join(deg, nodes.node == deg.src, "left").select(
+        "node", "deg"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "deg")
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        # Lineage MUST be cut each sweep, not just cached: the next
+        # plan references `base` both directly and through the previous
+        # ranks, so an uncut logical plan doubles per iteration
+        # (2^iters nodes — OOMs the driver before any data moves).
+        # localCheckpoint materializes the iteration's |V| rows on the
+        # executors and restarts the plan from them; swap for
+        # checkpoint() on a reliable FS when executor loss must be
+        # survivable mid-computation.
+        ranks = ranks.localCheckpoint(eager=True)
+        # O(1) driver scalar: total rank sitting on dangling nodes
+        dangling = (
+            ranks.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = base.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+            "deg",
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+__all__ = ["pagerank"]

@@ -1,0 +1,82 @@
+"""PageRank tests: exact agreement with a dense NumPy power-iteration
+reference (same formulation, same iteration count) on structured and
+random graphs, dangling-node mass conservation, and determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hazelcast_jet_contrib_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, d=0.85, iters=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(idx[u], set()).add(idx[v])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if i not in adj)
+        new = np.full(n, (1.0 - d) / n) + d * dangling / n
+        for u, vs in adj.items():
+            share = r[u] / len(vs)
+            for v in vs:
+                new[v] += d * share
+        r = new
+    return {nodes[i]: round(float(r[i]), 8) for i in range(n)}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_on_structured_graph(spark):
+    # hub-and-spoke + a chain + a dangling node
+    edges = [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 5), (5, 6)]
+    got = _run(spark, edges)
+    want = _numpy_pagerank(edges)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-7, (k, got[k], want[k])
+    # node 6 is dangling: its mass must recirculate, ranks sum to 1
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_numpy_on_random_graph(spark):
+    import random
+
+    rng = random.Random(88)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _run(spark, edges, iterations=12)
+    want = _numpy_pagerank(edges, iters=12)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-7
+
+
+def test_pagerank_hub_outranks_spokes_and_is_deterministic(spark):
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    # the 0<->1 cycle oscillates with period 2, decaying by d per
+    # sweep — rank ordering is only meaningful once converged, so run
+    # enough sweeps for the oscillation to die (0.85^40 ~ 1e-3)
+    a = _run(spark, edges, iterations=40)
+    b = _run(spark, edges, iterations=40)
+    assert a == b
+    assert a[0] == max(a.values())
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    base = [(1, 2), (2, 3), (3, 1)]
+    assert _run(spark, base) == _run(spark, base * 3)
+
+
+def test_pagerank_validation(spark):
+    df_edges = [(1, 2)]
+    with pytest.raises(ValueError):
+        _run(spark, df_edges, damping=1.0)
+    with pytest.raises(ValueError):
+        _run(spark, df_edges, iterations=0)
