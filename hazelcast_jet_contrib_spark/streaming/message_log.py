@@ -455,3 +455,73 @@ def append_segment(root: str, stream: str, records: list[dict], seq: int | None 
     finally:
         if tmp is not None and os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def compact_stream(root: str, stream: str) -> dict:
+    """Log compaction (the Kafka compacted-topic contract, and the
+    store-side twin of the Redis hash sink's last-write-wins bulk load,
+    RedisSinks.java:64-151): for every key keep only its LATEST record;
+    a full replay of the compacted log reaches exactly the same
+    final key->value state as a replay of the uncompacted one.
+
+    Offset stability: each surviving record stays in its ORIGINAL
+    segment (same seq), superseded records are simply dropped when the
+    segment is rewritten, and a fully-superseded segment becomes an
+    EMPTY file rather than disappearing — reader offsets (segment
+    seqs) stay monotone and dense exactly as before, so a checkpointed
+    reader restarted mid-log never sees an offset move.
+
+    Safety:
+      * atomic per segment (tmp + os.replace) — a crash mid-compaction
+        leaves some segments compacted and some not, which is a valid
+        state; re-running finishes the job (idempotent).
+      * concurrent producers are untouched: only segments at or below
+        the high-water mark snapshotted at entry are scanned OR
+        rewritten; records appended after the snapshot can themselves
+        supersede old keys — that dirty tail compacts on the NEXT run
+        (Kafka's dirty-region model).
+      * keyless records are never compactable and always survive.
+
+    Driver-side maintenance utility by design (the log is a single-FS
+    store; compaction is I/O-bound file rewriting, not a dataflow).
+    Returns {"segments", "records_before", "records_after",
+    "dropped"}.
+    """
+    sdir = os.path.join(root, stream)
+    seqs = _segments(sdir)  # high-water mark snapshot: new appends ignored
+    # pass 1: last occurrence of every key across (seq, line-index)
+    last: dict[str, tuple[int, int]] = {}
+    before = 0
+    for seq in seqs:
+        with open(os.path.join(sdir, f"{seq:06d}.jsonl")) as f:
+            for i, line in enumerate(f):
+                before += 1
+                key = json.loads(line).get("key")
+                if key is not None:
+                    last[str(key)] = (seq, i)
+    # pass 2: rewrite each segment keeping keyless records and each
+    # key's final occurrence
+    after = 0
+    for seq in seqs:
+        path = os.path.join(sdir, f"{seq:06d}.jsonl")
+        keep: list[str] = []
+        dirty = False
+        with open(path) as f:
+            for i, line in enumerate(f):
+                key = json.loads(line).get("key")
+                if key is None or last[str(key)] == (seq, i):
+                    keep.append(line)
+                else:
+                    dirty = True
+        after += len(keep)
+        if dirty:
+            tmp = f"{path}.compact-{os.getpid()}-{time.monotonic_ns()}.tmp"
+            with open(tmp, "w") as f:
+                f.writelines(keep)
+            os.replace(tmp, path)
+    return {
+        "segments": len(seqs),
+        "records_before": before,
+        "records_after": after,
+        "dropped": before - after,
+    }

@@ -420,3 +420,100 @@ def test_missing_staged_file_raises_unless_segment_exists(tmp_path):
         w.commit([msg2], batchId=2)
     # and the lost epoch's data never became visible
     assert sorted(r["key"] for r in _read_all(root, "s")) == ["a"]
+
+
+def test_compaction_keeps_latest_per_key_with_stable_offsets(tmp_path):
+    """Kafka compacted-topic contract: replaying the compacted log
+    reaches the same final key->value state; survivors keep their
+    original segment seq; fully-superseded segments become EMPTY files
+    (offsets never move); keyless records always survive; re-running
+    is a no-op; segments appended after the snapshot are untouched."""
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        _segments,
+        compact_stream,
+    )
+
+    root = str(tmp_path / "root")
+    s0 = message_log.append_segment(root, "s", [
+        {"key": "a", "value": "a1"}, {"key": "b", "value": "b1"},
+        {"value": "keyless-1"},
+    ])
+    s1 = message_log.append_segment(root, "s", [
+        {"key": "a", "value": "a2"},
+    ])
+    s2 = message_log.append_segment(root, "s", [
+        {"key": "a", "value": "a3"}, {"key": "a", "value": "a4"},
+        {"key": "c", "value": "c1"},
+    ])
+
+    stats = compact_stream(root, "s")
+    assert stats == {
+        "segments": 3, "records_before": 7, "records_after": 4, "dropped": 3,
+    }
+    segs = {seq: recs for seq, recs in _by_segment(root, "s").items()}
+    # segment 0: 'a'@s0 superseded, b + keyless survive
+    assert [r["value"] for r in segs[s0]] == ["b1", "keyless-1"]
+    # segment 1 fully superseded -> EMPTY but PRESENT
+    assert segs.get(s1, []) == [] and s1 in _segments(
+        str(tmp_path / "root" / "s")
+    )
+    # segment 2: within-segment supersede drops a3, keeps a4 + c1
+    assert [r["value"] for r in segs[s2]] == ["a4", "c1"]
+    # final-state equivalence
+    final = {}
+    for seq in sorted(segs):
+        for r in segs[seq]:
+            if "key" in r:
+                final[r["key"]] = r["value"]
+    assert final == {"a": "a4", "b": "b1", "c": "c1"}
+    # idempotent
+    again = compact_stream(root, "s")
+    assert again["dropped"] == 0 and again["records_after"] == 4
+    # dirty tail appended after a compaction run stays untouched until
+    # the NEXT run, then supersedes
+    message_log.append_segment(root, "s", [{"key": "b", "value": "b2"}])
+    stats3 = compact_stream(root, "s")
+    assert stats3["dropped"] == 1  # old b1 goes
+    final2 = {
+        r["key"]: r["value"]
+        for recs in _by_segment(root, "s").values()
+        for r in recs if "key" in r
+    }
+    assert final2 == {"a": "a4", "b": "b2", "c": "c1"}
+
+
+def _by_segment(root: str, stream: str) -> dict[int, list[dict]]:
+    import glob as _glob
+
+    out: dict[int, list[dict]] = {}
+    for p in sorted(_glob.glob(os.path.join(root, stream, "*.jsonl"))):
+        seq = int(os.path.basename(p)[: -len(".jsonl")])
+        with open(p) as f:
+            out[seq] = [json.loads(line) for line in f]
+    return out
+
+
+def test_compacted_log_replays_through_the_stream_reader(spark, tmp_path):
+    """After compaction the DSv2 reader replays the log end-to-end:
+    empty segments are skipped harmlessly, seqs are original, and the
+    latest-per-key state matches."""
+    from hazelcast_jet_contrib_spark.streaming.message_log import compact_stream
+
+    root = str(tmp_path / "root")
+    message_log.append_segment(root, "s", [{"key": "k", "value": "v1"}])
+    message_log.append_segment(root, "s", [{"key": "k", "value": "v2"}])
+    message_log.append_segment(root, "s", [{"key": "j", "value": "w1"}])
+    compact_stream(root, "s")
+
+    message_log.register(spark)
+    q = (
+        spark.readStream.format("message_log").option("path", root).load()
+        .writeStream.format("memory").queryName("compacted_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    rows = spark.sql("select seq, key, value from compacted_replay").collect()
+    assert {(r["seq"], r["key"], r["value"]) for r in rows} == {
+        (1, "k", "v2"), (2, "j", "w1"),
+    }
