@@ -163,6 +163,14 @@ from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 #      registry query runs unsegmented), and the PQ validation /
 #      missing-sidecar / staged-file-loss changes are error paths that
 #      cannot alter any green query's result, schema, or plan.
+#   ROUND-9 REGISTRATION CANDIDATES (implemented + pytest-proven this
+#   round, awaiting a window slot): pagerank (oracle: 10 unrolled
+#   power-iteration CTEs over an events-derived edge list — exact,
+#   since ranks round at output only), bpe_encode with a pinned merge
+#   list. Streaming ops (streaming_zscore_anomalies,
+#   streaming_funnel_progress, compact_stream) stay pytest-proven —
+#   not DuckDB-expressible.
+#
 #   d. ROTATION MARKER: _ROTATION_ROUND below names the round this
 #      _PRIORITY was built for; while CORRECTNESS_r{that round} does
 #      not exist yet, the window must consist of queries NOT already
