@@ -829,3 +829,113 @@ def band_probe_pairs_64(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index: build once, probe many (the text-side
+# twin of similarity.build_ivf_index / ivf_index_topk)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> None:
+    """Materialize a reusable near-dup index on disk: one row per
+    (corpus id, band) carrying the 64-bit band-bucket key ``bh`` and
+    the document's shingle-hash verification set ``hs``, written as
+    parquet PARTITIONED BY band and SORTED by ``bh`` within partitions.
+
+    Why this layout: every probe emits a key in EVERY band, so band
+    partitioning alone cannot prune — the pruning lever is ``bh``.
+    Sorting by ``bh`` clusters each bucket into adjacent row groups,
+    so a probe's `bh IN (...)` predicate (pushed to the scan —
+    plan-asserted in tests) skips row groups by min/max stats: a
+    bounded probe set reads a bounded slice of an arbitrarily large
+    index, and the expensive signature computation over the corpus
+    runs ONCE at build time instead of per decontamination run.
+
+    Index parameters persist in a `_`-prefixed sidecar so probes can
+    never be computed with a mismatched family."""
+    sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
+    sig = minhash_signatures(sh, num_hashes)
+    banded = band_keys(sig, num_hashes, bands).join(
+        sig.select("id", "hs"), "id"
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bh")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_minhash_params.json"), "w") as f:
+        _json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_words": shingle_words,
+            },
+            f,
+        )
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Probe a persisted MinHash index with a (bounded) probe corpus:
+    LSH candidate generation by (band, bh) equality against the index,
+    then EXACT Jaccard verification on the stored shingle-hash sets —
+    no false positives from banding survive, identically to
+    `minhash_decontaminate`'s verify step, but against an index built
+    once. Probe cost: the probe side computes its signatures fresh
+    (it is the small side — an eval set, a delta batch); the index
+    scan reads only row groups whose ``bh`` range intersects the
+    probes' bucket keys (predicate pushdown on the sorted column).
+
+    Output: (probe_id, corpus_id, jaccard double rounded to 6dp) for
+    every pair at or above ``threshold``."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_minhash_params.json")) as f:
+        params = _json.load(f)
+    sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"])
+    sig = minhash_signatures(sh, params["num_hashes"])
+    pb = band_keys(sig, params["num_hashes"], params["bands"]).join(
+        sig.select("id", "hs"), "id"
+    )
+    probe_rows = pb.collect()  # bounded by design: |probes| x bands
+    bhs = sorted({r["bh"] for r in probe_rows})
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["id"], r["band"], r["bh"], r["hs"]) for r in probe_rows],
+            "probe_id long, band int, bh long, phs array<bigint>",
+        )
+    )
+    idx = spark.read.parquet(path).filter(F.col("bh").isin(bhs))
+    cand = (
+        idx.join(probe_df, ["band", "bh"])
+        .select("probe_id", F.col("id").alias("corpus_id"), "phs", "hs")
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect("phs", "hs")).cast("double")
+    union = F.size("phs") + F.size("hs") - F.size(F.array_intersect("phs", "hs"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+    )

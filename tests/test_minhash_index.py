@@ -1,0 +1,91 @@
+"""Persisted MinHash-LSH index tests: build-once/probe-many recall on
+planted near-dups, exact-Jaccard verification parity, bucket-predicate
+pushdown at the probe scan, and parameter-sidecar round-trip."""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.dedup import (
+    build_minhash_index,
+    jaccard_pairs,
+    probe_minhash_index,
+)
+from hazelcast_jet_contrib_spark.registry import table
+from tests.conftest import CORRECTNESS_SF
+
+
+@pytest.fixture(scope="module")
+def mh_index(spark):
+    docs = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="mhidx_")
+    build_minhash_index(docs, path)
+    yield docs, path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _probes(docs):
+    return docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy")).alias("text"),
+    )
+
+
+def test_probe_finds_planted_near_dups_and_verifies_exactly(spark, mh_index):
+    docs, path = mh_index
+    out = probe_minhash_index(spark, path, _probes(docs), threshold=0.6)
+    rows = out.collect()
+    hits = {(r["probe_id"], r["corpus_id"]) for r in rows}
+    planted = {(d + 5_000_000, d) for d in range(0, 500, 97)}
+    assert planted <= hits, f"missing planted pairs: {planted - hits}"
+    # verification is EXACT jaccard on hashed shingles: every reported
+    # pair must also pass the exact pair computation on raw text
+    aug = docs.unionByName(_probes(docs))
+    exact = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in jaccard_pairs(aug, "doc_id", "text", threshold=0.6).collect()
+    }
+    for p, c in hits:
+        assert tuple(sorted((p, c))) in exact, (p, c)
+    assert all(0.6 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_probe_scan_pushes_bucket_predicate(spark, mh_index):
+    docs, path = mh_index
+    out = probe_minhash_index(spark, path, _probes(docs), threshold=0.6)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m and "In(bh" in m.group(1), (
+        "probe must push the bh bucket-key IN-predicate to the index scan "
+        "(row-group pruning on the sorted column)"
+    )
+
+
+def test_probe_is_repeatable_without_rebuild(spark, mh_index):
+    docs, path = mh_index
+    a = {
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, _probes(docs)).collect()
+    }
+    b = {
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, _probes(docs)).collect()
+    }
+    assert a == b and a
+
+
+def test_probe_threshold_filters(spark, mh_index):
+    docs, path = mh_index
+    # unrelated probes (reversed word soup from other docs' ids) find nothing
+    unrelated = docs.filter(F.col("doc_id") % 97 == 1).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.reverse("text").alias("text"),
+    )
+    out = probe_minhash_index(spark, path, unrelated, threshold=0.6).collect()
+    assert out == []
