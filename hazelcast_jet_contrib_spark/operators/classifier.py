@@ -1,0 +1,161 @@
+"""Linear quality classifier for corpus filtering: distributed
+logistic regression over hashed bag-of-words features — the
+fastText-style model the big public pipelines (CCNet, GPT-3's quality
+filter, LLaMA's wiki-reference classifier) train on (good, bad)
+example sets and then apply corpus-wide to keep documents above a
+score threshold.
+
+Reference lineage: the reference's service surface runs arbitrary
+per-record scoring functions (HashingSupport.java:42-48 service
+pattern); this supplies the standard LEARNED scorer those pipelines
+plug in, trained and applied as Spark dataflow.
+
+Scale shape:
+  * Featurization is ONE pass: tokenize → hash tokens into
+    ``num_features`` buckets (feature hashing — no vocabulary build,
+    no second pass) → per-doc tf normalization. The feature relation
+    (doc, idx, val) persists once and every GD iteration reuses it.
+  * Per iteration: margins = one aggregation by doc after a BROADCAST
+    join with the weight vector (the model is small by construction —
+    hashing bounds it); gradients = one aggregation by feature index;
+    the gradient (≤ num_features rows) returns to the driver, which
+    updates the weights — the k-means/PageRank loop shape, with model
+    state driver-side because it is O(model), never O(data).
+  * Scoring a corpus is one broadcast join + one aggregation — no
+    Python in the loop; sigmoid is Catalyst arithmetic.
+
+Determinism: full-batch GD with fixed iterations and a fixed learning
+rate; float sums are shuffle-order sensitive at ~1e-16 relative, so
+tests compare against a NumPy reference within 1e-6 rather than
+bit-exactly (unlike the hash-exact registry queries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BIAS_IDX = -1  # bias term rides the feature relation with val=1.0
+
+
+def featurize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 15,
+) -> DataFrame:
+    """(id, idx, val): hashed bag-of-words with per-doc L1 tf
+    normalization plus a bias row (idx = -1, val = 1)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = (
+        toks.select("id", F.pmod(F.xxhash64("tok"), F.lit(num_features)).alias("idx"))
+        .groupBy("id", "idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_len = tf.groupBy("id").agg(F.sum("n").alias("len"))
+    feats = tf.join(doc_len, "id").select(
+        "id", "idx", (F.col("n") / F.col("len")).alias("val")
+    )
+    bias = doc_len.select(
+        "id", F.lit(BIAS_IDX).alias("idx"), F.lit(1.0).alias("val")
+    )
+    return feats.unionByName(bias)
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 15,
+    iterations: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> dict[int, float]:
+    """Train logistic regression (full-batch GD) on labeled documents
+    (``label_col``: 1 = keep-quality, 0 = reject). Returns the weight
+    map {feature_idx: weight} (bias under BIAS_IDX) — pass it to
+    ``score_documents``."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    feats = featurize(docs, id_col, text_col, num_features).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("no training documents")
+
+    w: dict[int, float] = {}
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            list(w.items()) or [(BIAS_IDX, 0.0)], "idx long, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "idx", "left")
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("val") * F.coalesce(F.col("w"), F.lit(0.0))).alias("m")
+            )
+        )
+        # residual r = sigmoid(m) - y per doc; gradient by feature idx
+        resid = margins.join(labels, "id").select(
+            "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r")
+        )
+        grad_rows = (
+            feats.join(resid, "id")
+            .groupBy("idx")
+            .agg((F.sum(F.col("val") * F.col("r")) / F.lit(float(n_docs))).alias("g"))
+            .collect()
+        )
+        for row in grad_rows:
+            idx, g = row["idx"], row["g"]
+            if l2 and idx != BIAS_IDX:
+                g += l2 * w.get(idx, 0.0)
+            w[idx] = w.get(idx, 0.0) - lr * g
+    feats.unpersist()
+    labels.unpersist()
+    return w
+
+
+def score_documents(
+    docs: DataFrame,
+    weights: dict[int, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 15,
+) -> DataFrame:
+    """Apply a trained classifier corpus-wide. Output: (``id_col``,
+    score double in (0,1)) — one broadcast join + one aggregation;
+    filter with `.filter(F.col("score") >= t)` to keep quality docs."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [(BIAS_IDX, 0.0)], "idx long, w double"
+    )
+    feats = featurize(docs, id_col, text_col, num_features)
+    return (
+        feats.join(F.broadcast(wdf), "idx", "left")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.coalesce("w", F.lit(0.0))).alias("m"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("score"),
+        )
+    )
+
+
+__all__ = [
+    "featurize",
+    "train_quality_classifier",
+    "score_documents",
+    "BIAS_IDX",
+]

@@ -32,6 +32,7 @@ def streaming_dedup(
     df: DataFrame,
     key_col: str,
     value_schema: str,
+    ttl_seconds: float | None = None,
 ) -> DataFrame:
     """First-occurrence-only pass-through of a keyed stream.
 
@@ -41,14 +42,32 @@ def streaming_dedup(
     micro-batch. Use for cross-batch ingest dedup where replays and
     producer retries re-send records (pairs with the at-least-once
     ack_log source to recover exactly-once delivery downstream).
+
+    ``ttl_seconds`` bounds the state store for UNBOUNDED key spaces —
+    the 100 TB concern: remember-forever dedup over an open key domain
+    grows state monotonically until the job dies. With a TTL, each
+    key's marker expires ``ttl_seconds`` after the batch that last saw
+    it (processing time); a key arriving after expiry is treated as
+    first-seen again — the deliberate trade (producer retries live
+    within seconds/minutes; remember-forever remains the default for
+    closed key domains). Expiry uses the engine's state-timeout
+    machinery, so expired markers are physically removed from the
+    store, not just ignored.
     """
     out_schema = StructType.fromDDL(value_schema)
     out_cols = [f.name for f in out_schema.fields]
+    timeout_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # marker expired: next arrival is first-seen
+            return
         if state.exists:
+            if timeout_ms is not None:
+                # a retry arrived: extend the marker's life from NOW
+                state.setTimeoutDuration(timeout_ms)
             return  # key seen in an earlier batch: drop everything
         first = None
         for pdf in pdfs:
@@ -56,6 +75,8 @@ def streaming_dedup(
                 first = pdf.iloc[[0]][out_cols]
         if first is not None:
             state.update((True,))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
             yield first
 
     return (
@@ -65,7 +86,11 @@ def streaming_dedup(
             outputStructType=out_schema,
             stateStructType="seen boolean",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -1,0 +1,102 @@
+"""Quality-classifier tests: gradient math against a NumPy reference
+(same featurization, same full-batch GD), separation on a synthetic
+good/bad corpus, and scoring-path parity with training margins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.operators.classifier import (
+    BIAS_IDX,
+    score_documents,
+    train_quality_classifier,
+)
+
+GOOD_WORDS = ["clear", "prose", "well", "formed", "sentences", "with", "meaning"]
+BAD_WORDS = ["zzz", "qqq", "#@!", "111", "xxx", "garbled", "spam"]
+
+
+def _corpus(n_each=30, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_each):
+        rows.append((i, " ".join(rng.choices(GOOD_WORDS, k=12)), 1))
+        rows.append((1000 + i, " ".join(rng.choices(BAD_WORDS, k=12)), 0))
+    return rows
+
+
+def test_gradient_descent_matches_numpy_on_exported_features(spark):
+    """Export the Spark feature relation once, run the same full-batch
+    GD in NumPy, and compare the final weight vector (1e-6 — float
+    sums are shuffle-order sensitive, not semantics)."""
+    from hazelcast_jet_contrib_spark.operators.classifier import featurize
+
+    rows = _corpus(n_each=12)
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    nf = 1 << 10
+    iters, lr = 15, 2.0
+
+    w_spark = train_quality_classifier(
+        docs, "label", num_features=nf, iterations=iters, lr=lr
+    )
+
+    frows = featurize(docs, num_features=nf).collect()
+    labels = {r[0]: float(r[2]) for r in rows}
+    ids = sorted(labels)
+    id_pos = {d: i for i, d in enumerate(ids)}
+    idxs = sorted({r["idx"] for r in frows})
+    idx_pos = {x: i for i, x in enumerate(idxs)}
+    X = np.zeros((len(ids), len(idxs)))
+    for r in frows:
+        X[id_pos[r["id"]], idx_pos[r["idx"]]] = r["val"]
+    y = np.array([labels[d] for d in ids])
+    w = np.zeros(len(idxs))
+    for _ in range(iters):
+        m = X @ w
+        resid = 1.0 / (1.0 + np.exp(-m)) - y
+        w -= lr * (X.T @ resid) / len(ids)
+    for x in idxs:
+        assert abs(w_spark.get(x, 0.0) - w[idx_pos[x]]) < 1e-6, x
+
+
+def test_classifier_separates_good_from_bad(spark):
+    train = _corpus(n_each=30, seed=7)
+    test = _corpus(n_each=15, seed=99)  # fresh draws, same distributions
+    docs = spark.createDataFrame(train, "doc_id long, text string, label int")
+    w = train_quality_classifier(docs, "label", num_features=1 << 12)
+    held = spark.createDataFrame(test, "doc_id long, text string, label int")
+    scored = score_documents(held, w, num_features=1 << 12).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    acc = sum(1 for r in rows if (r["score"] >= 0.5) == (r["label"] == 1)) / len(rows)
+    assert acc >= 0.95, f"held-out accuracy {acc}"
+    # bias learned (classes are balanced -> small), good scores high
+    goods = [r["score"] for r in rows if r["label"] == 1]
+    bads = [r["score"] for r in rows if r["label"] == 0]
+    assert min(goods) > max(bads), "distributions must separate cleanly"
+
+
+def test_scoring_plan_stays_jvm_side(spark):
+    docs = spark.createDataFrame(
+        _corpus(n_each=5), "doc_id long, text string, label int"
+    )
+    w = train_quality_classifier(docs, "label", num_features=256, iterations=2)
+    out = score_documents(docs, w, num_features=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, "weights must broadcast"
+
+
+def test_validation(spark):
+    docs = spark.createDataFrame(
+        _corpus(n_each=2), "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError):
+        train_quality_classifier(docs, "label", iterations=0)
+    with pytest.raises(ValueError):
+        train_quality_classifier(docs.filter("doc_id < 0"), "label")

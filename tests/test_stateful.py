@@ -281,3 +281,44 @@ def test_streaming_funnel_matches_batch_counts_across_restart(spark, tmp_path):
         s: sum(1 for ks in per_key.values() if s in ks) for s in (1, 2, 3)
     }
     assert got_counts == want, (got_counts, want)
+
+
+def test_streaming_dedup_ttl_expires_markers(spark, tmp_path):
+    """With a TTL the dedup marker is physically removed after expiry:
+    a key retried WITHIN the TTL stays dropped, a key arriving AFTER
+    expiry is first-seen again — the state-store bound for unbounded
+    key domains."""
+    import time as _time
+
+    from hazelcast_jet_contrib_spark.streaming.stateful import streaming_dedup
+
+    root = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(segment):
+        message_log.append_segment(root, "s", segment)
+        q = (
+            streaming_dedup(
+                _log_stream(spark, root), "key",
+                "key string, value string", ttl_seconds=2.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run([{"key": "a", "value": "a-1"}])
+    run([{"key": "a", "value": "a-retry"}])  # within TTL: dropped
+    _time.sleep(3.0)  # let the marker expire (processing time)
+    run([{"key": "b", "value": "b-1"},       # triggers timeout processing
+         {"key": "a", "value": "a-after-ttl"}])
+
+    vals = sorted(
+        r["value"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert vals == ["a-1", "a-after-ttl", "b-1"], vals
