@@ -167,9 +167,13 @@ from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 #   round, awaiting a window slot): pagerank (oracle: 10 unrolled
 #   power-iteration CTEs over an events-derived edge list — exact,
 #   since ranks round at output only), bpe_encode with a pinned merge
-#   list. Streaming ops (streaming_zscore_anomalies,
-#   streaming_funnel_progress, compact_stream) stay pytest-proven —
-#   not DuckDB-expressible.
+#   list, probe_minhash_index (oracle: the exact-Jaccard SQL the
+#   decontamination queries already use), quality-classifier accuracy
+#   gate (held-out accuracy >= threshold -> boolean, the
+#   ivf_recall_at_nprobe pattern). Streaming ops
+#   (streaming_zscore_anomalies, streaming_funnel_progress,
+#   compact_stream, streaming_dedup TTL) stay pytest-proven — not
+#   DuckDB-expressible.
 #
 #   d. ROTATION MARKER: _ROTATION_ROUND below names the round this
 #      _PRIORITY was built for; while CORRECTNESS_r{that round} does

@@ -53,6 +53,12 @@ def streaming_dedup(
     closed key domains). Expiry uses the engine's state-timeout
     machinery, so expired markers are physically removed from the
     store, not just ignored.
+
+    Trigger note: with a TTL the engine schedules timer-evaluation
+    micro-batches continuously, so `processAllAvailable()` never
+    quiesces — drive TTL'd queries with `trigger(availableNow=True)`
+    (drain-and-stop) or a processing-time trigger interval, exactly as
+    a production stream would run anyway.
     """
     out_schema = StructType.fromDDL(value_schema)
     out_cols = [f.name for f in out_schema.fields]
@@ -61,20 +67,36 @@ def streaming_dedup(
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         if state.hasTimedOut:
-            state.remove()  # marker expired: next arrival is first-seen
+            # idle past the TTL with no data in this batch: physically
+            # drop the marker — the state-store bound
+            state.remove()
             return
-        if state.exists:
+        now_ms = int(_time.time() * 1000)
+        if state.exists and (
+            timeout_ms is None or state.get[1] > now_ms
+        ):
+            # live marker: drop the retry, extend its life from NOW.
+            # The deadline must ALSO live in the state because the
+            # engine never reports hasTimedOut for a key that has data
+            # in the batch — an arrival after expiry reaches this code
+            # with state still present, and only the stored deadline
+            # can distinguish "retry within TTL" from "expired, treat
+            # as first-seen".
             if timeout_ms is not None:
-                # a retry arrived: extend the marker's life from NOW
+                state.update((True, now_ms + timeout_ms))
                 state.setTimeoutDuration(timeout_ms)
-            return  # key seen in an earlier batch: drop everything
+            return
+        # first-seen, or the marker expired and this arrival restarts it
         first = None
         for pdf in pdfs:
             if len(pdf) and first is None:
                 first = pdf.iloc[[0]][out_cols]
         if first is not None:
-            state.update((True,))
+            deadline = (2**63 - 1) if timeout_ms is None else now_ms + timeout_ms
+            state.update((True, deadline))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
             yield first
@@ -84,7 +106,7 @@ def streaming_dedup(
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,
-            stateStructType="seen boolean",
+            stateStructType="seen boolean, expires long",
             outputMode="append",
             timeoutConf=(
                 GroupStateTimeout.NoTimeout

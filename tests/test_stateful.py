@@ -301,20 +301,25 @@ def test_streaming_dedup_ttl_expires_markers(spark, tmp_path):
         q = (
             streaming_dedup(
                 _log_stream(spark, root), "key",
-                "key string, value string", ttl_seconds=2.0,
+                "key string, value string", ttl_seconds=20.0,
             )
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
+            # availableNow: processes the backlog then STOPS ITSELF.
+            # processAllAvailable() never quiesces under
+            # ProcessingTimeTimeout — the engine keeps scheduling
+            # timer-evaluation batches (see streaming_dedup docstring)
+            .trigger(availableNow=True)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
         q.awaitTermination()
 
     run([{"key": "a", "value": "a-1"}])
     run([{"key": "a", "value": "a-retry"}])  # within TTL: dropped
-    _time.sleep(3.0)  # let the marker expire (processing time)
+    # (TTL must exceed the per-run availableNow query startup — ~8s —
+    # or the retry would legitimately arrive expired)
+    _time.sleep(21.0)  # let the marker expire (processing time)
     run([{"key": "b", "value": "b-1"},       # triggers timeout processing
          {"key": "a", "value": "a-after-ttl"}])
 
