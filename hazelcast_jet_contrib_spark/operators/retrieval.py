@@ -172,4 +172,66 @@ def bm25_topk(
     )
 
 
-__all__ = ["bm25_topk", "bm25_score_all", "DEFAULT_K1", "DEFAULT_B"]
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N per-query rankings (the standard
+    hybrid-retrieval combiner — fuse BM25's lexical top-k with the
+    dense ANN top-k from operators/similarity.py without score
+    calibration):
+
+        rrf(q, d) = sum over rankings containing (q, d) of
+                    1 / (rrf_k + rank_i(q, d))
+
+    Each input is a (query_col, doc_col, rank_col) relation — exactly
+    the contract `bm25_topk` (with a query id column added) and
+    `cosine_topk`/`ivf_*_topk` emit. Scale: one union of the
+    (already top-k-bounded, therefore tiny) ranking relations, one
+    aggregation on (query, doc), and a per-query window rank over at
+    most N*k candidates — nothing corpus-sized flows anywhere.
+
+    Output: (query_col, doc_col, score double 6dp, rank int) — top-k
+    per query, ties by doc id. Deterministic, so an exact SQL oracle
+    exists.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1 or rrf_k < 1:
+        raise ValueError("k and rrf_k must be >= 1")
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rank_col).alias("r"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("q", "d").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r"))), 6
+        ).alias("score")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col("d").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("d").alias(doc_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+__all__ = ["bm25_topk", "bm25_score_all", "rrf_fuse", "DEFAULT_K1", "DEFAULT_B"]

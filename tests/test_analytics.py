@@ -271,3 +271,68 @@ def test_keep_best_exactly_one_canonical_per_component(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuses_lexical_and_dense_rankings(spark):
+    from hazelcast_jet_contrib_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+           for r in rrf_fuse([lex, dense], k=3, rrf_k=60).collect()}
+    # doc 11 appears in BOTH lists (ranks 2 and 1): must fuse to the top
+    assert out[(1, 1)][0] == 11
+    assert abs(out[(1, 1)][1] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # singly-listed docs keep their reciprocal score; ties break by id
+    assert out[(1, 2)][0] == 10  # 1/61 from lex rank 1
+    assert out[(2, 1)][0] == 20 and abs(out[(2, 1)][1] - round(2 / 61, 6)) < 1e-9
+
+
+def test_rrf_end_to_end_with_bm25_and_cosine(spark):
+    """The real composition: BM25 lexical + exact-cosine dense over the
+    shared corpus, fused — every fused (q, d) must come from at least
+    one source list, and a doc ranked #1 by both sources stays #1."""
+    from hazelcast_jet_contrib_spark.operators.retrieval import rrf_fuse
+    from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk
+
+    docs = table(spark, CORRECTNESS_SF, "documents")
+    emb = table(spark, CORRECTNESS_SF, "embeddings")
+    lex = (
+        bm25_topk(docs, ["data", "model"], k=10)
+        .select(F.lit(0).alias("query_id"), F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    dense = cosine_topk(q, emb.filter(F.col("vec_id") >= 10), k=10).select(
+        F.lit(0).alias("query_id"), "neighbor_id", "rank"
+    )
+    fused = rrf_fuse([lex, dense], k=10).collect()
+    src = {r["neighbor_id"] for r in lex.collect()} | {
+        r["neighbor_id"] for r in dense.collect()
+    }
+    assert all(r["neighbor_id"] in src for r in fused)
+    assert len(fused) == min(10, len(src))
+
+
+def test_rrf_validation(spark):
+    from hazelcast_jet_contrib_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(1, 1, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([df], k=0)
