@@ -871,3 +871,53 @@ def rarity_weighted_terms(
         .filter(F.col("rank") <= top_k)
         .select("id", "term", "tf", "score", "rank")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the unit of assignment is the near-dup COMPONENT,
+    not the document. A plain per-doc hash split puts two near-copies
+    of the same page on both sides of the train/test boundary — the
+    classic eval-contamination bug ordinary `hash_split` cannot see;
+    here every member of a cluster inherits the cluster's split, and
+    singletons fall back to their own id, so isolated documents get
+    exactly the per-doc behavior.
+
+    Determinism: the split is a pure function of (component id,
+    fractions) via the engine-portable affine-mod-Mersenne hash — the
+    same content-stable property as hash_split_assignment, now at
+    cluster granularity, so the assignment survives re-sharding and
+    incremental corpus growth (a NEW near-dup of an assigned doc joins
+    its component and therefore its split).
+
+    Scale: components come from the pair graph only; one left join of
+    the corpus against them (AQE broadcasts the small side); no window
+    over the corpus. ``pairs`` is any (id_a, id_b) near-dup relation.
+
+    Output: one row per doc — (``id_col``, component_id, split string).
+    """
+    if sum(fractions) != 100 or any(f < 0 for f in fractions):
+        raise ValueError("fractions must be non-negative and sum to 100")
+    from hazelcast_jet_contrib_spark.functions.sketches import affine_hash
+    from hazelcast_jet_contrib_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component").alias("component_id")
+    )
+    with_comp = docs.select(id_col).join(comps, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("component_id"),
+    )
+    bucket = affine_hash("component_id", 0) % 100
+    train_cut, val_cut = fractions[0], fractions[0] + fractions[1]
+    split = (
+        F.when(bucket < train_cut, F.lit("train"))
+        .when(bucket < val_cut, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return with_comp.select(id_col, "component_id", split.alias("split"))

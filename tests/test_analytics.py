@@ -336,3 +336,63 @@ def test_rrf_validation(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([df], k=0)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chains of near-dups: (0,1,2), (10,11), (20,21,22,23), ...
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 10) for i in (i, i + 1)]
+        + [(i, i + 2) for i in range(0, 200, 20)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs, fractions=(60, 20, 20)).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_comp: dict[int, set] = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), (
+        "a near-dup cluster straddles splits — leakage"
+    )
+    # all three splits are populated at these fractions over ~100 comps
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_matches_hash_split_for_singletons(spark):
+    """With NO near-dup pairs the assignment degrades to exactly the
+    per-doc affine-hash split (component_id == doc_id)."""
+    from hazelcast_jet_contrib_spark.functions.sketches import affine_hash
+    from hazelcast_jet_contrib_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, empty).collect()}
+    ref = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", (affine_hash("doc_id", 0) % 100).alias("b")
+        ).collect()
+    }
+    for d, b in ref.items():
+        want = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert out[d] == want
+
+
+def test_leakage_safe_split_validation(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, empty, fractions=(80, 10, 5))
