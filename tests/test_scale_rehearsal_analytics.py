@@ -140,3 +140,50 @@ def test_funnel_shuffle_linear_in_events(spark):
     growth = s8 / max(s1, 1)
     assert growth <= 2 * 8, f"funnel shuffle grew {growth:.1f}x for 8x events"
     print(f"FUNNEL-SCALE 1x: {s1} rec; 8x: {s8} rec; growth {growth:.2f}x")
+
+
+@pytest.mark.slow
+def test_bpe_merge_rounds_are_corpus_size_independent(spark, tmp_path):
+    """The BPE trainer's headline scale claim, measured: after the one
+    word-counting pass, every merge round runs on the word-frequency
+    relation — so an 8x corpus with the SAME vocabulary yields
+    IDENTICAL merges and an identical per-round pair-count row count,
+    while only the initial word count scales. Built by repeating the
+    same documents 8x (vocabulary unchanged by construction)."""
+    from hazelcast_jet_contrib_spark.operators.bpe import (
+        _initial_symbols,
+        _word_counts,
+        train_bpe,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.pmod(F.col("id"), F.lit(500)), p), F.lit(80)).cast("string"),
+        ),
+    )
+
+    def corpus(n):
+        path = str(tmp_path / f"bpe_{n}")
+        spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    c1, c8 = corpus(500), corpus(4000)  # 8x = the same 500 docs repeated
+    m1 = train_bpe(c1, num_merges=6)
+    m8 = train_bpe(c8, num_merges=6)
+    assert m1, "trainer must learn merges on this corpus"
+    assert m1 == m8, "same vocabulary (x8 frequency) must learn the same merges"
+    # the per-round working relation is the VOCABULARY, measured directly:
+    for c in (c1, c8):
+        vocab = _word_counts(c, "text").select(
+            _initial_symbols(F.col("word")).alias("sym"), "freq"
+        )
+        n = vocab.count()
+        assert n <= 500 * 20, n  # bounded by distinct words, not corpus rows
+    v1 = _word_counts(c1, "text").count()
+    v8 = _word_counts(c8, "text").count()
+    assert v1 == v8, "distinct-word relation must not grow with corpus copies"
+    print(f"BPE-SCALE vocab rows 1x={v1} 8x={v8} (identical); merges equal")
