@@ -234,4 +234,107 @@ def rrf_fuse(
     )
 
 
-__all__ = ["bm25_topk", "bm25_score_all", "rrf_fuse", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = ["bm25_topk", "bm25_score_all", "rrf_fuse", "mmr_rerank", "DEFAULT_K1", "DEFAULT_B"]
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    score_col: str = "score",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification of a per-query
+    candidate shortlist: greedily pick k results maximizing
+
+        lam * relevance(d) - (1 - lam) * max cosine(d, already picked)
+
+    — the standard redundancy filter between retrieval and a RAG
+    context window (near-identical passages waste the budget that
+    diversity should fill).
+
+    Inputs: ``candidates`` = (query_col, doc_col, score_col), any
+    bounded shortlist (bm25_topk / *_topk / rrf_fuse output);
+    ``embeddings`` = (id_col, vec_col) for the candidate documents.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY but
+    embarrassingly parallel ACROSS queries — one join attaches
+    embeddings to the (top-N-bounded) shortlist, then applyInPandas
+    runs the O(N*k) greedy selection per query group as one Arrow
+    batch. Nothing corpus-sized moves: the per-group input is the
+    shortlist, so cost is queries x N x k regardless of corpus size.
+
+    Determinism: ties by doc id; relevance scores are taken as given
+    (already 6-dp-rounded by the upstream operators).
+
+    Output: (query_col, doc_col, mmr double, rank int), rank 1 first
+    picked.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    import numpy as np
+
+    cand = candidates.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(score_col).cast("double").alias("rel"),
+    ).join(
+        embeddings.select(
+            F.col(id_col).alias("d"), F.col(vec_col).alias("v")
+        ),
+        "d",
+    )
+
+    def pick(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "d"], ascending=[False, True])
+        vecs = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        vecs = vecs / norms[:, None]
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["d"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[picked] = -np.inf
+            # ties -> smaller doc id (stable because pdf is sorted by id
+            # within equal rel and argmax takes the first maximum)
+            best = int(np.argmax(np.round(mmr, 9)))
+            chosen.append(best)
+            picked[best] = True
+            max_sim = np.maximum(max_sim, vecs @ vecs[best])
+        return pd.DataFrame(
+            {
+                "q": pdf["q"].iloc[0],
+                "d": ids[chosen],
+                "mmr": [round(float(lam * rel[c] - (1 - lam) * 0), 6) if i == 0
+                        else round(float(lam * rel[c]
+                                         - (1 - lam) * float(
+                                             np.max(vecs[chosen[:i]] @ vecs[c])
+                                         )), 6)
+                        for i, c in enumerate(chosen)],
+                "rank": list(range(1, len(chosen) + 1)),
+            }
+        )
+
+    out_schema = "q long, d long, mmr double, rank int"
+    return (
+        cand.groupBy("q")
+        .applyInPandas(pick, schema=out_schema)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("d").alias(doc_col),
+            "mmr",
+            "rank",
+        )
+    )

@@ -396,3 +396,103 @@ def test_leakage_safe_split_validation(spark):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, empty, fractions=(80, 10, 5))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification
+# ---------------------------------------------------------------------------
+
+
+def _mmr_fixture(spark):
+    import math
+
+    # query 1 candidates: docs 1 and 2 are near-identical vectors with
+    # top relevance; doc 3 is orthogonal with slightly lower relevance
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.045, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(7, 1, 0.9), (7, 2, 0.89), (7, 3, 0.7), (7, 4, 0.5)],
+        "query_id long, neighbor_id long, score double",
+    )
+    return cand, emb
+
+
+def test_mmr_penalizes_redundancy(spark):
+    from hazelcast_jet_contrib_spark.operators.retrieval import mmr_rerank
+
+    cand, emb = _mmr_fixture(spark)
+    out = [r["neighbor_id"] for r in mmr_rerank(
+        cand, emb, k=3, lam=0.5
+    ).orderBy("rank").collect()]
+    # pick 1 (top rel); doc 2 is ~duplicate of 1 -> diverse doc 3 wins
+    assert out[0] == 1 and out[1] == 3, out
+    assert out[2] == 4, out  # 4 (orthogonal) still beats the duplicate 2
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from hazelcast_jet_contrib_spark.operators.retrieval import mmr_rerank
+
+    cand, emb = _mmr_fixture(spark)
+    out = [r["neighbor_id"] for r in mmr_rerank(
+        cand, emb, k=4, lam=1.0
+    ).orderBy("rank").collect()]
+    assert out == [1, 2, 3, 4], "lam=1 must reduce to relevance order"
+
+
+def test_mmr_matches_reference_greedy(spark):
+    import numpy as np
+
+    from hazelcast_jet_contrib_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    rows, lam, k = [], 0.6, 6
+    for q in (0, 1):
+        for d in range(30):
+            rows.append((q, d, round(float(rng.uniform(0, 1)), 6)))
+    cand = spark.createDataFrame(rows, "query_id long, neighbor_id long, score double")
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mmr_rerank(cand, emb, k=k, lam=lam).collect()
+    }
+    # reference greedy
+    V = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    rel_by_q = {}
+    for q, d, s in rows:
+        rel_by_q.setdefault(q, {})[d] = s
+    for q, rels in rel_by_q.items():
+        order = sorted(rels, key=lambda d: (-rels[d], d))
+        rel = np.array([rels[d] for d in order])
+        ids = np.array(order)
+        max_sim = np.zeros(len(order))
+        picked = np.zeros(len(order), dtype=bool)
+        for rank in range(1, k + 1):
+            mmr = lam * rel - (1 - lam) * max_sim
+            mmr[picked] = -np.inf
+            best = int(np.argmax(np.round(mmr, 9)))
+            assert got[(q, rank)] == ids[best], (q, rank)
+            picked[best] = True
+            max_sim = np.maximum(max_sim, V[ids] @ V[ids[best]])
+
+
+def test_mmr_validation(spark):
+    from hazelcast_jet_contrib_spark.operators.retrieval import mmr_rerank
+
+    cand, emb = _mmr_fixture(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(cand, emb, k=0)
+    with _pytest.raises(ValueError):
+        mmr_rerank(cand, emb, lam=1.5)
