@@ -939,3 +939,38 @@ def probe_minhash_index(
         .filter(F.col("jaccard") >= threshold)
         .select("probe_id", "corpus_id", "jaccard")
     )
+
+
+def append_to_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance: add a delta corpus (the day's new
+    documents) to an existing MinHash index WITHOUT rebuilding —
+    signatures compute over the delta only, and the new rows append as
+    fresh parquet files in the same band-partition layout, themselves
+    sorted by ``bh`` (row-group pruning applies per file, so probes
+    stay bounded by bucket selectivity across old + new files alike).
+    Hash-family parameters come from the index's sidecar, so a delta
+    can never be indexed with a mismatched family. Pairs with
+    `probe_minhash_index` for the standing decontamination loop:
+    index once, append deltas, probe the bounded eval set each run."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_minhash_params.json")) as f:
+        params = _json.load(f)
+    sh = _shingle_sets(corpus, id_col, text_col, params["shingle_words"])
+    sig = minhash_signatures(sh, params["num_hashes"])
+    banded = band_keys(sig, params["num_hashes"], params["bands"]).join(
+        sig.select("id", "hs"), "id"
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bh")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path)
+    )

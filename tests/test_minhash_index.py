@@ -89,3 +89,34 @@ def test_probe_threshold_filters(spark, mh_index):
     )
     out = probe_minhash_index(spark, path, unrelated, threshold=0.6).collect()
     assert out == []
+
+
+def test_incremental_append_probes_across_old_and_new(spark, tmp_path):
+    """Index half the corpus, append the other half as a delta, then
+    probe: planted near-dups of BOTH halves are found, and the probe
+    still pushes its bucket predicate (pruning applies to old and new
+    files alike)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    docs = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path / "idx")
+    build_minhash_index(old, path)
+    append_to_minhash_index(new, path)
+
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy")).alias("text"),
+    )
+    out = probe_minhash_index(spark, path, probes, threshold=0.6)
+    hits = {(r["probe_id"], r["corpus_id"]) for r in out.collect()}
+    planted = {(d + 5_000_000, d) for d in range(0, 500, 97)}
+    assert planted <= hits, f"missing: {planted - hits}"
+    # both halves contribute (97*2=194 < 250 <= 291)
+    assert any(c < 250 for _, c in hits) and any(c >= 250 for _, c in hits)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(bh" in plan
