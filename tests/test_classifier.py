@@ -100,3 +100,16 @@ def test_validation(spark):
         train_quality_classifier(docs, "label", iterations=0)
     with pytest.raises(ValueError):
         train_quality_classifier(docs.filter("doc_id < 0"), "label")
+
+
+def test_l2_shrinks_weights(spark):
+    docs = spark.createDataFrame(
+        _corpus(n_each=10), "doc_id long, text string, label int"
+    )
+    w0 = train_quality_classifier(docs, "label", num_features=512, iterations=8)
+    w2 = train_quality_classifier(
+        docs, "label", num_features=512, iterations=8, l2=0.5
+    )
+    n0 = sum(v * v for k, v in w0.items() if k != BIAS_IDX)
+    n2 = sum(v * v for k, v in w2.items() if k != BIAS_IDX)
+    assert n2 < n0, "L2 must shrink the non-bias weight norm"

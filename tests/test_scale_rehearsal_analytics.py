@@ -187,3 +187,59 @@ def test_bpe_merge_rounds_are_corpus_size_independent(spark, tmp_path):
     v8 = _word_counts(c8, "text").count()
     assert v1 == v8, "distinct-word relation must not grow with corpus copies"
     print(f"BPE-SCALE vocab rows 1x={v1} 8x={v8} (identical); merges equal")
+
+
+@pytest.mark.slow
+def test_classifier_iteration_shuffle_linear_in_corpus(spark, tmp_path):
+    """8x labeled corpus -> ~8x shuffled records per training run
+    (feature relation + per-iteration doc/feature aggregations all
+    scale with rows), while the MODEL side stays constant: the weight
+    relation broadcast each iteration is bounded by num_features
+    regardless of corpus size."""
+    from hazelcast_jet_contrib_spark.operators.classifier import (
+        featurize,
+        score_documents,
+        train_quality_classifier,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.col("id"), p, F.col("label")), F.lit(200)
+            ).cast("string"),
+        ),
+    )
+
+    def corpus(n):
+        path = str(tmp_path / f"clf_{n}")
+        spark.range(n).withColumn(
+            "label", (F.col("id") % 2).cast("int")
+        ).select(
+            F.col("id").alias("doc_id"),
+            "label",
+            F.concat_ws(" ", words).alias("text"),
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def run(n):
+        docs = corpus(n)
+        w = train_quality_classifier(
+            docs, "label", num_features=1 << 10, iterations=3, lr=1.0
+        )
+        scored = score_documents(docs, w, num_features=1 << 10)
+        scored.collect()
+        return len(w), executed_shuffle_stats(scored)["shuffle_records"]
+
+    nw1, s1 = run(1_000)
+    nw8, s8 = run(8_000)
+    growth = s8 / max(s1, 1)
+    assert growth <= 2 * 8, f"scoring shuffle grew {growth:.1f}x for 8x corpus"
+    # the model never grows past the hash space (+ bias)
+    assert nw1 <= (1 << 10) + 1 and nw8 <= (1 << 10) + 1
+    print(
+        f"CLF-SCALE 1x: {s1} rec, {nw1} weights; 8x: {s8} rec, {nw8} weights; "
+        f"scoring growth {growth:.2f}x"
+    )
