@@ -107,4 +107,77 @@ def funnel_steps(
     )
 
 
-__all__ = ["funnel_steps"]
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention over an event stream: group users by the period
+    of their FIRST event (their cohort), then for each later period
+    count how many of them came back — the classic retention triangle,
+    the funnel's sibling in the product-analytics family the
+    reference's ingested streams feed.
+
+    Semantics: cohort = date_trunc(period, min(ts) per user); a user is
+    retained in offset k if they have ANY event in cohort + k periods
+    (calendar periods via months/weeks arithmetic, so cohorts align
+    with date_trunc boundaries). retention = retained / cohort size,
+    rounded to 6 dp; offset 0 is 1.0 by construction.
+
+    Scale shape: one shuffle keys the corpus by user for the first-seen
+    aggregate; activity then reduces to DISTINCT (user, period) BEFORE
+    joining the (tiny, user-count-sized) cohort relation — the join
+    input is bounded by users x active periods, not events. The final
+    triangle aggregates to cohorts x offsets rows.
+
+    Output: (cohort timestamp, offset int, cohort_users long,
+    retained long, retention double) for offsets 0..max_periods.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    if max_periods < 1:
+        raise ValueError("max_periods must be >= 1")
+    ts = F.col(ts_col)
+    bucket = F.date_trunc(period, ts)
+    firsts = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(bucket).alias("cohort"))
+    )
+    active = (
+        events.select(F.col(user_col).alias("u"), bucket.alias("p"))
+        .distinct()
+    )
+    if period == "month":
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        )
+    else:
+        days = F.datediff(F.to_date("p"), F.to_date("cohort"))
+        offset = days / (7 if period == "week" else 1)
+    joined = active.join(firsts, "u").select(
+        "u", "cohort", offset.cast("int").alias("offset")
+    ).filter(F.col("offset").between(0, max_periods))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    tri = (
+        joined.groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("retained"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "cohort_users",
+            "retained",
+            F.round(F.col("retained") / F.col("cohort_users"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+    return tri
+
+
+__all__ = ["funnel_steps", "cohort_retention"]

@@ -496,3 +496,87 @@ def test_mmr_validation(spark):
         mmr_rerank(cand, emb, k=0)
     with _pytest.raises(ValueError):
         mmr_rerank(cand, emb, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_triangle_semantics(spark):
+    from hazelcast_jet_contrib_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # cohort week of 2024-01-01 (Mon): users 1,2
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-09 10:00:00"),  # back wk+1
+        (2, "2024-01-03 10:00:00"),                              # never back
+        # cohort week of 2024-01-08: user 3, back wk+2
+        (3, "2024-01-08 09:00:00"), (3, "2024-01-22 09:00:00"),
+        (3, "2024-01-22 10:00:00"),  # same period twice: counted once
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort"])[:10], r["offset"]): (
+            r["cohort_users"], r["retained"], r["retention"],
+        )
+        for r in cohort_retention(df, period="week", max_periods=4).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (2, 1, 0.5)
+    assert ("2024-01-01", 2) not in out  # nobody active -> no row
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 2)] == (1, 1, 1.0)
+
+
+def test_cohort_retention_matches_duckdb_on_events(spark):
+    """Exact mirror on the real events table (weekly, 12 offsets)."""
+    import duckdb
+
+    from hazelcast_jet_contrib_spark.operators.funnel import cohort_retention
+
+    ev = table(spark, CORRECTNESS_SF, "events")
+    got = sorted(
+        (str(r["cohort"])[:10], r["offset"], r["cohort_users"], r["retained"],
+         r["retention"])
+        for r in cohort_retention(ev, period="week", max_periods=12).collect()
+    )
+    sql = f"""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+      FROM '/root/testdata/{CORRECTNESS_SF.split('/')[-1]}/events.parquet'
+    ),
+    firsts AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, p FROM e),
+    j AS (
+      SELECT a.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, a.p) / 7 AS INT) AS offset
+      FROM active a JOIN firsts f USING (user_id)
+      WHERE date_diff('day', f.cohort, a.p) / 7 BETWEEN 0 AND 12
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM firsts GROUP BY cohort)
+    SELECT CAST(j.cohort AS VARCHAR) AS cohort, j."offset", sizes.cohort_users,
+           COUNT(*) AS retained,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.cohort_users, 6) AS retention
+    FROM j JOIN sizes USING (cohort)
+    GROUP BY 1, 2, 3
+    """
+    want = sorted(
+        (str(c)[:10], o, u, ret, r) for c, o, u, ret, r in duckdb.sql(sql).fetchall()
+    )
+    assert got == want, (got[:3], want[:3])
+
+
+def test_cohort_retention_validation(spark):
+    from hazelcast_jet_contrib_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="year")
+    with _pytest.raises(ValueError):
+        cohort_retention(df, max_periods=0)
