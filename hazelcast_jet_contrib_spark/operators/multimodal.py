@@ -213,3 +213,67 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
             F.lit(None).cast("int").alias("duration_ms"),
         ),
     )
+
+
+def video_near_dup_pairs(
+    videos: DataFrame,
+    threshold: float = 0.5,
+    every_n: int = 10,
+    max_frames: int = 8,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Video-level near-dup detection composed from the frame pipeline:
+    sample frames (``video_frame_sample``), reduce each video to its
+    frame-signature SET, and report pairs whose sets overlap at or
+    above the Jaccard ``threshold`` — re-encoded clips share sampled
+    frames, so set overlap is the standard first-tier video dedup
+    signal.
+
+    Scale shape: per-video state is bounded by ``max_frames``
+    signatures regardless of clip length; candidates join on the
+    frame-signature hash (only videos SHARING a frame ever meet — the
+    same sparse-join shape as the text shingle path), and the per-pair
+    intersection count aggregates from that join. With a true
+    perceptual frame hash, swap the equality join for
+    ``dedup.band_probe_pairs_64`` to match frames within a hamming
+    radius; the stub's sha-exact signatures make equality the correct
+    (and oracle-checkable) tier here.
+
+    Output: (id_a, id_b, jaccard double 6dp) with id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    frames = video_frame_sample(
+        videos, every_n=every_n, max_frames=max_frames, frame_bytes=frame_bytes
+    )
+    sets = frames.groupBy("media_id").agg(
+        F.collect_set("frame_phash").alias("fs")
+    )
+    sizes = sets.select("media_id", F.size("fs").alias("sz"))
+    expl = sets.select("media_id", F.explode("fs").alias("h"))
+    a, b = expl.alias("a"), expl.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("media_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("media_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        6,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

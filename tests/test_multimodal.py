@@ -132,3 +132,47 @@ def test_empty_payload_survives_all_kernels(spark):
 
     vids = [r for r in video_frame_sample(df).collect() if r["media_id"] == 1]
     assert [r["frame_idx"] for r in vids] == [0]
+
+
+def test_video_near_dup_pairs_finds_reencodes_not_strangers(spark):
+    """Planted duplicate clips (same payload, new id) hit jaccard 1.0;
+    half-overlapping clips land between threshold tiers; unrelated
+    clips never pair."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    fb = 64
+
+    def clip(seed: int, n_frames: int) -> bytes:
+        import hashlib as _h
+
+        return b"".join(
+            _h.sha256(f"{seed}:{i}".encode()).digest()[:fb]
+            for i in range(n_frames)
+        )
+
+    rows = [
+        (1, clip(1, 40)),
+        (2, clip(1, 40)),          # exact re-encode of 1
+        (3, clip(1, 20) + clip(3, 20)),  # first half shared with 1
+        (4, clip(4, 40)),          # unrelated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in video_near_dup_pairs(
+            df, threshold=0.2, every_n=5, max_frames=8, frame_bytes=fb
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.2 <= out[(1, 3)] < 1.0 and 0.2 <= out[(2, 3)] < 1.0
+    assert not any(4 in p for p in out), "unrelated clip must not pair"
+    # tighter threshold keeps only the exact re-encode
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(
+            df, threshold=0.9, every_n=5, max_frames=8, frame_bytes=fb
+        ).collect()
+    }
+    assert strict == {(1, 2)}
