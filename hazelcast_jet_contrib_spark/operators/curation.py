@@ -921,3 +921,69 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return with_comp.select(id_col, "component_id", split.alias("split"))
+
+
+def quality_ensemble(
+    signals: DataFrame,
+    id_col: str,
+    directions: dict[str, int],
+    weights: dict[str, float] | None = None,
+    clip: float = 3.0,
+) -> DataFrame:
+    """Combine heterogeneous per-document quality signals (LM
+    bits-per-token, Gopher ratios, classifier scores, lengths …) into
+    ONE robust score — the ensembling step pipelines run before a
+    single keep/drop threshold, since no individual filter survives
+    every failure mode (unigram misses word salad, the classifier
+    misses rare-token noise, …).
+
+    Method: each signal is robust-standardized against the corpus —
+    (x - median) / IQR from ONE `percentile_approx` aggregation
+    broadcast back (never a global sort or rank window, which would
+    single-partition the corpus) — then sign-aligned by ``directions``
+    (+1 = higher is better, -1 = lower is better), SOFT-clipped by the
+    strictly monotone squash clip*z / (clip + |z|) (bounded to ±clip
+    so one wild signal cannot dominate, but never collapsing order the
+    way a hard clip does when the inlier spread is tiny relative to
+    the outliers), and weight-averaged.
+
+    Output: (``id_col``, quality double) — higher is better; NULL
+    signals contribute 0 (corpus-typical) rather than poisoning the
+    row. Scale: one aggregation pass + one broadcast join; everything
+    else is per-row arithmetic in codegen.
+    """
+    if not directions:
+        raise ValueError("directions must name at least one signal column")
+    for c, d in directions.items():
+        if d not in (1, -1):
+            raise ValueError(f"direction for {c} must be +1 or -1")
+        if c not in signals.columns:
+            raise ValueError(f"signal column {c} not in input")
+    w = {c: 1.0 for c in directions} if weights is None else dict(weights)
+    if set(w) != set(directions):
+        raise ValueError("weights must cover exactly the direction columns")
+    total_w = sum(w.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum positive")
+
+    stats = signals.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), [0.25, 0.5, 0.75])
+            .alias(f"__q_{c}__")
+            for c in directions
+        ]
+    )
+    parts = []
+    for c, d in directions.items():
+        q = F.col(f"__q_{c}__")
+        med = q[1]
+        iqr = F.greatest(q[2] - q[0], F.lit(1e-12))
+        z = (F.col(c).cast("double") - med) / iqr * F.lit(float(d))
+        z = F.lit(clip) * z / (F.lit(clip) + F.abs(z))
+        parts.append(F.coalesce(z, F.lit(0.0)) * F.lit(w[c] / total_w))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return signals.join(F.broadcast(stats)).select(
+        F.col(id_col), F.round(score, 6).alias("quality")
+    )

@@ -908,3 +908,69 @@ def test_mix_to_target_zero_weight_groups(spark):
         mix_to_target(
             df.filter("source = 'web'"), "source", "doc_id", {"web": 0.0, "code": 1.0}
         )
+
+
+def test_quality_ensemble_separates_planted_junk(spark):
+    """Ensemble of unigram + bigram bits-per-token (both lower-better)
+    must rank every planted word-salad/rare-token doc below every real
+    doc, even though EACH single signal has failure modes."""
+    import random
+
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        bigram_lm_score,
+        quality_ensemble,
+        unigram_lm_score,
+    )
+    from hazelcast_jet_contrib_spark.registry import table
+    from tests.conftest import CORRECTNESS_SF
+
+    rng = random.Random(3)
+    base = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    # junk 1: rare-token noise (unigram catches)
+    noise = [
+        (900_000 + i, " ".join(f"x{rng.randrange(10**9)}" for _ in range(25)))
+        for i in range(10)
+    ]
+    corpus = base.unionByName(
+        spark.createDataFrame(noise, "doc_id long, text string")
+    )
+    uni = unigram_lm_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("bits_per_token").alias("uni_bits")
+    )
+    bi = bigram_lm_score(corpus, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("bits_per_token").alias("bi_bits")
+    )
+    sig = uni.join(bi, "doc_id")
+    out = {
+        r["doc_id"]: r["quality"]
+        for r in quality_ensemble(
+            sig, "doc_id", {"uni_bits": -1, "bi_bits": -1}
+        ).collect()
+    }
+    worst_real = min(v for k, v in out.items() if k < 900_000)
+    best_junk = max(v for k, v in out.items() if k >= 900_000)
+    assert best_junk < worst_real, (best_junk, worst_real)
+
+
+def test_quality_ensemble_directions_and_validation(spark):
+    from hazelcast_jet_contrib_spark.operators.curation import quality_ensemble
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "doc_id long, m double"
+    )
+    hi = {r["doc_id"]: r["quality"] for r in
+          quality_ensemble(df, "doc_id", {"m": 1}).collect()}
+    lo = {r["doc_id"]: r["quality"] for r in
+          quality_ensemble(df, "doc_id", {"m": -1}).collect()}
+    assert hi[3] > hi[1] and lo[1] > lo[3]
+    assert all(abs(hi[k] + lo[k]) < 1e-9 for k in hi), "sign-symmetric"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_ensemble(df, "doc_id", {})
+    with _pytest.raises(ValueError):
+        quality_ensemble(df, "doc_id", {"m": 2})
+    with _pytest.raises(ValueError):
+        quality_ensemble(df, "doc_id", {"nope": 1})
+    with _pytest.raises(ValueError):
+        quality_ensemble(df, "doc_id", {"m": 1}, weights={"other": 1.0})
