@@ -499,3 +499,60 @@ def test_keep_best_partition_properties(spark, pairs):
         best = max(qual[r["doc_id"]] for r in rows)
         assert qual[canon[0]["doc_id"]] == best
     assert n_docs == 15
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from("abcd")),  # key (None = keyless)
+            st.integers(0, 9),                              # value payload
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    st.integers(1, 5),  # records per segment
+)
+@_settings
+def test_compaction_final_state_equivalence_for_any_log(tmp_path_factory, recs, per_seg):
+    """For ANY keyed record sequence and ANY segmentation: compaction
+    preserves (a) the latest-value-per-key final state, (b) every
+    keyless record, (c) the set of segment seqs on disk, and (d) is
+    idempotent."""
+    import json as _json
+    import os as _os
+
+    from hazelcast_jet_contrib_spark.streaming import message_log
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        _segments,
+        compact_stream,
+    )
+
+    root = str(tmp_path_factory.mktemp("log"))
+    records = [
+        ({"key": k, "value": str(v)} if k is not None else {"value": str(v)})
+        for k, v in recs
+    ]
+    for i in range(0, len(records), per_seg):
+        message_log.append_segment(root, "s", records[i : i + per_seg])
+
+    def state():
+        sdir = _os.path.join(root, "s")
+        final, keyless, n = {}, [], 0
+        for seq in _segments(sdir):
+            with open(_os.path.join(sdir, f"{seq:06d}.jsonl")) as f:
+                for line in f:
+                    r = _json.loads(line)
+                    n += 1
+                    if "key" in r:
+                        final[r["key"]] = r["value"]
+                    else:
+                        keyless.append(r["value"])
+        return final, sorted(keyless), n, _segments(sdir)
+
+    f0, kl0, n0, segs0 = state()
+    stats = compact_stream(root, "s")
+    f1, kl1, n1, segs1 = state()
+    assert f1 == f0 and kl1 == kl0 and segs1 == segs0
+    assert n1 == stats["records_after"] and n0 - n1 == stats["dropped"]
+    again = compact_stream(root, "s")
+    assert again["dropped"] == 0 and state() == (f1, kl1, n1, segs1)

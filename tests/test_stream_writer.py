@@ -517,3 +517,38 @@ def test_compacted_log_replays_through_the_stream_reader(spark, tmp_path):
     assert {(r["seq"], r["key"], r["value"]) for r in rows} == {
         (1, "k", "v2"), (2, "j", "w1"),
     }
+
+
+def test_compaction_never_touches_staged_epochs(tmp_path):
+    """Compaction runs while a writer's epoch is STAGED (invisible
+    dotfile): the staged file must survive untouched and the writer's
+    later commit must still promote it — compaction only ever rewrites
+    committed `<digits>.jsonl` segments."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        MessageLogStreamWriter,
+        compact_stream,
+    )
+
+    root = str(tmp_path / "root")
+    message_log.append_segment(root, "s", [{"key": "k", "value": "old"}])
+    message_log.append_segment(root, "s", [{"key": "k", "value": "new"}])
+
+    w = MessageLogStreamWriter(root, stream="s")
+    ctx = mock.Mock()
+    ctx.partitionId.return_value = 0
+    with mock.patch("pyspark.TaskContext.get", return_value=ctx):
+        msg = w.write(iter([Row(key="z", value="staged-epoch")]))
+    staged_path = msg.staged[0][1]
+    before = open(staged_path).read()
+
+    stats = compact_stream(root, "s")
+    assert stats["dropped"] == 1  # old 'k' superseded
+    assert open(staged_path).read() == before, "staged file rewritten!"
+
+    w.commit([msg], batchId=7)
+    vals = sorted(r["value"] for r in _read_all(root, "s"))
+    assert vals == ["new", "staged-epoch"]
