@@ -118,3 +118,21 @@ def test_trainer_on_real_corpus_compresses(spark):
     )
     # merges fired: fewer tokens than the unmerged chars + word-end marks
     assert row["tok"] < base
+
+
+def test_encode_invariant_to_partitioning(spark):
+    """The per-batch word cache is an optimization only: encoding the
+    same corpus at 1 vs 16 partitions yields identical tokens."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS * 4)], "doc_id long, text string"
+    )
+    merges = _reference_train(CORPUS, num_merges=8)
+    one = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs.coalesce(1), merges).collect()
+    }
+    many = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs.repartition(16), merges).collect()
+    }
+    assert one == many
