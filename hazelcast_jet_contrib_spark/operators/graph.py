@@ -36,8 +36,17 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count once).
+
+    ``seeds`` switches to PERSONALIZED PageRank: teleport (and dangling
+    mass) return to the seed set uniformly instead of all nodes, so
+    rank measures importance RELATIVE to the seeds — the seed-based
+    quality-propagation technique curation pipelines use to spread
+    trust from a vetted document set through a link/citation/near-dup
+    graph. The seed set is bounded by definition, so it ships as a
+    literal predicate, not a join.
 
     Output: (node, rank double) for every node appearing as src or dst,
     rank rounded to 8 dp; ranks sum to ~1.
@@ -46,6 +55,8 @@ def pagerank(
         raise ValueError("damping must be in (0, 1)")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("seeds must be None or non-empty")
     from pyspark import StorageLevel
 
     e = (
@@ -69,8 +80,19 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
 
-    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "deg")
-    teleport = (1.0 - damping) / n
+    if seeds is None:
+        is_seed = F.lit(True)
+        n_tele = n
+    else:
+        is_seed = F.col("node").isin(list(seeds))
+        n_tele = base.filter(is_seed).count()
+        if n_tele == 0:
+            raise ValueError("no seed appears in the graph")
+    init = F.when(is_seed, F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
+    ranks = base.select("node", init.alias("rank"), "deg")
+    tele_col = F.when(is_seed, F.lit((1.0 - damping) / n_tele)).otherwise(
+        F.lit(0.0)
+    )
     for _ in range(iterations):
         # Lineage MUST be cut each sweep, not just cached: the next
         # plan references `base` both directly and through the previous
@@ -94,12 +116,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        dang_col = F.when(is_seed, F.lit(dangling / n_tele)).otherwise(
+            F.lit(0.0)
+        )
         ranks = base.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(teleport)
+                tele_col
                 + F.lit(damping)
-                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_col)
             ).alias("rank"),
             "deg",
         )

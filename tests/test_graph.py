@@ -80,3 +80,53 @@ def test_pagerank_validation(spark):
         _run(spark, df_edges, damping=1.0)
     with pytest.raises(ValueError):
         _run(spark, df_edges, iterations=0)
+
+
+def _numpy_ppr(edges, seeds, d=0.85, iters=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(idx[u], set()).add(idx[v])
+    s = [idx[x] for x in seeds if x in idx]
+    tele = np.zeros(n)
+    tele[s] = 1.0 / len(s)
+    r = tele.copy()
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if i not in adj)
+        new = (1 - d) * tele + d * dangling * tele
+        for u, vs in adj.items():
+            share = r[u] / len(vs)
+            for v in vs:
+                new[v] += d * share
+        r = new
+    return {nodes[i]: round(float(r[i]), 8) for i in range(n)}
+
+
+def test_personalized_pagerank_matches_numpy_and_localizes(spark):
+    import random
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(24), rng.randrange(24)) for _ in range(70)})
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = [0, 1]
+    got = _run(spark, edges, seeds=seeds, iterations=12)
+    want = _numpy_ppr(edges, seeds, iters=12)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-7, (k, got[k], want[k])
+    # localization: on two disconnected triangles, seeding one leaves
+    # the other with zero rank
+    tri = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    loc = _run(spark, tri, seeds=[1])
+    assert loc[10] == loc[11] == loc[12] == 0.0
+    assert abs(sum(loc.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _run(spark, [(1, 2)], seeds=[])
+    with _pytest.raises(ValueError):
+        _run(spark, [(1, 2)], seeds=[99])
