@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.operators.graph import pagerank
 
@@ -130,3 +131,37 @@ def test_personalized_pagerank_validation(spark):
         _run(spark, [(1, 2)], seeds=[])
     with _pytest.raises(ValueError):
         _run(spark, [(1, 2)], seeds=[99])
+
+
+def test_seed_trust_propagation_through_near_dup_graph(spark):
+    """The graph family's pipeline use: personalized PageRank from a
+    trusted seed doc propagates trust to its near-dup cluster (direct
+    AND transitive neighbors) and gives unrelated clusters zero — the
+    scores then feed quality_ensemble as one more signal."""
+    from hazelcast_jet_contrib_spark.operators.curation import quality_ensemble
+    from hazelcast_jet_contrib_spark.operators.graph import pagerank
+
+    # two near-dup clusters: {1,2,3} (3 only linked via 2) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    # near-dup edges are symmetric
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(
+        edges, seeds=[1], iterations=20
+    ).collect()}
+    # node 2 is the cluster hub (collects from BOTH neighbors) and may
+    # outrank the seed itself; the robust claims: the seed beats its
+    # transitive neighbor, and every cluster member holds positive rank
+    assert pr[1] > pr[3] > 0 and pr[2] > 0, pr
+    assert pr[10] == pr[11] == 0.0
+    # as an ensemble signal: trusted cluster outranks the unrelated one
+    sig = spark.createDataFrame(
+        [(k, v) for k, v in pr.items()], "doc_id long, trust double"
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_ensemble(
+        sig, "doc_id", {"trust": 1}
+    ).collect()}
+    assert min(q[1], q[2], q[3]) > max(q[10], q[11])
