@@ -234,7 +234,7 @@ def rrf_fuse(
     )
 
 
-__all__ = ["bm25_topk", "bm25_score_all", "rrf_fuse", "mmr_rerank", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_all", "rrf_fuse", "mmr_rerank", "DEFAULT_K1", "DEFAULT_B"]
 
 
 def mmr_rerank(
@@ -335,6 +335,112 @@ def mmr_rerank(
             F.col("q").alias(query_col),
             F.col("d").alias(doc_col),
             "mmr",
+            "rank",
+        )
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Batched BM25: score MANY queries against the corpus in ONE
+    corpus pass — the retrieval-evaluation / RAG-serving shape
+    (hundreds of queries per batch), and the per-query contract
+    `rrf_fuse`/`mmr_rerank` consume directly.
+
+    ``queries`` is (query_id_col, terms_col array<string>). The corpus
+    pass restricts each document's tokens to the UNION of all query
+    terms before exploding (same term-bounded shuffle as the
+    single-query path — volume is matches x |distinct terms|, never
+    corpus tokens); per-term df and corpus stats compute once and are
+    shared by every query; the per-(query, doc) score joins the tiny
+    (term -> query) relation, and the final cut is a per-query window
+    rank over matches only.
+
+    IDF note: df is the term's document frequency in the WHOLE corpus,
+    identical to running each query alone — batching changes nothing
+    but the number of passes.
+
+    Output: (query_id_col, ``id_col``, score double 6dp, rank int),
+    rank <= k per query, ties by doc id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    qt = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(terms_col).alias("term"),
+    ).select("qid", F.lower("term").alias("term")).distinct()
+    # the union of all query terms: bounded (queries are bounded), so
+    # it broadcasts into the corpus pass
+    all_terms = qt.select("term").distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+    ).select(
+        "__id__", F.size("__t__").alias("dl"), F.col("__t__").alias("__all__")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # (doc, term, tf) for matching terms only: a broadcast theta-join on
+    # array_contains — each doc row is tested against the bounded term
+    # set, so the output (and everything downstream) is matches-sized
+    hits = toks.join(
+        F.broadcast(all_terms), F.array_contains("__all__", F.col("term"))
+    ).select(
+        "__id__",
+        "dl",
+        "term",
+        F.size(F.filter("__all__", lambda x: x == F.col("term")))
+        .cast("double")
+        .alias("tf"),
+    )
+    df_per_term = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        hits.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .select("term", "__id__", "w")
+    )
+    scored = (
+        weighted.join(F.broadcast(qt), "term")
+        .groupBy("qid", "__id__")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("__id__").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("__id__").alias(id_col),
+            "score",
             "rank",
         )
     )

@@ -580,3 +580,30 @@ def test_cohort_retention_validation(spark):
         cohort_retention(df, period="year")
     with _pytest.raises(ValueError):
         cohort_retention(df, max_periods=0)
+
+
+def test_bm25_multi_matches_single_query_runs(spark):
+    """Batching must be invisible: each query's top-k from
+    bm25_topk_multi equals its standalone bm25_topk result (df/idf are
+    corpus-global either way)."""
+    from hazelcast_jet_contrib_spark.operators.retrieval import bm25_topk_multi
+
+    docs = table(spark, CORRECTNESS_SF, "documents")
+    qsets = {1: ["data", "model"], 2: ["training", "sort"], 3: ["window"]}
+    queries = spark.createDataFrame(
+        [(q, t) for q, t in qsets.items()], "query_id long, terms array<string>"
+    )
+    multi = bm25_topk_multi(docs, queries, k=8)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for q, terms in qsets.items():
+        want = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(docs, terms, k=8).collect()
+        ]
+        assert sorted(got[q]) == sorted(want), q
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
