@@ -243,3 +243,44 @@ def test_classifier_iteration_shuffle_linear_in_corpus(spark, tmp_path):
         f"CLF-SCALE 1x: {s1} rec, {nw1} weights; 8x: {s8} rec, {nw8} weights; "
         f"scoring growth {growth:.2f}x"
     )
+
+
+@pytest.mark.slow
+def test_bm25_multi_one_corpus_scan_regardless_of_query_count(spark, tmp_path):
+    """The honest batching law, measured two ways: (a) the number of
+    corpus parquet scans in the executed plan stays CONSTANT as the
+    query batch grows (tokenize/df/stats happen once — 8 separate
+    bm25_topk runs would pay 8 scans); (b) shuffled records are the
+    per-query OUTPUT cost — matches x queries for scoring plus matches
+    x |term union| for the hit relation — i.e. bounded by what must be
+    produced, never by corpus re-reads."""
+    from hazelcast_jet_contrib_spark.operators.retrieval import bm25_topk_multi
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    docs = _docs(spark, tmp_path, N1)
+
+    def run(qsets):
+        qs = spark.createDataFrame(
+            [(q, terms) for q, terms in enumerate(qsets)],
+            "query_id long, terms array<string>",
+        )
+        out = bm25_topk_multi(docs, qs, k=10)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        scans = final.count("Scan parquet")
+        return scans, executed_shuffle_stats(out)["shuffle_records"]
+
+    sc1, s1 = run([["w1", "w2", "w3"]])
+    sc8, s8 = run(
+        [[f"w{(3 * q + j) % VOCAB}" for j in range(3)] for q in range(8)]
+    )
+    assert sc8 == sc1, (
+        f"corpus scans grew {sc1} -> {sc8}: batching must share the pass"
+    )
+    growth = s8 / max(s1, 1)
+    assert growth <= 2 * 8, f"shuffle {growth:.1f}x for 8x queries"
+    print(
+        f"BM25-MULTI 1q: {sc1} scans {s1} rec; 8q: {sc8} scans {s8} rec "
+        f"(shuffle growth {growth:.2f}x, scans constant)"
+    )
