@@ -13,6 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from hazelcast_jet_contrib_spark.functions.text import shingles_of_tokens, tokens
 
@@ -920,10 +927,21 @@ def probe_minhash_index(
     )
     probe_rows = pb.collect()  # bounded by design: |probes| x bands
     bhs = sorted({r["bh"] for r in probe_rows})
+    # Derive the probe-id field type from the caller's id column — the
+    # contract accepts any orderable id type, not just longs.
+    id_type = probes.schema[id_col].dataType
+    probe_schema = StructType(
+        [
+            StructField("probe_id", id_type),
+            StructField("band", IntegerType()),
+            StructField("bh", LongType()),
+            StructField("phs", ArrayType(LongType())),
+        ]
+    )
     probe_df = F.broadcast(
         spark.createDataFrame(
             [(r["id"], r["band"], r["bh"], r["hs"]) for r in probe_rows],
-            "probe_id long, band int, bh long, phs array<bigint>",
+            probe_schema,
         )
     )
     idx = spark.read.parquet(path).filter(F.col("bh").isin(bhs))
@@ -934,9 +952,12 @@ def probe_minhash_index(
     )
     inter = F.size(F.array_intersect("phs", "hs")).cast("double")
     union = F.size("phs") + F.size("hs") - F.size(F.array_intersect("phs", "hs"))
+    # Threshold on the RAW ratio; round only the emitted column — a pair
+    # a hair under threshold (raw 0.5999996) must not round its way in
+    # (same contract as minhash_decontaminate's verify step).
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        cand.filter((inter / union) >= threshold)
+        .withColumn("jaccard", F.round(inter / union, 6))
         .select("probe_id", "corpus_id", "jaccard")
     )
 

@@ -75,15 +75,23 @@ def bm25_score_all(
     terms = sorted({t.lower() for t in query_terms})
     qarr = F.array(*[F.lit(t) for t in terms])
 
-    toks = docs.select(
-        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-    ).select(
-        "__id__",
-        F.size("__t__").alias("dl"),
-        # restrict to query terms BEFORE exploding: the downstream
-        # relation is <= |terms| rows/doc regardless of document size
-        F.array_intersect("__t__", qarr).alias("__hit__"),
-        F.col("__t__").alias("__all__"),
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    # toks feeds BOTH the corpus-stats aggregate and the tf branch;
+    # persist so the corpus tokenize/scan runs once, not once per
+    # consumer (same discipline as minhash_lsh_pairs / duplicate_spans).
+    # Lifetime: tracked — cache.release_tracked() reclaims it.
+    toks = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+        ).select(
+            "__id__",
+            F.size("__t__").alias("dl"),
+            # restrict to query terms BEFORE exploding: the downstream
+            # relation is <= |terms| rows/doc regardless of document size
+            F.array_intersect("__t__", qarr).alias("__hit__"),
+            F.col("__t__").alias("__all__"),
+        )
     )
 
     # corpus stats: one global partial agg -> a single broadcast row
@@ -327,7 +335,23 @@ def mmr_rerank(
             }
         )
 
-    out_schema = "q long, d long, mmr double, rank int"
+    # Output id types follow the caller's shortlist schema — string or
+    # int ids alike, per the "any bounded shortlist" contract.
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("q", candidates.schema[query_col].dataType),
+            StructField("d", candidates.schema[doc_col].dataType),
+            StructField("mmr", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
     return (
         cand.groupBy("q")
         .applyInPandas(pick, schema=out_schema)
@@ -384,10 +408,19 @@ def bm25_topk_multi(
     # it broadcasts into the corpus pass
     all_terms = qt.select("term").distinct()
 
-    toks = docs.select(
-        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-    ).select(
-        "__id__", F.size("__t__").alias("dl"), F.col("__t__").alias("__all__")
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    # toks feeds the corpus-stats aggregate AND the hits theta-join;
+    # persist so the corpus tokenize pass materializes once (tracked —
+    # release_tracked() reclaims it between stages).
+    toks = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+        ).select(
+            "__id__",
+            F.size("__t__").alias("dl"),
+            F.col("__t__").alias("__all__"),
+        )
     )
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

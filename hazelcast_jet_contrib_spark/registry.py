@@ -186,16 +186,16 @@ _ROTATION_ROUND = 8
 _PRIORITY = [
     # --- round-8 rotation (window = exactly 50). CORRECTNESS_r07
     # proved the round-7 priority set (50/50 green); the 49 surviving
-    # r06-green queries age to two rounds unless re-proven now — three
+    # r06-green queries age to two rounds unless re-proven now — four
     # of them retire this round (subsumption documented at their
-    # @retired_query sites), leaving 46 mandatory re-proofs plus the
-    # four NEW round-8 operators (no CORRECTNESS row yet):
+    # @retired_query sites), leaving 45 mandatory re-proofs plus the
+    # five NEW round-8 operators (no CORRECTNESS row yet):
     "bm25_topk_docs",
     "rolling_zscore_anomaly",
     "funnel_conversion_steps",
     "neardup_keep_best",
     "ivf_pq_probe_exact_topk",
-    # 2) the 46 queries last driver-green in r06, untouched since
+    # 2) the 45 queries last driver-green in r06, untouched since
     #    (ADVICE-r07 fixes touched znorm's SEGMENTED path only — the
     #    registry query runs unsegmented — and PQ/staged-file error
     #    paths that cannot alter any green query's result or plan).
