@@ -103,11 +103,13 @@ def pagerank(
         # checkpoint() on a reliable FS when executor loss must be
         # survivable mid-computation.
         ranks = ranks.localCheckpoint(eager=True)
-        # O(1) driver scalar: total rank sitting on dangling nodes
-        dangling = (
-            ranks.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # Total rank sitting on dangling nodes: a one-row aggregate of
+        # the CHECKPOINTED relation, broadcast into the sweep — no
+        # collect(), no driver state at all, and one Spark job per
+        # sweep instead of two (the aggregate evaluates inside the next
+        # sweep's plan against the materialized checkpoint partitions).
+        dang_df = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm__")
         )
         contrib = (
             ranks.filter(F.col("deg").isNotNull())
@@ -116,17 +118,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        dang_col = F.when(is_seed, F.lit(dangling / n_tele)).otherwise(
+        dang_col = F.when(is_seed, F.col("__dm__") / F.lit(float(n_tele))).otherwise(
             F.lit(0.0)
         )
-        ranks = base.join(contrib, "node", "left").select(
-            "node",
-            (
-                tele_col
-                + F.lit(damping)
-                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_col)
-            ).alias("rank"),
-            "deg",
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_df))
+            .select(
+                "node",
+                (
+                    tele_col
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_col)
+                ).alias("rank"),
+                "deg",
+            )
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 

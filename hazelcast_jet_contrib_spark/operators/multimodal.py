@@ -265,15 +265,16 @@ def video_near_dup_pairs(
     )
     sa = sizes.select(F.col("media_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("media_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        6,
+    # Threshold the RAW ratio; round only the emitted column (the
+    # probe_minhash_index / minhash_decontaminate contract — a pair a
+    # hair under threshold must not round its way in).
+    jac_raw = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac_raw >= threshold)
+        .withColumn("jaccard", F.round(jac_raw, 6))
         .select("id_a", "id_b", "jaccard")
     )

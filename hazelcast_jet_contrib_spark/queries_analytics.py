@@ -140,3 +140,142 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/funnel.py funnel_steps)."""
     ev = table(spark, sf_dir, "events")
     return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Round-9: PageRank over an events-derived graph + cohort retention
+# ---------------------------------------------------------------------------
+
+_PR_DAMP, _PR_ITERS = 0.85, 10
+
+# Deterministic directed graph from the events stream: user buckets
+# point at the event types they emit; event types point at a SECOND
+# (coprime) user bucketing, so the graph has cycles, asymmetric
+# in/out-degree, and the 'v'-side nodes are dangling (no out-edges) —
+# exercising the dangling-mass redistribution path of the operator.
+_PR_EDGES_SQL = """
+    SELECT DISTINCT 'u' || CAST(user_id % 50 AS VARCHAR) AS src,
+           't' || event_type AS dst FROM events
+    UNION
+    SELECT DISTINCT 't' || event_type, 'v' || CAST(user_id % 53 AS VARCHAR)
+    FROM events
+"""
+
+
+def _pagerank_oracle() -> str:
+    """10 unrolled synchronous power-iteration sweeps as MATERIALIZED
+    CTEs (non-materialized CTEs would re-inline the whole chain at
+    every reference — exponential expansion). Exactly the operator's
+    semantics: uniform init 1/N, dangling mass redistributed uniformly,
+    rank = (1-d)/N + d*(inflow + dangling/N), rounded at OUTPUT only."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_PR_EDGES_SQL}),",
+        """nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS MATERIALIZED (
+          SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+        ),
+        r0 AS MATERIALIZED (
+          SELECT node, (SELECT 1.0 / n FROM cnt) AS rank FROM nodes
+        )""",
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+          FROM r{i} r LEFT JOIN deg USING (node) WHERE deg.deg IS NULL
+        ),
+        r{i + 1} AS MATERIALIZED (
+          SELECT nd.node,
+                 (1 - {_PR_DAMP}) / (SELECT n FROM cnt)
+                 + {_PR_DAMP} * (COALESCE(inf.infl, 0.0)
+                                 + (SELECT dm FROM d{i}) / (SELECT n FROM cnt))
+                 AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank / deg.deg) AS infl
+            FROM r{i} r JOIN deg USING (node) JOIN edges e ON e.src = r.node
+            GROUP BY e.dst
+          ) inf USING (node)
+        )""")
+    parts.append(
+        f"\nSELECT node, ROUND(rank, 8) AS rank FROM r{_PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@query("pagerank_event_graph", oracle=_pagerank_oracle())
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 10 fixed sweeps) over the deterministic
+    events graph above, proven exact against 10 unrolled power-iteration
+    CTEs — ranks sum to ~1 and round at output only. Scale: one
+    out-degree aggregate up front, then per sweep exactly ONE shuffle
+    join (ranks ⋈ edges) + one dst aggregation, lineage cut per sweep,
+    O(1) driver state (the dangling-mass scalar); growth law measured
+    in tests/test_scale_rehearsal_analytics.py (operators/graph.py
+    pagerank)."""
+    from hazelcast_jet_contrib_spark.operators.graph import pagerank
+
+    ev = table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("src"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+        )
+        .unionByName(
+            ev.select(
+                F.concat(F.lit("t"), F.col("event_type")).alias("src"),
+                F.concat(F.lit("v"), (F.col("user_id") % 53).cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        .distinct()
+    )
+    return pagerank(edges, damping=_PR_DAMP, iterations=_PR_ITERS)
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, p FROM e),
+    j AS (
+      SELECT a.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, a.p) / 7 AS INT) AS "offset"
+      FROM active a JOIN firsts f USING (user_id)
+      WHERE date_diff('day', f.cohort, a.p) / 7 BETWEEN 0 AND 12
+    ),
+    sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_users FROM firsts GROUP BY cohort
+    )
+    SELECT CAST(j.cohort AS DATE) AS cohort, j."offset", sizes.cohort_users,
+           COUNT(*) AS retained,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.cohort_users, 6) AS retention
+    FROM j JOIN sizes USING (cohort)
+    GROUP BY 1, 2, 3
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events stream (12
+    offsets): cohort = week of first event, retained = any event in
+    cohort+k weeks. Scale: one user-keyed shuffle for first-seen;
+    activity reduces to DISTINCT (user, week) BEFORE joining the tiny
+    cohort relation, so the join is bounded by users × active weeks,
+    never events (operators/funnel.py cohort_retention)."""
+    from hazelcast_jet_contrib_spark.operators.funnel import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    out = cohort_retention(ev, period="week", max_periods=12)
+    return out.select(
+        F.to_date("cohort").alias("cohort"),
+        "offset",
+        "cohort_users",
+        "retained",
+        "retention",
+    )

@@ -60,8 +60,9 @@ def paged_rest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature ⇒ hamming 0 ⇒ guaranteed band collision) must come back as
 # a pair, with hamming 0. The pair-set semantics beyond the gate are
 # pinned by tests/test_dedup_similarity.py against planted near-dups.
-@query(
+@retired_query(
     "simhash_near_dup",
+    reason="r09: 64-bit simhash banding subsumed by simhash128_near_dup (identical signature/banding pipeline, wider signature) and media_phash_near_dup (64-bit hamming band-probe join)",
     oracle="""
     SELECT COUNT(*) AS planted_total,
            COUNT(*) AS planted_found,
@@ -321,7 +322,9 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @retired_query(
     "ivf_cosine_topk",
     reason="r07: same degenerate-exact (nprobe=nlist) gate now proven "
-    "through the persisted-index path by ivf_index_probe_topk",
+    "through the persisted-index path by ivf_index_probe_topk; r09: that "
+    "query retired in turn — the gate lives on in ivf_pq_probe_exact_topk "
+    "(same persisted pipeline plus the PQ layer)",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
@@ -717,4 +720,72 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.filter(F.col("id_b") == F.col("id_a") + 3000000).select(
         F.col("id_a").alias("media_id"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: video near-dup from sampled frame signatures
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "video_near_dup_frames",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS h
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, hex(encode(text || repeat(' qq', 30)))
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    frames AS (
+        SELECT DISTINCT media_id,
+               substring(h, k * 128 + 1, 128) AS fr
+        FROM vids, generate_series(0, 7) AS gs(k)
+        WHERE k < LEAST(GREATEST((length(h) / 2) // 64, 1), 8)
+    ),
+    sizes AS (SELECT media_id, COUNT(*) AS sz FROM frames GROUP BY media_id),
+    inter AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS i
+        FROM frames a JOIN frames b
+          ON a.fr = b.fr AND a.media_id < b.media_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.media_id = id_a
+    JOIN sizes sb ON sb.media_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-dup over synthetic clips (document bytes as
+    concatenated 64-byte frames) ∪ re-encoded copies (same bytes plus an
+    appended tail): videos whose sampled-frame SETS overlap at Jaccard
+    >= 0.5 pair up. The stub signature is sha-exact, so signature-set
+    equality ≡ frame-byte-slice equality and the oracle mirrors the
+    whole pipeline on hex substrings of the same payloads. Scale:
+    per-video state is capped at max_frames signatures; candidates join
+    ONLY on shared frame hashes (the sparse-join shingle shape) — no
+    all-pairs anywhere (operators/multimodal.py video_near_dup_pairs,
+    video_frame_sample)."""
+    from hazelcast_jet_contrib_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.encode(
+                F.concat("text", F.expr("repeat(' qq', 30)")), "UTF-8"
+            ).alias("payload"),
+        )
+    )
+    return video_near_dup_pairs(
+        vids, threshold=0.5, every_n=1, max_frames=8, frame_bytes=64
     )

