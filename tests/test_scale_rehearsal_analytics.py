@@ -284,3 +284,49 @@ def test_bm25_multi_one_corpus_scan_regardless_of_query_count(spark, tmp_path):
         f"BM25-MULTI 1q: {sc1} scans {s1} rec; 8q: {sc8} scans {s8} rec "
         f"(shuffle growth {growth:.2f}x, scans constant)"
     )
+
+
+@pytest.mark.slow
+def test_pagerank_sweep_shuffle_linear_in_edges(spark, tmp_path):
+    """The graph family's growth law, measured (VERDICT r08 item 5):
+    8x edges -> ~8x shuffled records per sweep, at a CONSTANT exchange
+    count — the per-sweep dataflow is one shuffle join (ranks ⋈ edges
+    on src) + one dst aggregation, and lineage cutting makes every
+    sweep identical. Measured on the real operator's returned relation
+    (the post-checkpoint final sweep — representative of every sweep by
+    construction) over a deterministic synthetic edge list."""
+    from hazelcast_jet_contrib_spark.operators.graph import pagerank
+    from hazelcast_jet_contrib_spark.plans.audit import (
+        audit,
+        executed_shuffle_stats,
+    )
+
+    def edges(n_edges):
+        path = str(tmp_path / f"pr_edges_{n_edges}")
+        spark.range(n_edges).select(
+            F.pmod(F.xxhash64("id"), F.lit(max(n_edges // 8, 16))).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(max(n_edges // 8, 16))).alias(
+                "dst"
+            ),
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def run(n_edges):
+        out = pagerank(edges(n_edges), iterations=3)
+        out.collect()
+        stats = executed_shuffle_stats(out)
+        return stats["shuffle_records"], audit(out).exchanges()
+
+    s1, x1 = run(4_000)
+    s8, x8 = run(4_000 * 8)
+    growth = s8 / max(s1, 1)
+    assert 4 <= growth <= 2 * 8, (
+        f"pagerank per-sweep shuffle grew {growth:.1f}x for 8x edges"
+    )
+    assert x8 <= x1 + 1, (
+        f"exchange count must not grow with edges: {x1} -> {x8}"
+    )
+    print(
+        f"PAGERANK-SCALE 1x: {s1} rec/{x1} exch; 8x: {s8} rec/{x8} exch; "
+        f"growth {growth:.2f}x"
+    )
