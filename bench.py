@@ -96,6 +96,23 @@ def main() -> None:
             }
     except (OSError, ValueError):
         pass
+    # Best-known-time tripwire (VERDICT r08 item 6): BENCH_BEST.json
+    # keeps the per-query minimum ever recorded at this SF; any query
+    # whose fresh timing exceeds 1.5x its best gets a retime EVEN BELOW
+    # the 2 s floor (the r08 drifters — topk_customers_per_nation at
+    # 1.79x — were invisible to the previous-sweep-only guard because
+    # the drifted value became the next round's baseline), and the
+    # sweep reports vs_best ratios + a "drifted" list so a real
+    # regression is flagged at the sweep that introduces it.
+    best_path = Path(REPO) / "BENCH_BEST.json"
+    best: dict[str, float] = {}
+    try:
+        with open(best_path) as f:
+            bhist = json.load(f)
+        if bhist.get("sf") == _sf_from_dir(SF_DIR):
+            best = {k: v for k, v in bhist.get("queries", {}).items() if v > 0}
+    except (OSError, ValueError):
+        pass
     retimed: list[str] = []
     timings: dict[str, float] = {}
     shuffles: dict[str, dict[str, float]] = {}
@@ -136,6 +153,10 @@ def main() -> None:
             0 < timings[name]
             and name in prev_timings
             and timings[name] > RETIME_RATIO * prev_timings[name]
+        ) or (
+            0 < timings[name]
+            and name in best
+            and timings[name] > RETIME_RATIO * best[name]
         ):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -228,6 +249,21 @@ def main() -> None:
             f,
             indent=1,
         )
+    # vs_best ratios against the all-time minima, then fold this sweep's
+    # timings into the best file (minima only — a slow sweep can never
+    # raise a best). Ratios are computed against the PRE-update best so
+    # a drift is visible in the very sweep that introduces it.
+    vs_best = {
+        k: round(v / best[k], 2) for k, v in ok.items() if k in best
+    }
+    drifted = sorted(k for k, r in vs_best.items() if r > RETIME_RATIO)
+    for k, v in ok.items():
+        best[k] = min(best.get(k, v), v)
+    if not name_filters:
+        with open(best_path, "w") as f:
+            json.dump(
+                {"sf": _sf_from_dir(SF_DIR), "queries": best}, f, indent=1
+            )
     if not name_filters:  # a scoped re-time must not truncate the history
         with open(Path(REPO) / "BENCH_TIMINGS.json", "w") as f:
             json.dump(
@@ -239,6 +275,11 @@ def main() -> None:
                     # is min(in_sweep, isolated)): round-over-round
                     # deltas can be attributed to contention vs code
                     "retime_provenance": retime_provenance,
+                    # final timing / best-ever timing at this SF; > 1.5
+                    # entries are listed in "drifted" — the per-query
+                    # regression tripwire (VERDICT r08 item 6)
+                    "vs_best": vs_best,
+                    "drifted": drifted,
                     "queries": timings,
                 },
                 f,
