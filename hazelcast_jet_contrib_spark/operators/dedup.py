@@ -995,3 +995,57 @@ def append_to_minhash_index(
         .partitionBy("band")
         .parquet(path)
     )
+
+
+def compact_minhash_index(spark, path: str) -> dict[str, int]:
+    """Compact an appended MinHash index back to one bh-sorted file set
+    per band (VERDICT r08 item 7 — the index twin of the message log's
+    `compact_stream`). Every `append_to_minhash_index` adds one file
+    per band whose bh ranges overlap the base files', so probes read
+    more row groups per epoch; compaction rewrites each band partition
+    as a single sorted run, restoring build-time pruning selectivity.
+
+    Safety contract (mirrors streaming/message_log.py compaction):
+    - the rewrite lands in a ``_``-prefixed staging dir INSIDE the
+      index, which parquet readers ignore — concurrent probes keep
+      reading the live layout until the swap;
+    - the swap is one atomic rename PER BAND directory. Compaction
+      never changes content — old and new layouts hold the same rows —
+      so a crash mid-swap leaves a mix of compacted and uncompacted
+      bands that is still a CORRECT index (probe-identical; property
+      tested), and re-running compaction converges it.
+
+    Returns {"files_before": n, "files_after": m} for observability.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _data_files() -> list[str]:
+        return [
+            p
+            for p in _glob.glob(_os.path.join(path, "band=*", "*.parquet"))
+            if not _os.path.basename(p).startswith(("_", "."))
+        ]
+
+    files_before = len(_data_files())
+    staging = _os.path.join(path, "_compact_staging")
+    _shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition("band")
+        .sortWithinPartitions("bh")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(staging)
+    )
+    for band_dir in sorted(_glob.glob(_os.path.join(staging, "band=*"))):
+        live = _os.path.join(path, _os.path.basename(band_dir))
+        trash = live + "._old"
+        _shutil.rmtree(trash, ignore_errors=True)
+        if _os.path.exists(live):
+            _os.rename(live, trash)
+        _os.rename(band_dir, live)  # atomic: the band flips in one step
+        _shutil.rmtree(trash, ignore_errors=True)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {"files_before": files_before, "files_after": len(_data_files())}

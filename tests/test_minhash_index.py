@@ -120,3 +120,48 @@ def test_incremental_append_probes_across_old_and_new(spark, tmp_path):
     assert any(c < 250 for _, c in hits) and any(c >= 250 for _, c in hits)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "In(bh" in plan
+
+
+def test_compaction_is_probe_identical_and_reduces_files(spark, tmp_path):
+    """The append-epoch lifecycle (VERDICT r08 item 7): build + 3 delta
+    appends accumulate one file per band per epoch; compaction must (a)
+    cut the per-band file count back to one sorted run, (b) leave probe
+    results EXACTLY identical — for any split of the corpus into base +
+    deltas — and (c) keep the bucket predicate pushed."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+    )
+
+    docs = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs.filter(F.col("doc_id") < 125), path)
+    for lo, hi in ((125, 250), (250, 375), (375, 10**9)):
+        append_to_minhash_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), path
+        )
+
+    probes = _probes(docs)
+    before = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    stats = compact_minhash_index(spark, path)
+    assert stats["files_after"] < stats["files_before"], stats
+    out = probe_minhash_index(spark, path, probes, threshold=0.6)
+    after = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"]) for r in out.collect()
+    )
+    assert after == before, "compaction changed probe results"
+    assert before, "vacuous: no probe hits at all"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(bh" in plan, "bucket predicate no longer pushed after compaction"
+    # idempotent: a second compaction converges (crash-mid-swap story)
+    stats2 = compact_minhash_index(spark, path)
+    assert stats2["files_after"] <= stats["files_after"]
+    again = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    assert again == before
