@@ -742,7 +742,7 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT media_id,
                substring(h, k * 128 + 1, 128) AS fr
         FROM vids, generate_series(0, 7) AS gs(k)
-        WHERE k < LEAST(GREATEST((length(h) / 2) // 64, 1), 8)
+        WHERE k < LEAST(GREATEST(CAST(floor(length(h) / 128.0) AS INT), 1), 8)
     ),
     sizes AS (SELECT media_id, COUNT(*) AS sz FROM frames GROUP BY media_id),
     inter AS (
