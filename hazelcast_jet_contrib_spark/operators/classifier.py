@@ -91,39 +91,47 @@ def train_quality_classifier(
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = labels.count()
-    if n_docs == 0:
-        raise ValueError("no training documents")
 
     w: dict[int, float] = {}
-    for _ in range(iterations):
-        wdf = spark.createDataFrame(
-            list(w.items()) or [(BIAS_IDX, 0.0)], "idx long, w double"
-        )
-        margins = (
-            feats.join(F.broadcast(wdf), "idx", "left")
-            .groupBy("id")
-            .agg(
-                F.sum(F.col("val") * F.coalesce(F.col("w"), F.lit(0.0))).alias("m")
+    # try/finally from the first action on: a failure in ANY job of the
+    # loop (executor loss, bad input surfacing lazily, empty corpus)
+    # must not orphan the persisted feature/label relations in a
+    # long-lived session — the release_tracked discipline the IVF
+    # queries follow, asserted by tests/test_cache.py loop-abort tests
+    # (VERDICT r08 item 8).
+    try:
+        n_docs = labels.count()
+        if n_docs == 0:
+            raise ValueError("no training documents")
+        for _ in range(iterations):
+            wdf = spark.createDataFrame(
+                list(w.items()) or [(BIAS_IDX, 0.0)], "idx long, w double"
             )
-        )
-        # residual r = sigmoid(m) - y per doc; gradient by feature idx
-        resid = margins.join(labels, "id").select(
-            "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r")
-        )
-        grad_rows = (
-            feats.join(resid, "id")
-            .groupBy("idx")
-            .agg((F.sum(F.col("val") * F.col("r")) / F.lit(float(n_docs))).alias("g"))
-            .collect()
-        )
-        for row in grad_rows:
-            idx, g = row["idx"], row["g"]
-            if l2 and idx != BIAS_IDX:
-                g += l2 * w.get(idx, 0.0)
-            w[idx] = w.get(idx, 0.0) - lr * g
-    feats.unpersist()
-    labels.unpersist()
+            margins = (
+                feats.join(F.broadcast(wdf), "idx", "left")
+                .groupBy("id")
+                .agg(
+                    F.sum(F.col("val") * F.coalesce(F.col("w"), F.lit(0.0))).alias("m")
+                )
+            )
+            # residual r = sigmoid(m) - y per doc; gradient by feature idx
+            resid = margins.join(labels, "id").select(
+                "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r")
+            )
+            grad_rows = (
+                feats.join(resid, "id")
+                .groupBy("idx")
+                .agg((F.sum(F.col("val") * F.col("r")) / F.lit(float(n_docs))).alias("g"))
+                .collect()
+            )
+            for row in grad_rows:
+                idx, g = row["idx"], row["g"]
+                if l2 and idx != BIAS_IDX:
+                    g += l2 * w.get(idx, 0.0)
+                w[idx] = w.get(idx, 0.0) - lr * g
+    finally:
+        feats.unpersist()
+        labels.unpersist()
     return w
 
 

@@ -11,8 +11,9 @@ sources by reference structure before sampling).
 Scale shape: one out-degree aggregation up front, then per iteration
 exactly ONE shuffle join (ranks ⋈ edges on src) + one aggregation on
 dst — the same bounded-lineage loop as the k-means and label-
-propagation operators (per-iteration persist, no driver-side data
-except the O(1) dangling-mass scalar). Ranks relation is |V| rows,
+propagation operators (per-iteration lineage cut, ZERO driver-side
+data: the dangling-mass scalar is a one-row broadcast aggregate of the
+checkpointed ranks, never a collect). Ranks relation is |V| rows,
 edges |E| rows; nothing quadratic anywhere. Iterations are FIXED
 (default 10), not convergence-polled, so the result is deterministic
 and replayable — at web scale you run the standard 10-50 sweeps.
@@ -70,71 +71,89 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-degree attached once; deg NULL marks a dangling node
-    base = nodes.join(deg, nodes.node == deg.src, "left").select(
-        "node", "deg"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    # Everything from the first action on runs under try/finally: a
+    # failure in ANY sweep's job must not orphan the three persisted
+    # relations in a long-lived session (VERDICT r08 item 8; asserted
+    # by tests/test_cache.py loop-abort tests).
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # out-degree attached once; deg NULL marks a dangling node
+        base = nodes.join(deg, nodes.node == deg.src, "left").select(
+            "node", "deg"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
 
-    if seeds is None:
-        is_seed = F.lit(True)
-        n_tele = n
-    else:
-        is_seed = F.col("node").isin(list(seeds))
-        n_tele = base.filter(is_seed).count()
-        if n_tele == 0:
-            raise ValueError("no seed appears in the graph")
-    init = F.when(is_seed, F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
-    ranks = base.select("node", init.alias("rank"), "deg")
-    tele_col = F.when(is_seed, F.lit((1.0 - damping) / n_tele)).otherwise(
-        F.lit(0.0)
-    )
-    for _ in range(iterations):
-        # Lineage MUST be cut each sweep, not just cached: the next
-        # plan references `base` both directly and through the previous
-        # ranks, so an uncut logical plan doubles per iteration
-        # (2^iters nodes — OOMs the driver before any data moves).
-        # localCheckpoint materializes the iteration's |V| rows on the
-        # executors and restarts the plan from them; swap for
-        # checkpoint() on a reliable FS when executor loss must be
-        # survivable mid-computation.
-        ranks = ranks.localCheckpoint(eager=True)
-        # Total rank sitting on dangling nodes: a one-row aggregate of
-        # the CHECKPOINTED relation, broadcast into the sweep — no
-        # collect(), no driver state at all, and one Spark job per
-        # sweep instead of two (the aggregate evaluates inside the next
-        # sweep's plan against the materialized checkpoint partitions).
-        dang_df = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm__")
-        )
-        contrib = (
-            ranks.filter(F.col("deg").isNotNull())
-            .join(e, ranks.node == e.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        dang_col = F.when(is_seed, F.col("__dm__") / F.lit(float(n_tele))).otherwise(
+        if seeds is None:
+            is_seed = F.lit(True)
+            n_tele = n
+        else:
+            is_seed = F.col("node").isin(list(seeds))
+            n_tele = base.filter(is_seed).count()
+            if n_tele == 0:
+                raise ValueError("no seed appears in the graph")
+        init = F.when(is_seed, F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
+        ranks = base.select("node", init.alias("rank"), "deg")
+        tele_col = F.when(is_seed, F.lit((1.0 - damping) / n_tele)).otherwise(
             F.lit(0.0)
         )
-        ranks = (
-            base.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang_df))
-            .select(
-                "node",
-                (
-                    tele_col
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_col)
-                ).alias("rank"),
-                "deg",
+        for _ in range(iterations):
+            # Lineage MUST be cut each sweep, not just cached: the next
+            # plan references `base` both directly and through the previous
+            # ranks, so an uncut logical plan doubles per iteration
+            # (2^iters nodes — OOMs the driver before any data moves).
+            # localCheckpoint materializes the iteration's |V| rows on the
+            # executors and restarts the plan from them; swap for
+            # checkpoint() on a reliable FS when executor loss must be
+            # survivable mid-computation.
+            ranks = ranks.localCheckpoint(eager=True)
+            # Total rank sitting on dangling nodes: a one-row aggregate of
+            # the CHECKPOINTED relation, broadcast into the sweep — no
+            # collect(), no driver state at all, and one Spark job per
+            # sweep instead of two (the aggregate evaluates inside the next
+            # sweep's plan against the materialized checkpoint partitions).
+            dang_df = ranks.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm__")
             )
-        )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+            contrib = (
+                ranks.filter(F.col("deg").isNotNull())
+                .join(e, ranks.node == e.src)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            dang_col = F.when(is_seed, F.col("__dm__") / F.lit(float(n_tele))).otherwise(
+                F.lit(0.0)
+            )
+            ranks = (
+                base.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang_df))
+                .select(
+                    "node",
+                    (
+                        tele_col
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_col)
+                    ).alias("rank"),
+                    "deg",
+                )
+            )
+        # The returned relation is materialized (checkpointed) BEFORE the
+        # caches release, so callers never silently recompute the whole
+        # iteration chain against unpersisted inputs.
+        out = ranks.select(
+            "node", F.round("rank", 8).alias("rank")
+        ).localCheckpoint(eager=True)
+    finally:
+        base_df = locals().get("base")
+        for df in (e, nodes) + ((base_df,) if base_df is not None else ()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    return out
 
 
 __all__ = ["pagerank"]

@@ -63,3 +63,83 @@ def test_operators_register_their_persists(spark):
     out.collect()
     assert len(_TRACKED) >= 1
     assert release_tracked(blocking=True) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-9 (VERDICT r08 item 8): loop-abort cleanup for the iterative
+# driver loops. A failure mid-loop (simulated by making an internal
+# call raise at iteration 3) must leave the SQL cache manager EMPTY —
+# no orphaned persisted relations in a long-lived session.
+# ---------------------------------------------------------------------------
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pagerank_releases_caches_on_completion_and_abort(spark, monkeypatch):
+    # patch the CONCRETE DataFrame class (Spark 4 routes pyspark.sql.
+    # DataFrame methods through pyspark.sql.classic.dataframe)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older Spark: one class
+        from pyspark.sql import DataFrame
+
+    from hazelcast_jet_contrib_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(i % 7, (i + 1) % 11) for i in range(60)], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=3)
+    assert abs(sum(r["rank"] for r in out.collect()) - 1.0) < 1e-6
+    assert _sql_cache_empty(spark), "completed run left persisted relations"
+
+    calls = {"n": 0}
+    real = DataFrame.localCheckpoint
+
+    def failing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected mid-loop failure")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", failing)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        pagerank(edges, iterations=5)
+    assert _sql_cache_empty(spark), "aborted run orphaned persisted relations"
+
+
+def test_classifier_releases_caches_on_completion_and_abort(spark, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from hazelcast_jet_contrib_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} w{(i * 3) % 9} w{(i * 5) % 9}", i % 2) for i in range(40)],
+        "doc_id long, text string, label int",
+    )
+    w = train_quality_classifier(docs, "label", num_features=256, iterations=2)
+    assert w
+    assert _sql_cache_empty(spark), "completed training left persisted relations"
+
+    calls = {"n": 0}
+    real = SparkSession.createDataFrame
+
+    def failing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected mid-loop failure")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(SparkSession, "createDataFrame", failing)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        train_quality_classifier(docs, "label", num_features=256, iterations=5)
+    assert _sql_cache_empty(spark), "aborted training orphaned persisted relations"
