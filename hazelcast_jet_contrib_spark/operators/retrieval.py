@@ -75,23 +75,25 @@ def bm25_score_all(
     terms = sorted({t.lower() for t in query_terms})
     qarr = F.array(*[F.lit(t) for t in terms])
 
-    from hazelcast_jet_contrib_spark.cache import tracked_persist
-
-    # toks feeds BOTH the corpus-stats aggregate and the tf branch;
-    # persist so the corpus tokenize/scan runs once, not once per
-    # consumer (same discipline as minhash_lsh_pairs / duplicate_spans).
-    # Lifetime: tracked — cache.release_tracked() reclaims it.
-    toks = tracked_persist(
-        docs.select(
-            F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-        ).select(
-            "__id__",
-            F.size("__t__").alias("dl"),
-            # restrict to query terms BEFORE exploding: the downstream
-            # relation is <= |terms| rows/doc regardless of document size
-            F.array_intersect("__t__", qarr).alias("__hit__"),
-            F.col("__t__").alias("__all__"),
-        )
+    # toks feeds BOTH the corpus-stats aggregate and the tf branch, so
+    # the corpus scan+tokenize runs TWICE (a dl-only stats pass and the
+    # term-bounded tf pass). Deliberately NOT persisted: this relation
+    # carries the FULL token array per document, so materializing it is
+    # corpus-sized-or-larger — at 100 TB a second columnar scan +
+    # re-tokenize (whole-stage codegen) is the cheaper side of the
+    # trade. The repo's persist precedent (minhash_lsh_pairs,
+    # duplicate_spans) caches small DERIVED relations (signatures), not
+    # raw token arrays; stats is inherently a separate global pass — it
+    # must complete before any score can be computed.
+    toks = docs.select(
+        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+    ).select(
+        "__id__",
+        F.size("__t__").alias("dl"),
+        # restrict to query terms BEFORE exploding: the downstream
+        # relation is <= |terms| rows/doc regardless of document size
+        F.array_intersect("__t__", qarr).alias("__hit__"),
+        F.col("__t__").alias("__all__"),
     )
 
     # corpus stats: one global partial agg -> a single broadcast row
@@ -408,19 +410,18 @@ def bm25_topk_multi(
     # it broadcasts into the corpus pass
     all_terms = qt.select("term").distinct()
 
-    from hazelcast_jet_contrib_spark.cache import tracked_persist
-
-    # toks feeds the corpus-stats aggregate AND the hits theta-join;
-    # persist so the corpus tokenize pass materializes once (tracked —
-    # release_tracked() reclaims it between stages).
-    toks = tracked_persist(
-        docs.select(
-            F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-        ).select(
-            "__id__",
-            F.size("__t__").alias("dl"),
-            F.col("__t__").alias("__all__"),
-        )
+    # toks feeds the corpus-stats aggregate AND the hits theta-join, so
+    # the corpus scan+tokenize runs twice. NOT persisted, same reasoning
+    # as bm25_score_all: the relation carries full token arrays, so
+    # caching it costs more than the second codegen scan at scale — the
+    # batching win this operator claims is per-QUERY (N queries share
+    # the two passes instead of paying 2N), not pass elimination.
+    toks = docs.select(
+        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
+    ).select(
+        "__id__",
+        F.size("__t__").alias("dl"),
+        F.col("__t__").alias("__all__"),
     )
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
