@@ -38,8 +38,18 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     seeds: list | None = None,
+    sweep_stats: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count once).
+
+    ``sweep_stats``: diagnostic-only — pass a list to receive one
+    ``executed_shuffle_stats`` dict per sweep, read from each sweep's
+    executed plan right after its checkpoint materializes it. The
+    returned relation's own lineage is cut (by design), so per-sweep
+    shuffle is observable ONLY here; this is how the growth law
+    (8x edges -> ~8x shuffled records per sweep) is measured rather
+    than claimed (tests/test_scale_rehearsal_analytics.py). ``None``
+    (default) changes nothing — same plan, same jobs.
 
     ``seeds`` switches to PERSONALIZED PageRank: teleport (and dangling
     mass) return to the seed set uniformly instead of all nodes, so
@@ -96,6 +106,8 @@ def pagerank(
                 raise ValueError("no seed appears in the graph")
         init = F.when(is_seed, F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
         ranks = base.select("node", init.alias("rank"), "deg")
+        is_init = True  # first loop checkpoint materializes the init
+        # projection (no sweep join) — excluded from sweep_stats
         tele_col = F.when(is_seed, F.lit((1.0 - damping) / n_tele)).otherwise(
             F.lit(0.0)
         )
@@ -108,7 +120,15 @@ def pagerank(
             # executors and restarts the plan from them; swap for
             # checkpoint() on a reliable FS when executor loss must be
             # survivable mid-computation.
+            prev = ranks
             ranks = ranks.localCheckpoint(eager=True)
+            if sweep_stats is not None and not is_init:
+                from hazelcast_jet_contrib_spark.plans.audit import (
+                    executed_shuffle_stats,
+                )
+
+                sweep_stats.append(executed_shuffle_stats(prev))
+            is_init = False
             # Total rank sitting on dangling nodes: a one-row aggregate of
             # the CHECKPOINTED relation, broadcast into the sweep — no
             # collect(), no driver state at all, and one Spark job per
@@ -143,9 +163,14 @@ def pagerank(
         # The returned relation is materialized (checkpointed) BEFORE the
         # caches release, so callers never silently recompute the whole
         # iteration chain against unpersisted inputs.
-        out = ranks.select(
-            "node", F.round("rank", 8).alias("rank")
-        ).localCheckpoint(eager=True)
+        final = ranks.select("node", F.round("rank", 8).alias("rank"))
+        out = final.localCheckpoint(eager=True)
+        if sweep_stats is not None:
+            from hazelcast_jet_contrib_spark.plans.audit import (
+                executed_shuffle_stats,
+            )
+
+            sweep_stats.append(executed_shuffle_stats(final))
     finally:
         base_df = locals().get("base")
         for df in (e, nodes) + ((base_df,) if base_df is not None else ()):

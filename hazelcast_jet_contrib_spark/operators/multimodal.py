@@ -246,8 +246,19 @@ def video_near_dup_pairs(
     frames = video_frame_sample(
         videos, every_n=every_n, max_frames=max_frames, frame_bytes=frame_bytes
     )
-    sets = frames.groupBy("media_id").agg(
-        F.collect_set("frame_phash").alias("fs")
+    # The signature-set relation feeds THREE consumers in the returned
+    # plan (sizes + both sides of the candidate self-join); without the
+    # persist the Arrow frame-decode kernel — the dominant linear cost
+    # on a real video corpus — re-executes once per consumer (measured
+    # 4x at HEAD r09). Persisted it runs exactly once at cache build;
+    # the cached rows are tiny (<= max_frames signatures per video).
+    # Same fix/precedent as media_phash_near_dup's signature relation.
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    sets = tracked_persist(
+        frames.groupBy("media_id").agg(
+            F.collect_set("frame_phash").alias("fs")
+        )
     )
     sizes = sets.select("media_id", F.size("fs").alias("sz"))
     expl = sets.select("media_id", F.explode("fs").alias("h"))

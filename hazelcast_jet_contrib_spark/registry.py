@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Queries registered with oracle=None — genuinely non-SQL-expressible
+# results the driver checks rows-only. DELIBERATELY explicit and
+# expected to stay (near-)empty: every member must carry a docstring
+# rationale, and the rotation-contract test asserts
+# QUERIES == ORACLES ∪ ROWS_ONLY exactly, so an oracle silently going
+# missing is a test failure, not a weaker driver row.
+ROWS_ONLY: set[str] = set()
 
 # Retired queries: removed from the driver-checked registry (see the
 # REGISTRY-SIZE POLICY below) but NOT from the proof surface — each
@@ -46,6 +53,8 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        else:
+            ROWS_ONLY.add(name)
         return fn
 
     return deco
@@ -217,9 +226,11 @@ _PRIORITY = [
     # 2) the 39 queries last driver-green in r07, untouched since
     #    (the ADVICE-r08 fixes touched probe_minhash_index — registered
     #    fresh above, not re-proven — mmr_rerank schema derivation
-    #    (also fresh above), the BM25 persist (plan-neutral for
-    #    bm25_topk_docs: same exchanges, the shared relation is now
-    #    materialized once), and the rotation comment). Order preserved
+    #    (also fresh above), the BM25 multi-query operator (which runs
+    #    two UNPERSISTED codegen corpus passes by design — caching the
+    #    token-array relation loses to a second scan at 100 TB,
+    #    operators/retrieval.py:78-88), and the rotation comment). Order
+    #    preserved
     #    from the round-8 demotion list, minus the 11 retirements.
     "corpus_mix_to_target",
     "bigram_lm_quality",

@@ -128,9 +128,16 @@ def test_timeseries_catalyst_pushdown_splits_pushed_and_residual(spark):
 
 
 def test_text_stats_stays_jvm_side(spark):
-    a = audit(QUERIES["text_stats"](spark, SF))
-    assert a.python_stages() == 0, "text functions must be Catalyst expressions"
-    assert a.arrow_python_stages() == 0
+    """Scale guard: text functions are Catalyst expressions, never
+    Python. text_stats retired r09 (⊂ text_quality_scores +
+    token_length_profile) — the guard moves to the subsuming LIVE
+    queries and keeps covering the retired (still-shipped) one."""
+    for name in ("text_quality_scores", "token_length_profile"):
+        a = audit(QUERIES[name](spark, SF))
+        assert a.python_stages() == 0, f"{name}: text fns must stay Catalyst"
+        assert a.arrow_python_stages() == 0, name
+    a = audit(RETIRED_QUERIES["text_stats"](spark, SF))
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
 
 
 def test_dedup_minhash_no_python_no_rowudf(spark):
@@ -139,9 +146,17 @@ def test_dedup_minhash_no_python_no_rowudf(spark):
 
 
 def test_ann_topk_broadcasts_queries_not_corpus(spark):
-    a = audit(QUERIES["ann_cosine_topk"](spark, SF))
+    """Scale guard: the ANN query side broadcasts; the corpus never
+    shuffles for the join. ann_cosine_topk retired r09 (⊂
+    ivf_recall_at_nprobe's exact-truth side) — the guard covers both
+    the retired (still-shipped) query and the subsuming live one."""
+    a = audit(RETIRED_QUERIES["ann_cosine_topk"](spark, SF))
     assert a.broadcast_joins() >= 1, "query side must broadcast"
     assert a.shuffle_joins() == 0, "corpus must never shuffle for the join"
+    # the live subsumer's gate stage legitimately shuffle-joins two
+    # k×queries-bounded relations (approx vs exact top-k), so its
+    # corpus-side discipline is guarded by its own Arrow-stage pin in
+    # the blanket test, not by shuffle_joins()==0 here
 
 
 def test_no_headline_query_uses_row_at_a_time_python(spark):
@@ -174,6 +189,9 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         "docstore_find_pushdown": 1,
         "measurement_timeseries_read": 1,
         "paged_rest_parts": 1,
+        # round-9 registrations whose Arrow stage IS the declared design:
+        "bpe_encode_pinned": 1,  # Arrow-batched trie encode (bpe.py)
+        "video_near_dup_frames": 1,  # frame-decode kernel, persisted once
         # round-7 additions: all pure Catalyst, and the two eager
         # queries (training_shards_roundtrip, ivf_index_probe_topk)
         # return local relations — their kernels run inside the query
@@ -194,11 +212,18 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
 
 
 def test_embedding_near_dup_has_no_quadratic_join(spark):
-    """The registered near-dup query must be the LSH-bucketed plan: the
-    only join is an equi-join on the bucket key (hash join). A
+    """Near-dup plans must be the LSH-bucketed shape: the only join is
+    an equi-join on the bucket key (hash join). A
     BroadcastNestedLoopJoin / CartesianProduct here means the O(n²)
-    brute-force pair join leaked back in — a scale-killer at 100×."""
-    a = audit(QUERIES["embedding_near_dup"](spark, SF))
+    brute-force pair join leaked back in — a scale-killer at 100×.
+    embedding_near_dup retired r09 (⊂ semantic_dedup_pairs) — the
+    guard keeps covering the retired (still-shipped) query; the live
+    subsumer's plan carries a deliberate BNLJ — the k-row broadcast
+    centroid crossJoin of its ASSIGN stage (O(n·k), the declared IVF
+    bucketing design), so its pair-join discipline is bounded by its
+    exchange budget in test_new_sketch_and_clustering_shuffle_budgets
+    instead of a blanket BNLJ ban."""
+    a = audit(RETIRED_QUERIES["embedding_near_dup"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in a.plan, "O(n²) pair join in near-dup plan"
     assert "CartesianProduct" not in a.plan, "cartesian join in near-dup plan"
 
