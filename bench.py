@@ -85,12 +85,14 @@ def main() -> None:
     # regressions when they were host noise.
     RETIME_RATIO = 1.5
     prev_timings: dict[str, float] = {}
+    prev_subtimings: dict[str, dict[str, float]] = {}
     try:
         with open(Path(REPO) / "BENCH_TIMINGS.json") as f:
             hist = json.load(f)
         # only comparable at the same scale factor — cross-SF history
         # would flag every query as a 1.5x drift
         if hist.get("sf") == _sf_from_dir(SF_DIR):
+            prev_subtimings = hist.get("subtimings", {})
             prev_timings = {
                 k: v for k, v in hist.get("queries", {}).items() if v > 0
             }
@@ -104,15 +106,28 @@ def main() -> None:
     # the drifted value became the next round's baseline), and the
     # sweep reports vs_best ratios + a "drifted" list so a real
     # regression is flagged at the sweep that introduces it.
+    # Minima are keyed BY SF (ADVICE r09): a sweep at a different scale
+    # factor updates only its own bucket instead of wiping the other
+    # SF's best-known-time history. Legacy flat files ({"sf", "queries"})
+    # migrate on first write.
     best_path = Path(REPO) / "BENCH_BEST.json"
-    best: dict[str, float] = {}
+    cur_sf = str(_sf_from_dir(SF_DIR))
+    best_by_sf: dict[str, dict[str, float]] = {}
     try:
         with open(best_path) as f:
             bhist = json.load(f)
-        if bhist.get("sf") == _sf_from_dir(SF_DIR):
-            best = {k: v for k, v in bhist.get("queries", {}).items() if v > 0}
+        if "by_sf" in bhist:
+            best_by_sf = {
+                sf: {k: v for k, v in qs.items() if v > 0}
+                for sf, qs in bhist["by_sf"].items()
+            }
+        elif bhist.get("queries"):  # legacy single-SF format
+            best_by_sf[str(bhist.get("sf"))] = {
+                k: v for k, v in bhist["queries"].items() if v > 0
+            }
     except (OSError, ValueError):
         pass
+    best: dict[str, float] = dict(best_by_sf.get(cur_sf, {}))
     retimed: list[str] = []
     timings: dict[str, float] = {}
     shuffles: dict[str, dict[str, float]] = {}
@@ -257,13 +272,23 @@ def main() -> None:
         k: round(v / best[k], 2) for k, v in ok.items() if k in best
     }
     drifted = sorted(k for k, r in vs_best.items() if r > RETIME_RATIO)
+    # per-leg drift (VERDICT r09 item 5): composite queries record
+    # sub-timings (bench_hooks); the tripwire watches each leg against
+    # the previous sweep so e.g. the index PROBE leg (paid per run)
+    # can't hide behind the amortized build inside the blended total
+    from hazelcast_jet_contrib_spark.bench_hooks import SUBTIMINGS
+
+    for q, legs in SUBTIMINGS.items():
+        for leg, sec in legs.items():
+            prev = prev_subtimings.get(q, {}).get(leg, 0)
+            if prev > 0 and sec > RETIME_RATIO * prev:
+                drifted.append(f"{q}:{leg}")
     for k, v in ok.items():
         best[k] = min(best.get(k, v), v)
     if not name_filters:
+        best_by_sf[cur_sf] = best  # only THIS SF's bucket changes
         with open(best_path, "w") as f:
-            json.dump(
-                {"sf": _sf_from_dir(SF_DIR), "queries": best}, f, indent=1
-            )
+            json.dump({"by_sf": best_by_sf}, f, indent=1)
     if not name_filters:  # a scoped re-time must not truncate the history
         with open(Path(REPO) / "BENCH_TIMINGS.json", "w") as f:
             json.dump(
@@ -280,6 +305,10 @@ def main() -> None:
                     # regression tripwire (VERDICT r08 item 6)
                     "vs_best": vs_best,
                     "drifted": drifted,
+                    # per-leg elapsed for composite queries (build vs
+                    # probe for minhash_index_probe): the leg users pay
+                    # repeatedly is drift-watched on its own
+                    "subtimings": SUBTIMINGS,
                     "queries": timings,
                 },
                 f,

@@ -902,6 +902,7 @@ def probe_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    max_probe_band_rows: int = 500_000,
 ) -> DataFrame:
     """Probe a persisted MinHash index with a (bounded) probe corpus:
     LSH candidate generation by (band, bh) equality against the index,
@@ -913,11 +914,20 @@ def probe_minhash_index(
     scan reads only row groups whose ``bh`` range intersects the
     probes' bucket keys (predicate pushdown on the sorted column).
 
+    The probe side materializes on the driver (|probes| x bands band
+    rows — that is what makes it a broadcast, not a corpus shuffle),
+    so the boundedness contract is ENFORCED, not assumed:
+    ``max_probe_band_rows`` caps the collect and the function raises
+    with a side-swap instruction instead of silently materializing a
+    corpus on the driver (VERDICT r09 item 6).
+
     Output: (probe_id, corpus_id, jaccard double rounded to 6dp) for
     every pair at or above ``threshold``."""
     import json as _json
     import os as _os
 
+    if max_probe_band_rows < 1:
+        raise ValueError("max_probe_band_rows must be >= 1")
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
     sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"])
@@ -925,7 +935,17 @@ def probe_minhash_index(
     pb = band_keys(sig, params["num_hashes"], params["bands"]).join(
         sig.select("id", "hs"), "id"
     )
-    probe_rows = pb.collect()  # bounded by design: |probes| x bands
+    # bounded collect: fetch at most cap+1 rows in ONE job, then fail
+    # loudly if the probe side overflows the contract
+    probe_rows = pb.limit(max_probe_band_rows + 1).collect()
+    if len(probe_rows) > max_probe_band_rows:
+        raise ValueError(
+            f"probe side exceeds {max_probe_band_rows} band rows "
+            f"(|probes| x {params['bands']} bands): probes must be the "
+            "SMALL side (an eval set, a delta batch). Swap sides — "
+            "build_minhash_index over the probes and probe with the "
+            "corpus — or raise max_probe_band_rows deliberately."
+        )
     bhs = sorted({r["bh"] for r in probe_rows})
     # Derive the probe-id field type from the caller's id column — the
     # contract accepts any orderable id type, not just longs.
@@ -1005,15 +1025,29 @@ def compact_minhash_index(spark, path: str) -> dict[str, int]:
     more row groups per epoch; compaction rewrites each band partition
     as a single sorted run, restoring build-time pruning selectivity.
 
-    Safety contract (mirrors streaming/message_log.py compaction):
+    Safety contract (mirrors streaming/message_log.py compaction —
+    including its single-maintainer assumption: one compactor at a
+    time; probes may run concurrently):
+    - LOCAL-FILESYSTEM ONLY: the swap uses os.rename/glob against
+      ``path``, so a non-file URI (hdfs://, s3a://) fails fast here
+      rather than silently operating on a nonexistent local path —
+      build/append/probe remain URI-agnostic (pure Spark I/O), but
+      this maintenance step, like compact_stream, is driver-local.
     - the rewrite lands in a ``_``-prefixed staging dir INSIDE the
-      index, which parquet readers ignore — concurrent probes keep
-      reading the live layout until the swap;
-    - the swap is one atomic rename PER BAND directory. Compaction
-      never changes content — old and new layouts hold the same rows —
-      so a crash mid-swap leaves a mix of compacted and uncompacted
-      bands that is still a CORRECT index (probe-identical; property
-      tested), and re-running compaction converges it.
+      index, which parquet partition discovery ignores — concurrent
+      probes keep reading the live layout until the swap;
+    - the swap is TWO renames per band (live -> _trash/band=N, then
+      staging -> live); POSIX cannot rename over a non-empty dir, so
+      the window is not atomic. The old dir is parked under the
+      ``_``-prefixed ``_trash`` dir, which partition discovery also
+      ignores — so at every instant the live layout is either the old
+      band, the new band, or (inside the crash window) the band absent.
+      Compaction never changes content, so old/new mixes stay
+      probe-identical (property tested); a crash INSIDE one band's
+      two-rename window leaves that band parked in ``_trash`` and
+      invisible to probes until repair. Re-running compaction IS the
+      repair: it restores any parked band missing from the live layout
+      before reading (below), then converges the whole index.
 
     Returns {"files_before": n, "files_after": m} for observability.
     """
@@ -1021,12 +1055,30 @@ def compact_minhash_index(spark, path: str) -> dict[str, int]:
     import os as _os
     import shutil as _shutil
 
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            "compact_minhash_index operates on the driver-local "
+            f"filesystem only (got {path!r}); copy the index local or "
+            "rebuild instead of compacting remote layouts"
+        )
+
     def _data_files() -> list[str]:
         return [
             p
             for p in _glob.glob(_os.path.join(path, "band=*", "*.parquet"))
             if not _os.path.basename(p).startswith(("_", "."))
         ]
+
+    trash_root = _os.path.join(path, "_trash")
+    # crash-window repair: a previous compaction that died between its
+    # two renames left the band's only copy parked here — restore it
+    # BEFORE reading, else the rewrite would silently drop the band
+    for parked in sorted(_glob.glob(_os.path.join(trash_root, "band=*"))):
+        live = _os.path.join(path, _os.path.basename(parked))
+        if not _os.path.exists(live):
+            _os.rename(parked, live)
+        else:
+            _shutil.rmtree(parked, ignore_errors=True)
 
     files_before = len(_data_files())
     staging = _os.path.join(path, "_compact_staging")
@@ -1039,13 +1091,15 @@ def compact_minhash_index(spark, path: str) -> dict[str, int]:
         .partitionBy("band")
         .parquet(staging)
     )
+    _os.makedirs(trash_root, exist_ok=True)
     for band_dir in sorted(_glob.glob(_os.path.join(staging, "band=*"))):
         live = _os.path.join(path, _os.path.basename(band_dir))
-        trash = live + "._old"
+        trash = _os.path.join(trash_root, _os.path.basename(band_dir))
         _shutil.rmtree(trash, ignore_errors=True)
         if _os.path.exists(live):
             _os.rename(live, trash)
-        _os.rename(band_dir, live)  # atomic: the band flips in one step
+        _os.rename(band_dir, live)  # band flips back in; window closed
         _shutil.rmtree(trash, ignore_errors=True)
     _shutil.rmtree(staging, ignore_errors=True)
+    _shutil.rmtree(trash_root, ignore_errors=True)
     return {"files_before": files_before, "files_after": len(_data_files())}

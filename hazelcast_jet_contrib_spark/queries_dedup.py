@@ -757,7 +757,9 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py build_minhash_index, probe_minhash_index)."""
     import shutil
     import tempfile
+    import time as _time
 
+    from hazelcast_jet_contrib_spark.bench_hooks import record_leg
     from hazelcast_jet_contrib_spark.operators.dedup import (
         build_minhash_index,
         probe_minhash_index,
@@ -770,13 +772,20 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="minhash_index_q_")
     try:
+        # build vs probe recorded separately (VERDICT r09 item 5): the
+        # build is once-per-corpus and amortizes across probe runs, so
+        # the bench drift tripwire watches the probe leg on its own
+        t0 = _time.perf_counter()
         build_minhash_index(docs, path, num_hashes=64, bands=32)
+        record_leg("minhash_index_probe", "build", _time.perf_counter() - t0)
+        t1 = _time.perf_counter()
         rows = [
             (r["probe_id"], r["corpus_id"], r["jaccard"])
             for r in probe_minhash_index(
                 spark, path, probes, threshold=0.6
             ).collect()
         ]
+        record_leg("minhash_index_probe", "probe", _time.perf_counter() - t1)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(

@@ -77,14 +77,14 @@ def bm25_topk_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     out = bm25_topk_multi(docs, _queries_df(spark), k=10)
-    # eager: the operator persists its shared tokenize relation; release
-    # it before handing the (tiny, k-bounded) result to the driver
-    from hazelcast_jet_contrib_spark.cache import release_tracked
-
+    # eager: hand the (tiny, k-bounded) result to the driver as a local
+    # relation. The operator deliberately persists NOTHING — it runs
+    # two unpersisted codegen corpus passes (stats, then scoring),
+    # which beats caching a full token-array relation at 100 TB
+    # (operators/retrieval.py:78-88) — so there is no cache to release.
     rows = [
         (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in out.collect()
     ]
-    release_tracked()
     return spark.createDataFrame(
         rows, "query_id long, doc_id long, score double, rank int"
     )

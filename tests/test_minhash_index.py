@@ -165,3 +165,75 @@ def test_compaction_is_probe_identical_and_reduces_files(spark, tmp_path):
         for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
     )
     assert again == before
+
+
+def test_compaction_repairs_crash_window_parked_band(spark, tmp_path):
+    """The two-rename swap's crash window (ADVICE r09): a compaction
+    that dies between rename(live -> _trash/band=N) and
+    rename(staging -> live) leaves that band's ONLY copy parked under
+    the ignored _trash dir. Probes in that window legitimately miss
+    the band (documented gap); the repair contract is that the NEXT
+    compaction restores the parked band before reading — no rows are
+    ever lost to a re-run."""
+    import os
+
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    docs = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path)
+    probes = _probes(docs)
+    want = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    assert want, "vacuous: no probe hits"
+
+    # simulate the crash: one band parked in _trash, absent from live
+    bands = sorted(
+        d for d in os.listdir(path) if d.startswith("band=")
+    )
+    victim = bands[len(bands) // 2]
+    os.makedirs(os.path.join(path, "_trash"), exist_ok=True)
+    os.rename(
+        os.path.join(path, victim), os.path.join(path, "_trash", victim)
+    )
+    # the parked copy is invisible to partition discovery (probe runs,
+    # just with that band's candidates missing — no error, fewer rows)
+    degraded = probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    assert len(degraded) <= len(want)
+
+    compact_minhash_index(spark, path)  # repair + converge
+    got = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    assert got == want, "repair lost rows from the parked band"
+    assert not os.path.exists(os.path.join(path, "_trash"))
+
+
+def test_compaction_rejects_remote_uris(spark):
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    with pytest.raises(ValueError, match="driver-local"):
+        compact_minhash_index(spark, "s3a://bucket/minhash_index")
+
+
+def test_probe_side_collect_is_capped_with_clear_error(spark, mh_index):
+    """The probe side materializes on the driver (that is what makes it
+    a broadcast): the boundedness contract is enforced — an oversized
+    probe set raises with a swap-sides instruction instead of silently
+    collecting a corpus (VERDICT r09 item 6)."""
+    docs, path = mh_index
+    with pytest.raises(ValueError, match="[Ss]wap sides"):
+        probe_minhash_index(
+            spark, path, _probes(docs), threshold=0.6, max_probe_band_rows=3
+        )
+    with pytest.raises(ValueError, match="max_probe_band_rows"):
+        probe_minhash_index(
+            spark, path, _probes(docs), threshold=0.6, max_probe_band_rows=0
+        )
