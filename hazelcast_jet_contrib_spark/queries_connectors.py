@@ -149,8 +149,12 @@ def media_metadata_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (s1 = sum of bytes, s2 = positionally weighted sum), n_bytes, and the
 # full 64-bit average-hash over the repeated-payload gray plane
 # (threshold = exact int-sum / count in float64 on both sides).
-@query(
+@retired_query(
     "media_image_features",
+    reason="r10: media_phash_near_dup runs the exact image_features "
+    "operator (same Arrow decode kernel, same _media_frame plumbing) as "
+    "its persisted first stage; the feature columns stay oracle-proven "
+    "every pytest here",
     oracle="""
     WITH m AS (
         SELECT doc_id AS media_id,

@@ -700,9 +700,13 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "minhash_index_probe",
-    oracle=r"""
+# Shared by minhash_index_probe (build→probe) and
+# minhash_index_lifecycle (build evens → append odds → compact →
+# probe): the lifecycle's base ∪ delta is the FULL documents corpus by
+# construction, so both end states must answer the same exact-Jaccard
+# SQL — that identity is precisely what makes append+compact
+# correctness driver-checkable.
+_MINHASH_INDEX_ORACLE = r"""
     WITH probes AS (
         SELECT doc_id + 5000000 AS probe_id, text || ' zz yy' AS text
         FROM documents WHERE doc_id % 97 = 0
@@ -740,8 +744,10 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN csz ON csz.doc_id = corpus_id
     JOIN psz ON psz.probe_id = inter.probe_id
     WHERE CAST(i AS DOUBLE) / (csz.sz + psz.sz - i) >= 0.6
-    """,
-)
+    """
+
+
+@query("minhash_index_probe", oracle=_MINHASH_INDEX_ORACLE)
 def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted near-dup index driver-proven end-to-end: BUILD the
     band-partitioned, bh-sorted MinHash index on the corpus once (64
@@ -786,6 +792,71 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         ]
         record_leg("minhash_index_probe", "probe", _time.perf_counter() - t1)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe_id long, corpus_id long, jaccard double"
+    )
+
+
+@query("minhash_index_lifecycle", oracle=_MINHASH_INDEX_ORACLE)
+def minhash_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL index lifecycle driver-proven end-to-end (VERDICT r09
+    next-round #3): BUILD the MinHash index on half the corpus (even
+    doc_ids), APPEND the other half as a delta epoch
+    (append_to_minhash_index — one fresh bh-sorted file per band, the
+    standing-decontamination maintenance path), COMPACT back to one
+    sorted run per band (compact_minhash_index — the two-rename swap
+    with _trash parking), then PROBE with mutated eval docs. Because
+    base ∪ delta = the full documents corpus, the result must hash-
+    match the SAME exact-Jaccard oracle as minhash_index_probe — so a
+    row lost or duplicated anywhere in append/compact/swap surfaces as
+    a driver mismatch, not just a pytest property. Scale: identical
+    shapes to build/probe (corpus-linear signatures once, bh-pruned
+    probe scan); compaction is driver-local index maintenance
+    (SCALE.md). Eager compute + temp-index cleanup."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from hazelcast_jet_contrib_spark.bench_hooks import record_leg
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy")).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="minhash_lifecycle_q_")
+    try:
+        # every maintenance leg timed separately (the minhash_index_probe
+        # precedent): build/append/compact amortize across probe runs
+        t = _time.perf_counter()
+        build_minhash_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path,
+            num_hashes=64, bands=32,
+        )
+        record_leg("minhash_index_lifecycle", "build", _time.perf_counter() - t)
+        t = _time.perf_counter()
+        append_to_minhash_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        record_leg("minhash_index_lifecycle", "append", _time.perf_counter() - t)
+        t = _time.perf_counter()
+        stats = compact_minhash_index(spark, path)
+        record_leg("minhash_index_lifecycle", "compact", _time.perf_counter() - t)
+        assert stats["files_after"] <= stats["files_before"]
+        t = _time.perf_counter()
+        rows = [
+            (r["probe_id"], r["corpus_id"], r["jaccard"])
+            for r in probe_minhash_index(
+                spark, path, probes, threshold=0.6
+            ).collect()
+        ]
+        record_leg("minhash_index_lifecycle", "probe", _time.perf_counter() - t)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(

@@ -276,8 +276,11 @@ def setop_building_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFra
 # quantity >= 45). Non-trivial at every SF (6 rows at sf0.001, 53 at
 # sf0.01).
 # --------------------------------------------------------------------------
-@query(
+@retired_query(
     "parts_never_bulk_ordered",
+    reason="r10: bare NOT EXISTS anti-join subsumed by "
+    "q21_waiting_suppliers (EXISTS + NOT EXISTS on a filtered lineitem "
+    "probe) and q22_dormant_wealthy_customers (anti-join to orders)",
     oracle="""
     SELECT p_partkey, p_name FROM part
     WHERE NOT EXISTS (
@@ -355,8 +358,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14-shape: promotion effect — conditional aggregation over a fact ⋈ dim
 # join (lineitem ⋈ part), the CASE-inside-SUM pattern.
 # --------------------------------------------------------------------------
-@query(
+@retired_query(
     "q14_promo_effect",
+    reason="r10: global conditional revenue-share over a broadcast dim "
+    "join is q8_market_share's per-year conditional share restricted to "
+    "one group (same CASE/sum machinery, smaller join graph); the "
+    "l_shipdate range-pushdown leg stays proven by q1/q20",
     oracle="""
     SELECT ROUND(
              100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'

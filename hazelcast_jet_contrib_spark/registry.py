@@ -202,36 +202,91 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 9
+_ROTATION_ROUND = 10
 _PRIORITY = [
-    # --- round-9 rotation (window = exactly 50; plan in ROUND9_PLAN.md,
-    # written BEFORE the build per VERDICT r08 item 3). CORRECTNESS_r08
-    # proved the round-8 priority set (50/50 green); the 50 surviving
-    # r07-green queries age to two rounds unless re-proven now — ELEVEN
-    # of them retire this round (subsumption documented at their
-    # @retired_query sites and in ROUND9_PLAN.md), freeing exactly the
-    # slots for the ELEVEN newly registered round-8 operators (no
-    # CORRECTNESS row yet; VERDICT r08 "What's missing" #1):
+    # --- round-10 rotation (window = exactly 50; plan in
+    # ROUND10_PLAN.md, written BEFORE the build — the ROUND9_PLAN
+    # discipline). CORRECTNESS_r09 proved the round-9 priority set
+    # (49 hash-green + mmr rows-only); the 50 surviving r08-green
+    # queries age to two rounds unless re-proven now — THREE retire
+    # this round (media_image_features ⊂ media_phash_near_dup,
+    # q14_promo_effect ⊂ q8_market_share, parts_never_bulk_ordered ⊂
+    # q21/q22; reasons at their @retired_query sites), freeing the
+    # slots for:
+    # 1) the two r09-green queries whose semantics changed this round
+    #    (re-proof rule c) and the one new registration:
+    "mmr_rerank_diverse",  # rows-only -> value-level lam=1.0 + gate
+    "minhash_index_lifecycle",  # NEW: build→append→compact→probe
+    "video_near_dup_frames",  # plan changed: decode persisted once
+    # 2) the 47 queries last driver-green in r08, untouched since.
+    #    Semantics-neutral exemptions claimed for round 10 (rule c,
+    #    rationale in ROUND10_PLAN.md): minhash_index_probe's bench
+    #    sub-timing bookkeeping + probe-collect cap (identical result
+    #    set/schema/returned plan), and comment-only edits in
+    #    queries_retrieval. Order preserved from the round-9 demotion
+    #    list, minus the 3 retirements.
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "neardup_keep_best",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "kmeans_cluster_profile",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r09, implementation and oracle untouched
+    # since (the r09 window minus mmr_rerank_diverse and
+    # video_near_dup_frames, which re-prove above). 48 entries -> next
+    # round's window holds them all with 2 slots spare.
     "pagerank_event_graph",
     "bpe_encode_pinned",
     "minhash_index_probe",
     "classifier_holdout_accuracy",
     "bm25_topk_multi_docs",
     "rrf_fusion_hybrid",
-    "mmr_rerank_diverse",
     "quality_ensemble_scores",
     "leakage_safe_split_census",
     "cohort_retention_weekly",
-    "video_near_dup_frames",
-    # 2) the 39 queries last driver-green in r07, untouched since
-    #    (the ADVICE-r08 fixes touched probe_minhash_index — registered
-    #    fresh above, not re-proven — mmr_rerank schema derivation
-    #    (also fresh above), the BM25 multi-query operator (which runs
-    #    two UNPERSISTED codegen corpus passes by design — caching the
-    #    token-array relation loses to a second scan at 100 TB,
-    #    operators/retrieval.py:78-88), and the rotation comment). Order
-    #    preserved
-    #    from the round-8 demotion list, minus the 11 retirements.
     "corpus_mix_to_target",
     "bigram_lm_quality",
     "znorm_subseq_topk",
@@ -271,60 +326,6 @@ _PRIORITY = [
     "repetition_dup_ngrams",
     "snapshot_diff_statuses",
     "json_props_extraction",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r08, implementation and oracle untouched
-    # since. 50 entries -> next round's window holds them all exactly.
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "neardup_keep_best",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "kmeans_cluster_profile",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_image_features",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q14_promo_effect",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "parts_never_bulk_ordered",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
 ]
 
 

@@ -335,3 +335,117 @@ def streaming_funnel_progress(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.cohort_retention``
+    (VERDICT r09 item 8): the retention triangle maintained
+    incrementally over an event stream, EXACTLY batch-equivalent under
+    ANY micro-batch split of the input — including out-of-order
+    arrivals that retroactively change a user's cohort.
+
+    Emission model (incremental view maintenance, not monotone
+    progress): each user's state holds the distinct activity periods
+    that matter; whenever a batch changes the user's (cohort, offset)
+    contribution set, the operator emits +1 deltas for pairs gained and
+    -1 deltas for pairs lost. A user's first event defines the cohort
+    (period of min ts); an EARLIER event arriving later RETREATS the
+    cohort, which shifts every offset — the operator retracts the old
+    pairs and emits the new ones, so the downstream rollup
+
+        SELECT cohort, offset, SUM(delta) AS retained GROUP BY 1, 2
+
+    equals the batch triangle's ``retained`` at every point where the
+    stream has quiesced, for ANY arrival order (asserted in tests;
+    ``cohort_users`` is the offset-0 row by construction). This is the
+    reconciliation-free alternative to the monotone convention used by
+    streaming_funnel_progress — retention maths is delta-friendly,
+    funnel completion times are not.
+
+    State per user: the sorted distinct period-start epochs whose
+    offset from the user's cohort is <= ``max_periods``. Offsets only
+    GROW as the cohort retreats, so periods past the horizon are
+    pruned permanently — state is O(max_periods) longs per user
+    regardless of stream length, the 100 TB bound.
+
+    Input contract: ``ts_col`` is epoch SECONDS (long); period
+    boundaries are computed in UTC (day / ISO-Monday week / calendar
+    month — identical to the batch operator's date_trunc under a UTC
+    session, the engine's driver contract). Output: (cohort long =
+    period-start epoch seconds, offset int, delta int), append mode.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    if max_periods < 1:
+        raise ValueError("max_periods must be >= 1")
+    from datetime import datetime, timedelta, timezone
+
+    def _period_start(epoch: int) -> int:
+        d = datetime.fromtimestamp(int(epoch), tz=timezone.utc)
+        d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        if period == "week":
+            d -= timedelta(days=d.weekday())
+        elif period == "month":
+            d = d.replace(day=1)
+        return int(d.timestamp())
+
+    def _offset(p: int, cohort: int) -> int:
+        if period == "month":
+            a = datetime.fromtimestamp(cohort, tz=timezone.utc)
+            b = datetime.fromtimestamp(p, tz=timezone.utc)
+            return (b.year - a.year) * 12 + (b.month - a.month)
+        days = (p - cohort) // 86400
+        return days // 7 if period == "week" else days
+
+    def _pairs(periods: list[int]) -> set[tuple[int, int]]:
+        if not periods:
+            return set()
+        cohort = periods[0]
+        return {
+            (cohort, _offset(p, cohort))
+            for p in periods
+            if _offset(p, cohort) <= max_periods
+        }
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        old = list(state.get[0]) if state.exists else []
+        batch = [p for p in pdfs if len(p)]
+        if not batch:
+            state.update((old,))
+            return
+        rows = pd.concat(batch, ignore_index=True)
+        new = set(old)
+        new.update(_period_start(t) for t in rows[ts_col])
+        merged = sorted(new)
+        cohort = merged[0]
+        # prune past the horizon: offsets only grow as the cohort
+        # retreats, so a period once beyond max_periods never returns
+        merged = [p for p in merged if _offset(p, cohort) <= max_periods]
+        before, after = _pairs(old), _pairs(merged)
+        state.update((merged,))
+        gained = sorted(after - before)
+        lost = sorted(before - after)
+        if gained or lost:
+            yield pd.DataFrame(
+                {
+                    "cohort": [c for c, _ in gained] + [c for c, _ in lost],
+                    "offset": [o for _, o in gained] + [o for _, o in lost],
+                    "delta": [1] * len(gained) + [-1] * len(lost),
+                }
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType="cohort long, offset int, delta int",
+        stateStructType="periods array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,40 @@ def test_plans_md_covers_every_registry_query():
     extra = rows - set(registry.QUERIES)
     assert not missing, f"PLANS.md missing rows for: {sorted(missing)}"
     assert not extra, f"PLANS.md has rows for unknown queries: {sorted(extra)}"
+
+
+def test_bench_best_is_keyed_by_scale_factor():
+    """ADVICE r09: a sweep at one SF must not wipe the other SF's
+    best-known-time history — bench.py keys minima by SF (by_sf) and
+    migrates the legacy flat format. Source-level guard plus a check
+    that the on-disk artifact (once rewritten) carries the keyed
+    shape."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert '"by_sf"' in src and "best_by_sf[cur_sf] = best" in src, (
+        "bench.py must update only the current SF's bucket"
+    )
+    path = os.path.join(REPO, "BENCH_BEST.json")
+    if os.path.exists(path):
+        data = json.load(open(path))
+        assert "by_sf" in data or "queries" in data, (
+            "BENCH_BEST.json must be keyed by_sf (or the legacy flat "
+            "format pending its first rewrite)"
+        )
+
+
+def test_bench_subtimings_drift_watched():
+    """VERDICT r09 item 5: composite queries record per-leg timings
+    (bench_hooks) and bench.py drift-checks each leg against the
+    previous sweep — the index PROBE leg (paid per run) must not hide
+    behind the amortized build in the blended total."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert "SUBTIMINGS" in src and '"subtimings"' in src
+    assert "prev_subtimings" in src, "per-leg drift check missing"
+    qsrc = open(
+        os.path.join(
+            REPO, "hazelcast_jet_contrib_spark", "queries_dedup.py"
+        )
+    ).read()
+    assert qsrc.count('record_leg("minhash_index_probe"') == 2, (
+        "minhash_index_probe must record both build and probe legs"
+    )

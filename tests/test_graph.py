@@ -165,3 +165,41 @@ def test_seed_trust_propagation_through_near_dup_graph(spark):
         sig, "doc_id", {"trust": 1}
     ).collect()}
     assert min(q[1], q[2], q[3]) > max(q[10], q[11])
+
+
+def test_pagerank_warm_start_fixpoint_and_incremental_advantage(spark):
+    """init_ranks warm start (the incremental path for evolving
+    graphs): (a) a converged rank vector is a fixpoint — warm-starting
+    from it moves nothing beyond rounding; (b) after an edge delta,
+    warm-starting from the OLD graph's converged ranks lands strictly
+    closer to the new graph's fixpoint than a cold start at the same
+    (small) sweep count; (c) seeds + init_ranks is rejected."""
+    import random
+
+    rng = random.Random(12)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    converged = pagerank(df, iterations=40)
+
+    # (a) fixpoint invariance
+    warm = pagerank(df, iterations=2, init_ranks=converged)
+    c = {r["node"]: r["rank"] for r in converged.collect()}
+    w = {r["node"]: r["rank"] for r in warm.collect()}
+    assert max(abs(c[n] - w[n]) for n in c) < 1e-6
+
+    # (b) incremental advantage on an edge delta
+    delta = [(41, 1), (1, 41), (42, 41), (7, 42), (41, 7)]
+    df2 = spark.createDataFrame(edges + delta, "src long, dst long")
+    truth = {r["node"]: r["rank"] for r in pagerank(df2, iterations=40).collect()}
+
+    def err(ranks_df):
+        got = {r["node"]: r["rank"] for r in ranks_df.collect()}
+        return sum(abs(got[n] - truth[n]) for n in truth)
+
+    e_warm = err(pagerank(df2, iterations=3, init_ranks=converged))
+    e_cold = err(pagerank(df2, iterations=3))
+    assert e_warm < e_cold, (e_warm, e_cold)
+
+    # (c) mutually exclusive with personalized teleport
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pagerank(df, iterations=2, seeds=[1], init_ranks=converged)

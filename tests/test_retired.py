@@ -40,6 +40,10 @@ EXPECTED_RETIRED = {
     "stratified_sample_by_lang",
     "docstore_find_pushdown",
     "measurement_timeseries_read",
+    # round-10 retirements (ROUND10_PLAN.md)
+    "media_image_features",
+    "q14_promo_effect",
+    "parts_never_bulk_ordered",
 }
 
 

@@ -478,3 +478,84 @@ def test_streaming_funnel_mid_stream_kill_byte_identical(spark, tmp_path):
     want = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(out_u).collect())
     assert partial < len(want), "kill must land mid-stream, not after drain"
     assert got == want, "killed+restarted output differs from uninterrupted run"
+
+
+def test_streaming_cohort_retention_batch_equivalent_any_split(spark, tmp_path):
+    """The retention triangle's streaming twin is EXACTLY
+    batch-equivalent under arbitrary micro-batching — including an
+    adversarial arrival order where users' earliest events arrive LAST
+    (retroactive cohort retreat, handled by delta retraction) and a
+    query restart mid-stream. SUM(delta) per (cohort, offset) over the
+    emitted log must equal the batch operator's `retained` for every
+    pair, with cohort_users the offset-0 row."""
+    import random
+
+    from hazelcast_jet_contrib_spark.operators.funnel import cohort_retention
+    from hazelcast_jet_contrib_spark.streaming.stateful import (
+        streaming_cohort_retention,
+    )
+
+    rng = random.Random(10)
+    base = 1704067200  # 2024-01-01 UTC (Monday)
+    events = [
+        (u, base + rng.randrange(0, 70) * 86400 + rng.randrange(0, 86400))
+        for u in range(16)
+        for _ in range(rng.randrange(1, 9))
+    ]
+    # adversarial arrival: LATEST-ts events first, so most users' true
+    # cohort arrives after they already emitted pairs under a later one
+    arrival = sorted(events, key=lambda e: -e[1])
+    recs = [{"key": str(u), "value": str(ts)} for u, ts in arrival]
+
+    root = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(segments):
+        for seg in segments:
+            message_log.append_segment(root, "s", seg)
+        src = _log_stream(spark, root).select(
+            F.col("key").alias("user_id"),
+            F.col("value").cast("long").alias("ts"),
+        )
+        q = (
+            streaming_cohort_retention(src, period="week", max_periods=8)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # ragged splits + a restart between them
+    run([recs[:7], recs[7:30], recs[30:31]])
+    run([recs[31:]])
+
+    deltas = spark.read.parquet(out_dir)
+    got = {
+        (r["cohort"], r["offset"]): r["retained"]
+        for r in deltas.groupBy("cohort", "offset")
+        .agg(F.sum("delta").alias("retained"))
+        .collect()
+        if r["retained"] != 0
+    }
+    assert any(v < 0 for r in deltas.collect() for v in [r["delta"]]), (
+        "adversarial order must have exercised at least one retraction"
+    )
+
+    batch_df = spark.createDataFrame(
+        [(str(u), ts) for u, ts in events], "user_id string, ts long"
+    ).select("user_id", F.timestamp_seconds("ts").alias("ts"))
+    want = {
+        (r["cohort_epoch"], r["offset"]): r["retained"]
+        for r in cohort_retention(batch_df, period="week", max_periods=8)
+        .select(
+            F.unix_timestamp("cohort").alias("cohort_epoch"),
+            "offset",
+            "retained",
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 10, (len(got), len(want))
