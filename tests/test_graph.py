@@ -203,3 +203,75 @@ def test_pagerank_warm_start_fixpoint_and_incremental_advantage(spark):
     # (c) mutually exclusive with personalized teleport
     with pytest.raises(ValueError, match="mutually exclusive"):
         pagerank(df, iterations=2, seeds=[1], init_ranks=converged)
+
+
+def test_streaming_pagerank_tracks_fixpoint_across_restart(spark, tmp_path):
+    """Incremental PageRank over an edge stream: each micro-batch folds
+    its delta and warm-starts 3 sweeps from the previous epoch's ranks.
+    The committed vector must (a) track the FINAL graph's converged
+    fixpoint within a small L1 gap — the moving-fixpoint contraction
+    argument, measured; (b) stay mass-1; (c) survive a query restart
+    mid-stream and skip replayed epochs idempotently."""
+    import random
+
+    from hazelcast_jet_contrib_spark.streaming import message_log
+    from hazelcast_jet_contrib_spark.streaming.graph import StreamingPageRank
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    segs = [edges[:50], edges[50:90], edges[90:]]
+    root = str(tmp_path / "log")
+    state = str(tmp_path / "pr_state")
+    ckpt = str(tmp_path / "ckpt")
+    spr = StreamingPageRank(state, delta_iterations=3)
+
+    def run(new_segs):
+        for seg in new_segs:
+            message_log.append_segment(
+                root, "s", [{"key": str(u), "value": str(v)} for u, v in seg]
+            )
+        message_log.register(spark)
+        src = (
+            spark.readStream.format("message_log")
+            .option("path", root)
+            .load()
+            .select(
+                F.col("key").cast("long").alias("src"),
+                F.col("value").cast("long").alias("dst"),
+            )
+        )
+        q = (
+            src.writeStream.foreachBatch(spr.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run(segs[:2])
+    run([segs[2]])  # restart mid-stream; earlier epochs must not re-fold
+
+    got = {r["node"]: r["rank"] for r in spr.ranks(spark).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    df = spark.createDataFrame(edges, "src long, dst long")
+    truth = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=40).collect()
+    }
+    assert set(got) == set(truth)
+    l1 = sum(abs(got[n] - truth[n]) for n in truth)
+    # 3 warm sweeps after a 25%-edge delta: error contracts by ~d^3
+    # from the post-delta gap — bounded, not accumulating
+    assert l1 < 0.05, f"streaming ranks drifted from fixpoint: L1={l1:.4f}"
+    # and the warm start earns its keep: strictly closer to the
+    # fixpoint than a cold start given the same 3 sweeps
+    cold = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()
+    }
+    l1_cold = sum(abs(cold[n] - truth[n]) for n in truth)
+    assert l1 < l1_cold, (l1, l1_cold)
+    # the accumulated committed edge set equals the stream's distinct edges
+    stored = {
+        (r["src"], r["dst"]) for r in spr.edges(spark).collect()
+    }
+    assert stored == set(edges)
