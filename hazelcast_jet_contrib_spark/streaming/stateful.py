@@ -337,6 +337,72 @@ def streaming_funnel_progress(
     )
 
 
+def _cohort_period_start(epoch: int, period: str) -> int:
+    """UTC period-start epoch for an event epoch: calendar day /
+    ISO-Monday week / first-of-month — the Python mirror of the batch
+    operator's date_trunc under a UTC session."""
+    from datetime import datetime, timedelta, timezone
+
+    d = datetime.fromtimestamp(int(epoch), tz=timezone.utc)
+    d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+    if period == "week":
+        d -= timedelta(days=d.weekday())
+    elif period == "month":
+        d = d.replace(day=1)
+    return int(d.timestamp())
+
+
+def _cohort_offset(p: int, cohort: int, period: str) -> int:
+    from datetime import datetime, timezone
+
+    if period == "month":
+        a = datetime.fromtimestamp(cohort, tz=timezone.utc)
+        b = datetime.fromtimestamp(p, tz=timezone.utc)
+        return (b.year - a.year) * 12 + (b.month - a.month)
+    days = (p - cohort) // 86400
+    return days // 7 if period == "week" else days
+
+
+def _cohort_pairs(
+    periods: list[int], period: str, max_periods: int
+) -> set[tuple[int, int]]:
+    if not periods:
+        return set()
+    cohort = periods[0]
+    return {
+        (cohort, _cohort_offset(p, cohort, period))
+        for p in periods
+        if _cohort_offset(p, cohort, period) <= max_periods
+    }
+
+
+def _cohort_fold(
+    old_periods: list[int],
+    event_epochs: list[int],
+    period: str,
+    max_periods: int,
+) -> tuple[list[int], list[tuple[int, int]], list[tuple[int, int]]]:
+    """The pure per-user IVM transition behind streaming_cohort_retention:
+    fold a batch of event epochs into the stored period list and return
+    (new sorted period list, gained (cohort, offset) pairs, lost pairs).
+    Pure so the delta algebra is property-testable without Spark
+    (tests/test_properties.py): for ANY event multiset split into ANY
+    batches, the summed deltas equal the full set's pairs, and the
+    stored list stays bounded by max_periods+1 entries."""
+    new = set(old_periods)
+    new.update(_cohort_period_start(t, period) for t in event_epochs)
+    merged = sorted(new)
+    cohort = merged[0]
+    # prune past the horizon: offsets only grow as the cohort retreats,
+    # so a period once beyond max_periods never returns
+    merged = [
+        p for p in merged if _cohort_offset(p, cohort, period) <= max_periods
+    ]
+    before = _cohort_pairs(old_periods, period, max_periods)
+    after = _cohort_pairs(merged, period, max_periods)
+    return merged, sorted(after - before), sorted(before - after)
+
+
 def streaming_cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",
@@ -384,34 +450,6 @@ def streaming_cohort_retention(
         raise ValueError("period must be day|week|month")
     if max_periods < 1:
         raise ValueError("max_periods must be >= 1")
-    from datetime import datetime, timedelta, timezone
-
-    def _period_start(epoch: int) -> int:
-        d = datetime.fromtimestamp(int(epoch), tz=timezone.utc)
-        d = d.replace(hour=0, minute=0, second=0, microsecond=0)
-        if period == "week":
-            d -= timedelta(days=d.weekday())
-        elif period == "month":
-            d = d.replace(day=1)
-        return int(d.timestamp())
-
-    def _offset(p: int, cohort: int) -> int:
-        if period == "month":
-            a = datetime.fromtimestamp(cohort, tz=timezone.utc)
-            b = datetime.fromtimestamp(p, tz=timezone.utc)
-            return (b.year - a.year) * 12 + (b.month - a.month)
-        days = (p - cohort) // 86400
-        return days // 7 if period == "week" else days
-
-    def _pairs(periods: list[int]) -> set[tuple[int, int]]:
-        if not periods:
-            return set()
-        cohort = periods[0]
-        return {
-            (cohort, _offset(p, cohort))
-            for p in periods
-            if _offset(p, cohort) <= max_periods
-        }
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -422,17 +460,10 @@ def streaming_cohort_retention(
             state.update((old,))
             return
         rows = pd.concat(batch, ignore_index=True)
-        new = set(old)
-        new.update(_period_start(t) for t in rows[ts_col])
-        merged = sorted(new)
-        cohort = merged[0]
-        # prune past the horizon: offsets only grow as the cohort
-        # retreats, so a period once beyond max_periods never returns
-        merged = [p for p in merged if _offset(p, cohort) <= max_periods]
-        before, after = _pairs(old), _pairs(merged)
+        merged, gained, lost = _cohort_fold(
+            old, [int(t) for t in rows[ts_col]], period, max_periods
+        )
         state.update((merged,))
-        gained = sorted(after - before)
-        lost = sorted(before - after)
         if gained or lost:
             yield pd.DataFrame(
                 {

@@ -556,3 +556,75 @@ def test_compaction_final_state_equivalence_for_any_log(tmp_path_factory, recs, 
     assert n1 == stats["records_after"] and n0 - n1 == stats["dropped"]
     again = compact_stream(root, "s")
     assert again["dropped"] == 0 and state() == (f1, kl1, n1, segs1)
+
+
+# -- streaming cohort retention: the pure IVM transition --------------------
+# For ANY event multiset split into ANY micro-batch sequence, replaying
+# _cohort_fold and summing the emitted deltas must equal the full set's
+# (cohort, offset) pair set — the algebra behind the Spark operator's
+# batch-equivalence (tests/test_stateful.py runs the end-to-end twin).
+
+_epochs = st.lists(
+    st.integers(min_value=1704067200, max_value=1704067200 + 200 * 86400),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(
+    _epochs,
+    st.data(),
+    st.sampled_from(["day", "week", "month"]),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_cohort_fold_deltas_sum_to_full_pairs_any_split(
+    epochs, data, period, max_periods
+):
+    from hazelcast_jet_contrib_spark.streaming.stateful import (
+        _cohort_fold,
+        _cohort_pairs,
+        _cohort_period_start,
+    )
+
+    # random batch split of the (arbitrarily ordered) event sequence
+    order = data.draw(st.permutations(epochs))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(order)), min_size=0, max_size=5
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if c > prev:
+            batches.append(order[prev:c])
+            prev = c
+
+    state: list[int] = []
+    net: dict[tuple[int, int], int] = {}
+    for b in batches:
+        state, gained, lost = _cohort_fold(state, b, period, max_periods)
+        assert len(state) <= max_periods + 1, "state bound violated"
+        assert state == sorted(set(state))
+        for pair in gained:
+            net[pair] = net.get(pair, 0) + 1
+        for pair in lost:
+            net[pair] = net.get(pair, 0) - 1
+        assert all(v in (0, 1) for v in net.values()), (
+            "net delta per pair must stay 0/1 — no double emission"
+        )
+
+    full = sorted(
+        set(_cohort_period_start(t, period) for t in epochs)
+    )
+    cohort = full[0]
+    from hazelcast_jet_contrib_spark.streaming.stateful import _cohort_offset
+
+    full = [
+        p for p in full if _cohort_offset(p, cohort, period) <= max_periods
+    ]
+    want = _cohort_pairs(full, period, max_periods)
+    got = {pair for pair, v in net.items() if v == 1}
+    assert got == want
