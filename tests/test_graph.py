@@ -275,3 +275,48 @@ def test_streaming_pagerank_tracks_fixpoint_across_restart(spark, tmp_path):
         (r["src"], r["dst"]) for r in spr.edges(spark).collect()
     }
     assert stored == set(edges)
+
+
+def test_streaming_pagerank_crash_before_commit_replays_cleanly(spark, tmp_path):
+    """The epoch-commit discipline under a crash INSIDE the window:
+    edges/ranks written but the _CURRENT marker not yet moved. The
+    leftovers are invisible (readers take the marker), and the
+    replayed epoch rewrites them deterministically — same final state
+    as the crash-free run; a second replay of a COMMITTED epoch is a
+    no-op."""
+    from hazelcast_jet_contrib_spark.streaming.graph import StreamingPageRank
+
+    edges0 = [(1, 2), (2, 3), (3, 1)]
+    edges1 = [(3, 4), (4, 1)]
+    df0 = spark.createDataFrame(edges0, "src long, dst long")
+    df1 = spark.createDataFrame(edges1, "src long, dst long")
+
+    state = str(tmp_path / "s1")
+    spr = StreamingPageRank(state, delta_iterations=4)
+    spr.apply_batch(df0, 0)
+    committed0 = {r["node"]: r["rank"] for r in spr.ranks(spark).collect()}
+
+    # crash simulation: epoch 1's dirs land but the marker never moves
+    import shutil
+
+    spr.apply_batch(df1, 1)
+    shutil.copyfile(spr._marker(), str(tmp_path / "m"))
+    with open(spr._marker(), "w") as f:
+        f.write("0")  # marker still points at epoch 0
+    # readers see ONLY epoch 0 state
+    assert {r["node"]: r["rank"] for r in spr.ranks(spark).collect()} == committed0
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == set(edges0)
+
+    # replayed epoch rewrites the leftovers and commits
+    spr.apply_batch(df1, 1)
+    after_replay = {r["node"]: r["rank"] for r in spr.ranks(spark).collect()}
+    assert spr._committed() == 1
+    # identical to the crash-free reference run
+    ref = StreamingPageRank(str(tmp_path / "s2"), delta_iterations=4)
+    ref.apply_batch(df0, 0)
+    ref.apply_batch(df1, 1)
+    want = {r["node"]: r["rank"] for r in ref.ranks(spark).collect()}
+    assert after_replay == want
+    # committed-epoch replay is a no-op
+    spr.apply_batch(df1, 1)
+    assert {r["node"]: r["rank"] for r in spr.ranks(spark).collect()} == want
