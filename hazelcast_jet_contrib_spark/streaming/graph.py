@@ -74,6 +74,15 @@ class StreamingPageRank:
         self.damping = damping
         self.iterations = iterations
         self.delta_iterations = delta_iterations
+        # marker/listing I/O is driver-local; creating a literal
+        # "s3a:/..." directory for a remote URI would silently split
+        # state between filesystems
+        if "://" in state_dir and not state_dir.startswith("file:"):
+            raise ValueError(
+                "StreamingPageRank state_dir must be a driver-local path "
+                "(the commit marker and epoch listing use local file I/O, "
+                "like the message-log and MinHash-index maintainers)"
+            )
         os.makedirs(state_dir, exist_ok=True)
 
     # -- commit marker (atomic replace, the message_log/cdc pattern) ----
@@ -155,6 +164,57 @@ class StreamingPageRank:
 
     def foreach_batch(self):
         return self.apply_batch
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Rewrite the accumulated per-epoch edge dirs into one
+        consolidated epoch and drop superseded rank vectors — the
+        small-files bound for a long-running stream (one dir per
+        trigger otherwise; the dedup-index compaction concern).
+
+        Crash safety comes from SET semantics, not ordering: the
+        consolidated edge set lands in the CURRENT epoch's dir
+        (atomic-enough via Spark's _temporary rename; the dir already
+        holds a subset), and every older epoch dir is then deleted. A
+        crash at ANY point leaves edge rows duplicated across dirs —
+        harmless, because :meth:`edges` applies ``distinct()`` and
+        PageRank counts duplicate edges once by contract; re-running
+        compaction converges the layout. Rank history: only the
+        marker's epoch is ever read, so older ``ranks/e*`` dirs delete
+        with the same indifference.
+
+        Returns {"dirs_before": n, "dirs_after": m} for observability.
+        Driver-local FS only (os walk/rmtree), like the message-log
+        and MinHash-index compactors."""
+        import shutil
+
+        if "://" in self.state_dir and not self.state_dir.startswith("file:"):
+            raise ValueError(
+                "compact operates on the driver-local filesystem only"
+            )
+        cur = self._committed()
+        if cur is None:
+            return {"dirs_before": 0, "dirs_after": 0}
+        edge_dirs = self._epoch_dirs("edges", cur)
+        rank_dirs = self._epoch_dirs("ranks", cur)
+        before = len(edge_dirs) + len(rank_dirs)
+        consolidated = self.edges(spark)
+        # localCheckpoint BEFORE the overwrite: the plan reads the very
+        # dirs the write replaces
+        consolidated = consolidated.localCheckpoint(eager=True)
+        consolidated.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "edges", f"e{cur}")
+        )
+        for d in edge_dirs:
+            if not d.endswith(f"e{cur}"):
+                shutil.rmtree(d, ignore_errors=True)
+        for d in rank_dirs:
+            if not d.endswith(f"e{cur}"):
+                shutil.rmtree(d, ignore_errors=True)
+        after = len(self._epoch_dirs("edges", cur)) + len(
+            self._epoch_dirs("ranks", cur)
+        )
+        return {"dirs_before": before, "dirs_after": after}
 
 
 __all__ = ["StreamingPageRank"]

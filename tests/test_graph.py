@@ -320,3 +320,44 @@ def test_streaming_pagerank_crash_before_commit_replays_cleanly(spark, tmp_path)
     # committed-epoch replay is a no-op
     spr.apply_batch(df1, 1)
     assert {r["node"]: r["rank"] for r in spr.ranks(spark).collect()} == want
+
+
+def test_streaming_pagerank_compaction_preserves_state(spark, tmp_path):
+    """Edge-epoch compaction: dirs collapse to one edges + one ranks
+    epoch; the edge set, the committed ranks, and subsequent epochs'
+    results are identical before/after — and a crash-shaped layout
+    (duplicate rows across dirs) is harmless because the reader
+    dedups by set semantics."""
+    from hazelcast_jet_contrib_spark.streaming.graph import StreamingPageRank
+
+    state = str(tmp_path / "s")
+    spr = StreamingPageRank(state, delta_iterations=4)
+    segs = [[(1, 2), (2, 3)], [(3, 1), (3, 4)], [(4, 1)]]
+    for i, seg in enumerate(segs):
+        spr.apply_batch(spark.createDataFrame(seg, "src long, dst long"), i)
+    edges_before = {(r["src"], r["dst"]) for r in spr.edges(spark).collect()}
+    ranks_before = {r["node"]: r["rank"] for r in spr.ranks(spark).collect()}
+
+    stats = spr.compact(spark)
+    assert stats["dirs_after"] < stats["dirs_before"], stats
+    assert stats["dirs_after"] == 2  # one edges dir + one ranks dir
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == edges_before
+    assert {r["node"]: r["rank"] for r in spr.ranks(spark).collect()} == ranks_before
+
+    # next epoch folds on top of the compacted layout identically to a
+    # never-compacted reference
+    nxt = spark.createDataFrame([(5, 1), (1, 5)], "src long, dst long")
+    spr.apply_batch(nxt, 3)
+    ref = StreamingPageRank(str(tmp_path / "ref"), delta_iterations=4)
+    for i, seg in enumerate(segs):
+        ref.apply_batch(spark.createDataFrame(seg, "src long, dst long"), i)
+    ref.apply_batch(nxt, 3)
+    assert {r["node"]: r["rank"] for r in spr.ranks(spark).collect()} == {
+        r["node"]: r["rank"] for r in ref.ranks(spark).collect()
+    }
+    # remote URIs refused at construction (the commit marker and epoch
+    # listing are driver-local file I/O, like compact_stream)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        StreamingPageRank("s3a://b/x")
