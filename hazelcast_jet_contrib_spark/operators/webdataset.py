@@ -1,0 +1,193 @@
+"""WebDataset-style tar shards for multimodal training samples.
+
+Large-scale multimodal training jobs consume samples as sequentially
+readable POSIX tar shards ("WebDataset" convention, public format:
+entries grouped by basename, one extension per field — ``0007.jpg`` +
+``0007.json`` is one sample with two fields). This module moves data
+between that shard format and DataFrames with binary columns, both
+directions distributed and memory-bounded:
+
+- :func:`write_webdataset_shards` — each input partition streams its
+  rows into one or more tar files under a size budget; nothing is
+  collected to the driver, per-task memory is O(one sample + tar
+  buffer). Shard naming ``shard-{partition:05d}-{seq:04d}.tar`` is
+  deterministic given the input partitioning, so reruns overwrite
+  rather than duplicate. Entry order inside a shard follows row order
+  within the partition — sort upstream (e.g. by a pack key from
+  ``pack_token_budget_shards``) when sample locality matters.
+- :func:`read_webdataset` — ``binaryFile`` scan of the shards, one
+  Arrow stage untars each shard and emits one row per SAMPLE with a
+  ``fields map<string, binary>`` column keyed by extension. A whole
+  shard is one ``binaryFile`` row, so the shard-size budget chosen at
+  write time IS the read-side memory bound (the standard WebDataset
+  trade: 100 MB - 1 GB shards).
+
+Stdlib ``tarfile`` only — no codec dependencies; payload bytes pass
+through opaque, exactly the engine's multimodal-column contract
+(operators/multimodal.py). The reference has no shard format (its
+sinks are row stores); this extends the training-export family next
+to training_shards_roundtrip.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCHEMA_OUT = "shard string, n_samples long, n_bytes long"
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    field_cols: dict[str, str],
+    shard_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Write ``df`` as WebDataset tar shards under ``out_dir``.
+
+    ``field_cols`` maps column name -> tar entry extension (e.g.
+    ``{"payload": "bin", "meta_json": "json"}``); each row becomes one
+    sample: entries ``{key}.{ext}`` for every non-null field. A new
+    shard starts when the current one would exceed ``shard_bytes``
+    (one sample may exceed the budget alone — it gets its own shard;
+    samples are never split). Keys must be unique; they are written as
+    zero-padded strings when integral so tar listing order matches
+    numeric order.
+
+    Returns the manifest as an EAGER local DataFrame (shard path,
+    sample count, byte size) — shard-count-bounded, the write itself
+    already ran distributed.
+
+    Filesystem contract: tasks write tars with plain file I/O, so
+    ``out_dir`` must be visible to EVERY executor — a shared mount
+    (NFS/Lustre, or local disk on local[*]); verified single-machine
+    here. For object stores, point ``out_dir`` at a fuse mount or
+    swap the two ``open()`` calls for the store's SDK — the sharding
+    logic is I/O-agnostic. (The same driver-visible-path assumption as
+    the repo's other local-FS maintainers, stated rather than implied.)
+    """
+    if not field_cols:
+        raise ValueError("field_cols must name at least one payload column")
+    if shard_bytes < 1024:
+        raise ValueError("shard_bytes must be >= 1KiB")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [key_col, *field_cols]
+    exts = dict(field_cols)
+
+    def _key_str(k) -> str:
+        return f"{k:012d}" if isinstance(k, int) else str(k)
+
+    def write_partition(it: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        tar = None
+        buf = None
+        counts: list[tuple[str, int, int]] = []
+        n = 0
+
+        def _open():
+            nonlocal tar, buf, n
+            buf = io.BytesIO()
+            tar = tarfile.open(fileobj=buf, mode="w")
+            n = 0
+
+        def _close():
+            nonlocal seq
+            if tar is None or n == 0:
+                return
+            tar.close()
+            path = os.path.join(out_dir, f"shard-{pid:05d}-{seq:04d}.tar")
+            data = buf.getvalue()
+            with open(path, "wb") as f:
+                f.write(data)
+            counts.append((path, n, len(data)))
+            seq += 1
+
+        _open()
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                entries = []
+                for col, ext in exts.items():
+                    v = d[col]
+                    if v is None:
+                        continue
+                    b = bytes(v) if not isinstance(v, str) else v.encode()
+                    entries.append((f"{_key_str(d[key_col])}.{ext}", b))
+                size = sum(512 + ((len(b) + 511) // 512) * 512 for _, b in entries)
+                if n > 0 and buf.tell() + size > shard_bytes:
+                    _close()
+                    _open()
+                for name, b in entries:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(b)
+                    tar.addfile(info, io.BytesIO(b))
+                n += 1
+        _close()
+        yield pd.DataFrame(
+            counts, columns=["shard", "n_samples", "n_bytes"]
+        )
+
+    manifest = (
+        df.select(*cols)
+        .mapInPandas(write_partition, _SCHEMA_OUT)
+        .collect()  # shard-count-bounded: one row per written tar
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["shard"], r["n_samples"], r["n_bytes"]) for r in manifest],
+        _SCHEMA_OUT,
+    )
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read WebDataset tar shards back as one row per sample:
+    (shard string, key string, fields map<string, binary>) with the
+    map keyed by entry extension. Entries sharing a basename group
+    into one sample, the WebDataset convention. Column pruning applies
+    above this operator; shard-level parallelism is the file count —
+    repartition upstream writers, not this reader."""
+
+    def parse(it: Iterator) -> Iterator:
+        import os
+
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {"shard": [], "key": [], "fields": []}
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                    samples: dict[str, dict[str, bytes]] = {}
+                    order: list[str] = []
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        base, ext = os.path.splitext(m.name)
+                        ext = ext.lstrip(".")
+                        if base not in samples:
+                            samples[base] = {}
+                            order.append(base)
+                        samples[base][ext] = tar.extractfile(m).read()
+                    for base in order:
+                        out["shard"].append(shard_path)
+                        out["key"].append(base)
+                        out["fields"].append(samples[base])
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(f"{path}/shard-*.tar")
+    return files.select("path", "content").mapInPandas(
+        parse, "shard string, key string, fields map<string, binary>"
+    )
+
+
+__all__ = ["write_webdataset_shards", "read_webdataset"]
