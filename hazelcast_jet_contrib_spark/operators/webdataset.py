@@ -82,7 +82,11 @@ def write_webdataset_shards(
     exts = dict(field_cols)
 
     def _key_str(k) -> str:
-        return f"{k:012d}" if isinstance(k, int) else str(k)
+        import numbers
+
+        # numbers.Integral, not int: pandas hands back numpy integer
+        # scalars, which are not int subclasses on every platform
+        return f"{int(k):012d}" if isinstance(k, numbers.Integral) else str(k)
 
     def write_partition(it: Iterator) -> Iterator:
         import pandas as pd
