@@ -154,13 +154,25 @@ def write_webdataset_shards(
     )
 
 
-def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+def read_webdataset(
+    spark: SparkSession, path: str, fields: list[str] | None = None
+) -> DataFrame:
     """Read WebDataset tar shards back as one row per sample:
     (shard string, key string, fields map<string, binary>) with the
     map keyed by entry extension. Entries sharing a basename group
-    into one sample, the WebDataset convention. Column pruning applies
-    above this operator; shard-level parallelism is the file count —
-    repartition upstream writers, not this reader."""
+    into one sample, the WebDataset convention.
+
+    ``fields`` prunes INSIDE the kernel: Catalyst's column pruning
+    cannot reach into the untar stage, so reading only the metadata
+    sidecars of image shards (``fields=["json"]``) must be declared
+    here — skipped entries are never extracted into the Arrow batch
+    (tar headers are walked, file data is not materialized), which is
+    the difference between shipping bytes-of-metadata and
+    bytes-of-images per batch at 100 TB. A sample whose every field is
+    pruned still emits its row (empty map), keeping sample counts
+    stable across projections. Shard-level parallelism is the file
+    count — repartition upstream writers, not this reader."""
+    want = set(fields) if fields is not None else None
 
     def parse(it: Iterator) -> Iterator:
         import os
@@ -181,7 +193,8 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         if base not in samples:
                             samples[base] = {}
                             order.append(base)
-                        samples[base][ext] = tar.extractfile(m).read()
+                        if want is None or ext in want:
+                            samples[base][ext] = tar.extractfile(m).read()
                     for base in order:
                         out["shard"].append(shard_path)
                         out["key"].append(base)

@@ -87,3 +87,21 @@ def test_validation(spark, tmp_path):
         write_webdataset_shards(
             src, str(tmp_path / "y"), "doc_id", {"payload": "bin"}, shard_bytes=10
         )
+
+
+def test_field_pruning_skips_payload_bytes_keeps_sample_rows(spark, tmp_path):
+    """fields=[...] prunes inside the untar kernel (Catalyst cannot):
+    unrequested entries never reach the Arrow batch; sample rows and
+    keys stay identical to the unpruned read."""
+    out = str(tmp_path / "wds_prune")
+    write_webdataset_shards(
+        _samples(spark).limit(50), out, "doc_id",
+        {"payload": "bin", "meta": "json"},
+    )
+    full = read_webdataset(spark, out).collect()
+    meta_only = read_webdataset(spark, out, fields=["json"]).collect()
+    assert {r["key"] for r in meta_only} == {r["key"] for r in full}
+    assert all(set(r["fields"]) == {"json"} for r in meta_only)
+    # pruning everything still keeps one row per sample (empty map)
+    none = read_webdataset(spark, out, fields=["nope"]).collect()
+    assert len(none) == len(full) and all(not r["fields"] for r in none)
