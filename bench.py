@@ -113,6 +113,7 @@ def main() -> None:
     best_path = Path(REPO) / "BENCH_BEST.json"
     cur_sf = str(_sf_from_dir(SF_DIR))
     best_by_sf: dict[str, dict[str, float]] = {}
+    legs_by_sf: dict[str, dict[str, float]] = {}
     try:
         with open(best_path) as f:
             bhist = json.load(f)
@@ -121,6 +122,7 @@ def main() -> None:
                 sf: {k: v for k, v in qs.items() if v > 0}
                 for sf, qs in bhist["by_sf"].items()
             }
+            legs_by_sf = bhist.get("legs_by_sf", {})
         elif bhist.get("queries"):  # legacy single-SF format
             best_by_sf[str(bhist.get("sf"))] = {
                 k: v for k, v in bhist["queries"].items() if v > 0
@@ -128,6 +130,7 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     best: dict[str, float] = dict(best_by_sf.get(cur_sf, {}))
+    best_legs: dict[str, float] = dict(legs_by_sf.get(cur_sf, {}))
     retimed: list[str] = []
     timings: dict[str, float] = {}
     shuffles: dict[str, dict[str, float]] = {}
@@ -145,6 +148,12 @@ def main() -> None:
             except Exception:
                 pass
             spark.catalog.clearCache()
+        # the warmup just ran the query at sf0.001 — drop any sub-leg
+        # samples it recorded, or the leg minima would absorb tiny
+        # warmup times instead of SF_DIR times
+        from hazelcast_jet_contrib_spark.bench_hooks import SUBTIMINGS
+
+        SUBTIMINGS.pop(name, None)
         # ok_df tracks the last SUCCESSFULLY collected DataFrame: shuffle
         # stats must come from a fully-executed plan, never from a retry
         # that threw mid-execution (its accumulators are partial).
@@ -273,22 +282,34 @@ def main() -> None:
     }
     drifted = sorted(k for k, r in vs_best.items() if r > RETIME_RATIO)
     # per-leg drift (VERDICT r09 item 5): composite queries record
-    # sub-timings (bench_hooks); the tripwire watches each leg against
-    # the previous sweep so e.g. the index PROBE leg (paid per run)
-    # can't hide behind the amortized build inside the blended total
+    # sub-timings (bench_hooks); each leg is tripwired against its
+    # ALL-TIME minimum (best_legs, kept in BENCH_BEST like the
+    # headline timings) so a slow sweep can never ratchet the leg
+    # baseline upward — plus the previous sweep as a secondary signal.
     from hazelcast_jet_contrib_spark.bench_hooks import SUBTIMINGS
 
     for q, legs in SUBTIMINGS.items():
         for leg, sec in legs.items():
-            prev = prev_subtimings.get(q, {}).get(leg, 0)
-            if prev > 0 and sec > RETIME_RATIO * prev:
+            ref = min(
+                (x for x in (
+                    best_legs.get(f"{q}:{leg}", 0),
+                    prev_subtimings.get(q, {}).get(leg, 0),
+                ) if x > 0),
+                default=0,
+            )
+            if ref > 0 and sec > RETIME_RATIO * ref:
                 drifted.append(f"{q}:{leg}")
+            best_legs[f"{q}:{leg}"] = min(
+                best_legs.get(f"{q}:{leg}", sec), sec
+            )
+    drifted = sorted(drifted)
     for k, v in ok.items():
         best[k] = min(best.get(k, v), v)
     if not name_filters:
         best_by_sf[cur_sf] = best  # only THIS SF's bucket changes
+        legs_by_sf[cur_sf] = best_legs
         with open(best_path, "w") as f:
-            json.dump({"by_sf": best_by_sf}, f, indent=1)
+            json.dump({"by_sf": best_by_sf, "legs_by_sf": legs_by_sf}, f, indent=1)
     if not name_filters:  # a scoped re-time must not truncate the history
         with open(Path(REPO) / "BENCH_TIMINGS.json", "w") as f:
             json.dump(

@@ -18,7 +18,9 @@ SUBTIMINGS: dict[str, dict[str, float]] = {}
 
 
 def record_leg(query: str, leg: str, sec: float) -> None:
-    """Record the latest elapsed seconds for ``query``'s ``leg``
-    (overwrite semantics — a retime replaces the first sample, matching
-    bench.py's min-of-samples policy direction)."""
-    SUBTIMINGS.setdefault(query, {})[leg] = round(sec, 3)
+    """Record elapsed seconds for ``query``'s ``leg``, keeping the MIN
+    across samples in this process — bench.py retimes noisy queries
+    and reports min(in_sweep, isolated), so the leg must follow the
+    same policy or a noisy retime would inflate the leg baseline."""
+    q = SUBTIMINGS.setdefault(query, {})
+    q[leg] = min(q.get(leg, sec), round(sec, 3))

@@ -52,11 +52,12 @@ def pagerank(
     tests/test_graph.py: strictly closer to the fixpoint than the cold
     start at equal sweeps, and a converged input is a fixpoint of the
     warm start). Nodes new to the graph default to 1/N; the vector is
-    then mass-normalized to sum to 1 (one broadcast one-row aggregate —
-    no driver state), preserving the per-sweep invariant. Iteration
-    arithmetic afterwards is IDENTICAL to the cold path. Mutually
-    exclusive with ``seeds`` (personalized teleport defines its own
-    mass placement).
+    then mass-normalized to sum to 1 via one O(1)-row init-time
+    aggregate whose total is VALIDATED driver-side (zero/negative/
+    NaN/NULL mass raises instead of dividing into silent all-null
+    ranks), preserving the per-sweep invariant. Iteration arithmetic
+    afterwards is IDENTICAL to the cold path. Mutually exclusive with
+    ``seeds`` (personalized teleport defines its own mass placement).
 
     ``sweep_stats``: diagnostic-only — pass a list to receive one
     ``executed_shuffle_stats`` dict per sweep, read from each sweep's
@@ -125,21 +126,50 @@ def pagerank(
         if init_ranks is not None:
             # Warm start: previous ranks join in ONCE (|V|-row shuffle
             # join at init only — sweeps are unchanged); unseen nodes
-            # default to 1/N, then the whole vector mass-normalizes via
-            # a broadcast one-row aggregate (the dang_df pattern — no
-            # collect, no driver state).
+            # default to 1/N, then the whole vector mass-normalizes.
+            # The mass total is VALIDATED driver-side (one O(1)-row
+            # init-time aggregate): a zero/negative total or a NULL
+            # rank would otherwise divide into silent all-null ranks
+            # that every sweep propagates.
             warm = init_ranks.select(
-                F.col("node"), F.col("rank").cast("double").alias("__wr__")
+                F.col("node"),
+                F.col("rank").cast("double").alias("__wr__"),
+                F.lit(True).alias("__has__"),
             )
-            pre = base.join(warm, "node", "left").select(
+            joined = base.join(warm, "node", "left")
+            pre = joined.select(
                 "node",
                 "deg",
                 F.coalesce("__wr__", F.lit(1.0 / n)).alias("__w0__"),
+                # an explicit NULL rank is invalid input, distinct from
+                # a node simply absent from init_ranks (which defaults
+                # to 1/N) — the coalesce alone cannot tell them apart
+                (F.col("__has__") & F.col("__wr__").isNull())
+                .cast("int")
+                .alias("__null_rank__"),
             )
-            tot = pre.agg(F.sum("__w0__").alias("__tot__"))
-            ranks = pre.crossJoin(F.broadcast(tot)).select(
+            agg = pre.agg(
+                F.sum("__w0__").alias("t"),
+                F.coalesce(F.sum("__null_rank__"), F.lit(0)).alias("bad"),
+                F.sum((F.col("__w0__") < 0).cast("int")).alias("neg"),
+            ).first()
+            import math
+
+            if (
+                agg["bad"]
+                or agg["neg"]
+                or agg["t"] is None
+                or not math.isfinite(agg["t"])
+                or agg["t"] <= 0.0
+            ):
+                raise ValueError(
+                    "init_ranks must be a finite non-negative rank vector "
+                    f"with positive total mass (total={agg['t']}, "
+                    f"nulls={agg['bad']}, negatives={agg['neg']})"
+                )
+            ranks = pre.select(
                 "node",
-                (F.col("__w0__") / F.col("__tot__")).alias("rank"),
+                (F.col("__w0__") / F.lit(float(agg["t"]))).alias("rank"),
                 "deg",
             )
         else:

@@ -38,7 +38,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SCHEMA_OUT = "shard string, n_samples long, n_bytes long"
+_SCHEMA_OUT = "shard string, n_samples long, n_bytes long, n_skipped long"
 
 
 def write_webdataset_shards(
@@ -59,6 +59,15 @@ def write_webdataset_shards(
     zero-padded strings when integral so tar listing order matches
     numeric order.
 
+    Overwrite semantics are DATASET-level: every existing
+    ``shard-*.tar`` under ``out_dir`` is removed before the write job
+    launches, so a rerun that produces FEWER shards (shrunk input,
+    different partitioning) cannot leave stale tars for the reader's
+    glob to silently ingest. A row whose every field is NULL produces
+    no tar entries and is NOT a sample — it is reported in the
+    manifest's ``n_skipped`` column instead of inflating
+    ``n_samples`` past what the reader can return.
+
     Returns the manifest as an EAGER local DataFrame (shard path,
     sample count, byte size) — shard-count-bounded, the write itself
     already ran distributed.
@@ -78,6 +87,13 @@ def write_webdataset_shards(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # dataset-level overwrite: stale shards from a previous, larger run
+    # would otherwise be silently read back (deterministic names only
+    # protect byte-identical reruns)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        os.unlink(stale)
     cols = [key_col, *field_cols]
     exts = dict(field_cols)
 
@@ -98,6 +114,7 @@ def write_webdataset_shards(
         buf = None
         counts: list[tuple[str, int, int]] = []
         n = 0
+        skipped = 0
 
         def _open():
             nonlocal tar, buf, n
@@ -124,10 +141,15 @@ def write_webdataset_shards(
                 entries = []
                 for col, ext in exts.items():
                     v = d[col]
-                    if v is None:
+                    # pandas surfaces SQL NULL as None (object cols) or
+                    # NaN (promoted float cols) depending on dtype
+                    if v is None or (isinstance(v, float) and v != v):
                         continue
                     b = bytes(v) if not isinstance(v, str) else v.encode()
                     entries.append((f"{_key_str(d[key_col])}.{ext}", b))
+                if not entries:
+                    skipped += 1  # all-null row: no entries, not a sample
+                    continue
                 size = sum(512 + ((len(b) + 511) // 512) * 512 for _, b in entries)
                 if n > 0 and buf.tell() + size > shard_bytes:
                     _close()
@@ -138,9 +160,19 @@ def write_webdataset_shards(
                     tar.addfile(info, io.BytesIO(b))
                 n += 1
         _close()
-        yield pd.DataFrame(
+        pdf_out = pd.DataFrame(
             counts, columns=["shard", "n_samples", "n_bytes"]
         )
+        pdf_out["n_skipped"] = 0
+        if skipped and len(pdf_out) == 0:
+            # partition held only all-null rows: surface them anyway
+            pdf_out = pd.DataFrame(
+                [["", 0, 0, skipped]],
+                columns=["shard", "n_samples", "n_bytes", "n_skipped"],
+            )
+        elif skipped:
+            pdf_out.loc[pdf_out.index[-1], "n_skipped"] = skipped
+        yield pdf_out
 
     manifest = (
         df.select(*cols)
@@ -149,7 +181,10 @@ def write_webdataset_shards(
     )
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(r["shard"], r["n_samples"], r["n_bytes"]) for r in manifest],
+        [
+            (r["shard"], r["n_samples"], r["n_bytes"], r["n_skipped"])
+            for r in manifest
+        ],
         _SCHEMA_OUT,
     )
 

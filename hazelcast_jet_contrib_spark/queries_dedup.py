@@ -848,7 +848,10 @@ def minhash_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = _time.perf_counter()
         stats = compact_minhash_index(spark, path)
         record_leg("minhash_index_lifecycle", "compact", _time.perf_counter() - t)
-        assert stats["files_after"] <= stats["files_before"]
+        if stats["files_after"] > stats["files_before"]:
+            # ValueError, not assert: the invariant must survive -O and
+            # surface as a per-query driver error, not vanish
+            raise ValueError(f"compaction grew the index file count: {stats}")
         t = _time.perf_counter()
         rows = [
             (r["probe_id"], r["corpus_id"], r["jaccard"])

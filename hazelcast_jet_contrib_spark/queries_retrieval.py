@@ -136,7 +136,6 @@ def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-order-invariant — rounded to 6dp before the final rank.
     Scale: both inputs are top-k-bounded; the fusion itself never sees
     anything corpus-sized (operators/retrieval.py rrf_fuse)."""
-    from hazelcast_jet_contrib_spark.cache import release_tracked
     from hazelcast_jet_contrib_spark.operators.retrieval import (
         bm25_topk_multi,
         rrf_fuse,
@@ -158,7 +157,8 @@ def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
         for r in fused.collect()
     ]
-    release_tracked()
+    # nothing on this path persists (bm25_topk_multi and cosine_topk
+    # are both unpersisted by design) — no cache to release
     return spark.createDataFrame(
         rows, "query_id long, doc_id long, score double, rank int"
     )
@@ -194,7 +194,6 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-query greedy over a bounded shortlist via one Arrow
     batch per query group (operators/retrieval.py mmr_rerank)."""
-    from hazelcast_jet_contrib_spark.cache import release_tracked
     from hazelcast_jet_contrib_spark.operators.retrieval import (
         bm25_topk_multi,
         mmr_rerank,
@@ -220,7 +219,7 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist: dict[int, set[int]] = {}
     for r in cand_rows:
         shortlist.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    release_tracked()
+    # nothing on this path persists — no cache to release
 
     by_q: dict[int, list] = {}
     for r in diverse:

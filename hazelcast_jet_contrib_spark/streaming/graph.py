@@ -29,10 +29,11 @@ Scale shape: per epoch exactly ``delta_iterations`` sweeps of the
 |V|+|E| dataflow (the measured-linear pagerank sweep) plus one
 |V|-row warm-start join; epoch state on disk is the edge set + one
 rank vector — no driver-side graph state. The accumulated ``edges/``
-epoch directories are re-read each epoch; like the dedup index's
-band epochs they are compactable by rewriting into one generation
-(here simply: read edges(), write as epoch 0 of a fresh state_dir) —
-edge sets are append-only under this contract (no retractions).
+epoch directories are re-read each epoch; :meth:`compact` rewrites
+them into one marker-committed ``edges/g{N}`` generation (new dir,
+atomic marker flip, THEN cleanup — at no instant is the only copy of
+any edge unreachable). Edge sets are append-only under this contract
+(no retractions).
 
 Reference lineage: the reference ships no graph operators (this
 extends the engine's pipeline family); the epoch-commit mechanics
@@ -85,32 +86,59 @@ class StreamingPageRank:
             )
         os.makedirs(state_dir, exist_ok=True)
 
-    # -- commit marker (atomic replace, the message_log/cdc pattern) ----
+    # -- commit marker (atomic replace, the message_log/cdc pattern).
+    # Format: "epoch" or "epoch g<gen>" — the optional generation names
+    # a compacted edge base (edges/g{gen}) that supersedes every epoch
+    # dir with id <= gen, exactly dedup_index's (floor, generation)
+    # compaction marker specialized to this layout.
     def _marker(self) -> str:
         return os.path.join(self.state_dir, "_CURRENT")
 
-    def _committed(self) -> int | None:
+    def _committed_state(self) -> tuple[int, int | None] | None:
         try:
             with open(self._marker()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+                parts = f.read().split()
+            epoch = int(parts[0])
+            gen = int(parts[1][1:]) if len(parts) > 1 else None
+            return epoch, gen
+        except (OSError, ValueError, IndexError):
             return None
 
-    def _commit(self, epoch: int) -> None:
+    def _committed(self) -> int | None:
+        st = self._committed_state()
+        return None if st is None else st[0]
+
+    def _commit(self, epoch: int, gen: int | None) -> None:
         tmp = self._marker() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(epoch))
+            f.write(str(epoch) if gen is None else f"{epoch} g{gen}")
         os.replace(tmp, self._marker())
 
-    def _epoch_dirs(self, kind: str, up_to: int) -> list[str]:
+    def _epoch_dirs(self, kind: str, up_to: int, floor: int | None = None) -> list[str]:
         root = os.path.join(self.state_dir, kind)
         if not os.path.isdir(root):
             return []
         out = []
         for d in sorted(os.listdir(root)):
-            if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= up_to:
-                out.append(os.path.join(root, d))
+            if d.startswith("e") and d[1:].isdigit():
+                n = int(d[1:])
+                if n <= up_to and (floor is None or n > floor):
+                    out.append(os.path.join(root, d))
         return out
+
+    def _edge_dirs(self, up_to: int) -> list[str]:
+        """The committed edge layout: the generation base (if any) plus
+        every epoch dir ABOVE the generation floor — epochs at or below
+        the floor are superseded duplicates awaiting cleanup."""
+        st = self._committed_state()
+        gen = st[1] if st else None
+        dirs = []
+        if gen is not None:
+            gdir = os.path.join(self.state_dir, "edges", f"g{gen}")
+            if os.path.isdir(gdir):
+                dirs.append(gdir)
+        dirs += self._epoch_dirs("edges", up_to, floor=gen)
+        return dirs
 
     # -- readers --------------------------------------------------------
     def edges(self, spark: SparkSession) -> DataFrame | None:
@@ -118,7 +146,7 @@ class StreamingPageRank:
         cur = self._committed()
         if cur is None:
             return None
-        dirs = self._epoch_dirs("edges", cur)
+        dirs = self._edge_dirs(cur)
         return spark.read.parquet(*dirs).distinct() if dirs else None
 
     def ranks(self, spark: SparkSession) -> DataFrame | None:
@@ -131,7 +159,9 @@ class StreamingPageRank:
 
     # -- the foreachBatch body -------------------------------------------
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        cur = self._committed()
+        st = self._committed_state()
+        cur = st[0] if st else None
+        gen = st[1] if st else None
         if cur is not None and epoch_id <= cur:
             return  # replayed epoch: already folded in, skip (idempotent)
         spark = batch_df.sparkSession
@@ -142,9 +172,9 @@ class StreamingPageRank:
         delta.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "edges", f"e{epoch_id}")
         )
-        all_edges = spark.read.parquet(
-            *self._epoch_dirs("edges", epoch_id)
-        ).distinct()
+        all_dirs = self._edge_dirs(cur) if cur is not None else []
+        all_dirs.append(os.path.join(self.state_dir, "edges", f"e{epoch_id}"))
+        all_edges = spark.read.parquet(*all_dirs).distinct()
         prev = self.ranks(spark)
         if prev is None:
             out = pagerank(
@@ -160,7 +190,7 @@ class StreamingPageRank:
         out.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "ranks", f"e{epoch_id}")
         )
-        self._commit(epoch_id)
+        self._commit(epoch_id, gen)  # carry the generation floor forward
 
     def foreach_batch(self):
         return self.apply_batch
@@ -168,50 +198,59 @@ class StreamingPageRank:
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession) -> dict[str, int]:
         """Rewrite the accumulated per-epoch edge dirs into one
-        consolidated epoch and drop superseded rank vectors — the
+        committed GENERATION and drop superseded rank vectors — the
         small-files bound for a long-running stream (one dir per
         trigger otherwise; the dedup-index compaction concern).
 
-        Crash safety comes from SET semantics, not ordering: the
-        consolidated edge set lands in the CURRENT epoch's dir
-        (atomic-enough via Spark's _temporary rename; the dir already
-        holds a subset), and every older epoch dir is then deleted. A
-        crash at ANY point leaves edge rows duplicated across dirs —
-        harmless, because :meth:`edges` applies ``distinct()`` and
-        PageRank counts duplicate edges once by contract; re-running
-        compaction converges the layout. Rank history: only the
-        marker's epoch is ever read, so older ``ranks/e*`` dirs delete
-        with the same indifference.
+        Crash safety is marker-committed, never in-place (the
+        dedup_index generation pattern): the consolidated edge set is
+        written to a NEW ``edges/g{cur}`` dir that no reader sees,
+        then the marker atomically flips to ``"{cur} g{cur}"`` —
+        readers switch from (old gen + epochs) to the new generation
+        in one os.replace — and only THEN are the superseded epoch
+        dirs and the old generation deleted. A crash before the flip
+        leaves the old layout fully intact (the new generation is
+        invisible); a crash after the flip leaves superseded dirs the
+        reader already excludes by the generation floor; re-running
+        compaction finishes the cleanup. At no instant is the only
+        copy of any edge unreachable. Rank history: only the marker's
+        epoch is ever read, so older ``ranks/e*`` dirs delete freely.
 
         Returns {"dirs_before": n, "dirs_after": m} for observability.
         Driver-local FS only (os walk/rmtree), like the message-log
         and MinHash-index compactors."""
         import shutil
 
-        if "://" in self.state_dir and not self.state_dir.startswith("file:"):
-            raise ValueError(
-                "compact operates on the driver-local filesystem only"
-            )
-        cur = self._committed()
-        if cur is None:
+        st = self._committed_state()
+        if st is None:
             return {"dirs_before": 0, "dirs_after": 0}
-        edge_dirs = self._epoch_dirs("edges", cur)
+        cur, old_gen = st
+        edge_dirs = self._edge_dirs(cur)
         rank_dirs = self._epoch_dirs("ranks", cur)
         before = len(edge_dirs) + len(rank_dirs)
-        consolidated = self.edges(spark)
-        # localCheckpoint BEFORE the overwrite: the plan reads the very
-        # dirs the write replaces
-        consolidated = consolidated.localCheckpoint(eager=True)
-        consolidated.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "edges", f"e{cur}")
-        )
-        for d in edge_dirs:
-            if not d.endswith(f"e{cur}"):
-                shutil.rmtree(d, ignore_errors=True)
+        if old_gen != cur:
+            # the write target g{cur} is OUTSIDE the read set (readers
+            # use g{old_gen} + epochs), so no in-place overwrite; a
+            # stale g{cur} from a crashed previous attempt is
+            # uncommitted and safe to rewrite
+            self.edges(spark).write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "edges", f"g{cur}")
+            )
+            self._commit(cur, cur)  # atomic reader switch
+        # cleanup: epochs <= the (new) generation floor and the old
+        # generation are superseded duplicates; any crash here leaves
+        # them for the next run, readers unaffected
+        for d in self._epoch_dirs("edges", cur):
+            shutil.rmtree(d, ignore_errors=True)
+        if old_gen is not None and old_gen != cur:
+            shutil.rmtree(
+                os.path.join(self.state_dir, "edges", f"g{old_gen}"),
+                ignore_errors=True,
+            )
         for d in rank_dirs:
             if not d.endswith(f"e{cur}"):
                 shutil.rmtree(d, ignore_errors=True)
-        after = len(self._epoch_dirs("edges", cur)) + len(
+        after = len(self._edge_dirs(cur)) + len(
             self._epoch_dirs("ranks", cur)
         )
         return {"dirs_before": before, "dirs_after": after}

@@ -361,3 +361,59 @@ def test_streaming_pagerank_compaction_preserves_state(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="driver-local"):
         StreamingPageRank("s3a://b/x")
+
+
+def test_streaming_pagerank_compaction_crash_windows_lose_nothing(spark, tmp_path):
+    """Generation compaction's two crash windows: (a) after the new
+    generation is written but BEFORE the marker flips — readers still
+    see the old layout, intact; (b) after the flip but before cleanup
+    — superseded epoch dirs linger, readers exclude them by the
+    generation floor. Re-running compact converges both."""
+    import os
+
+    from hazelcast_jet_contrib_spark.streaming.graph import StreamingPageRank
+
+    state = str(tmp_path / "s")
+    spr = StreamingPageRank(state, delta_iterations=4)
+    segs = [[(1, 2), (2, 3)], [(3, 1), (3, 4)]]
+    for i, seg in enumerate(segs):
+        spr.apply_batch(spark.createDataFrame(seg, "src long, dst long"), i)
+    all_edges = {(r["src"], r["dst"]) for r in spr.edges(spark).collect()}
+
+    # (a) crash before the flip: generation dir exists, marker unchanged
+    spr.edges(spark).write.mode("overwrite").parquet(
+        os.path.join(state, "edges", "g1")
+    )
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == all_edges
+    stats = spr.compact(spark)  # converges: rewrites g1, flips, cleans
+    assert spr._committed_state() == (1, 1)
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == all_edges
+
+    # (b) crash after the flip: plant a superseded epoch dir; the
+    # reader must exclude it (gen floor), and compact cleans it up
+    stale = os.path.join(state, "edges", "e0")
+    spark.createDataFrame([(9, 9)], "src long, dst long").write.mode(
+        "overwrite"
+    ).parquet(stale)
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == all_edges
+    spr.compact(spark)
+    assert not os.path.isdir(stale)
+    assert {(r["src"], r["dst"]) for r in spr.edges(spark).collect()} == all_edges
+    assert stats["dirs_after"] <= stats["dirs_before"]
+
+
+def test_warm_start_rejects_degenerate_mass(spark):
+    """Zero-total, negative, and NULL init vectors raise instead of
+    dividing into silent all-null ranks (review finding r10)."""
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    zero = spark.createDataFrame([(1, 0.0), (2, 0.0)], "node long, rank double")
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(df, iterations=1, init_ranks=zero)
+    neg = spark.createDataFrame([(1, 1.5), (2, -0.5)], "node long, rank double")
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(df, iterations=1, init_ranks=neg)
+    withnull = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "node long, rank double"
+    )
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(df, iterations=1, init_ranks=withnull)

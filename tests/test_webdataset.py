@@ -105,3 +105,35 @@ def test_field_pruning_skips_payload_bytes_keeps_sample_rows(spark, tmp_path):
     # pruning everything still keeps one row per sample (empty map)
     none = read_webdataset(spark, out, fields=["nope"]).collect()
     assert len(none) == len(full) and all(not r["fields"] for r in none)
+
+
+def test_rerun_with_fewer_shards_leaves_no_stale_tars(spark, tmp_path):
+    """Dataset-level overwrite (review finding r10): a rerun producing
+    FEWER shards must clean the previous run's extras, or the reader's
+    glob silently ingests deleted samples."""
+    out = str(tmp_path / "wds_rerun")
+    big = _samples(spark).filter(F.col("doc_id") < 64).repartition(1)
+    write_webdataset_shards(big, out, "doc_id", {"payload": "bin"},
+                            shard_bytes=8 * 1024)
+    small = _samples(spark).filter(F.col("doc_id") < 4).repartition(1)
+    write_webdataset_shards(small, out, "doc_id", {"payload": "bin"})
+    back = read_webdataset(spark, out)
+    assert back.count() == small.count(), "stale shards survived the rerun"
+
+
+def test_all_null_rows_are_skipped_and_reported(spark, tmp_path):
+    """A row with every field NULL is not a sample: it never inflates
+    n_samples (which must equal what the reader returns) and surfaces
+    in the manifest's n_skipped."""
+    out = str(tmp_path / "wds_null")
+    src = _samples(spark).limit(10).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("payload")).alias("payload"),
+    )
+    manifest = write_webdataset_shards(
+        src, out, "doc_id", {"payload": "bin"}
+    ).collect()
+    n_written = sum(r["n_samples"] for r in manifest)
+    n_skipped = sum(r["n_skipped"] for r in manifest)
+    assert n_written + n_skipped == 10 and n_skipped > 0
+    assert read_webdataset(spark, out).count() == n_written
