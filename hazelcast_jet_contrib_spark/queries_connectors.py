@@ -793,3 +793,56 @@ def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(
         vids, threshold=0.5, every_n=1, max_frames=8, frame_bytes=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registration candidate (UNREGISTERED this round — the r10
+# window is fully booked, ROUND10_PLAN.md): the WebDataset tar-shard
+# roundtrip as a driver-comparable query. The exact driver comparison
+# already runs every pytest via tests/test_webdataset.py, so the
+# round-11 registration is a decorator swap plus a rotation slot.
+# ---------------------------------------------------------------------------
+WEBDATASET_ROUNDTRIP_ORACLE = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+       text,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as WebDataset tar shards (text payload
+    + JSON sidecar), read it back through the binaryFile + untar path,
+    and emit (key, text, n_bytes) — value-hash-identical to the plain
+    SQL over documents iff no sample was lost, duplicated, truncated,
+    or re-keyed anywhere in the shard write/read
+    (operators/webdataset.py). Eager + temp cleanup, the
+    minhash_index_probe pattern."""
+    import shutil
+    import tempfile
+
+    from hazelcast_jet_contrib_spark.operators.webdataset import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.to_json(F.struct("doc_id", "lang")).alias("meta"),
+    )
+    out = tempfile.mkdtemp(prefix="wds_roundtrip_q_")
+    try:
+        write_webdataset_shards(
+            docs.repartition(8), out, "doc_id",
+            {"payload": "bin", "meta": "json"},
+        )
+        back = read_webdataset(spark, out).select(
+            "key",
+            F.decode(F.col("fields")["bin"], "utf-8").alias("text"),
+            F.octet_length(F.col("fields")["bin"]).cast("long").alias("n_bytes"),
+        )
+        rows = [(r["key"], r["text"], r["n_bytes"]) for r in back.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "key string, text string, n_bytes long")

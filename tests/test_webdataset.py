@@ -137,3 +137,24 @@ def test_all_null_rows_are_skipped_and_reported(spark, tmp_path):
     n_skipped = sum(r["n_skipped"] for r in manifest)
     assert n_written + n_skipped == 10 and n_skipped > 0
     assert read_webdataset(spark, out).count() == n_written
+
+
+def test_roundtrip_query_matches_sql_oracle_driver_style(spark):
+    """The round-11 registration candidate, pre-proven with the EXACT
+    driver comparison (row count + schema + normalized value multiset
+    vs DuckDB) — registering it later is a decorator swap, not new
+    risk. Covers: no sample lost/duplicated/truncated/re-keyed through
+    the tar write/read path at the driver's correctness SF."""
+    from hazelcast_jet_contrib_spark.queries_connectors import (
+        WEBDATASET_ROUNDTRIP_ORACLE,
+        webdataset_roundtrip,
+    )
+    from tests.conftest import CORRECTNESS_SF, compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        "webdataset_roundtrip",
+        CORRECTNESS_SF,
+        queries={"webdataset_roundtrip": webdataset_roundtrip},
+        oracles={"webdataset_roundtrip": WEBDATASET_ROUNDTRIP_ORACLE},
+    )
