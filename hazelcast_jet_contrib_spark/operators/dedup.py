@@ -548,11 +548,31 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.99,
     dim: int | None = None,
+    exact_baseline: bool = False,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine >= threshold.
-    Brute-force pairwise (exact baseline — O(n²)); for corpus scale use
-    similarity.lsh_bucketed_pairs which only joins within hyperplane
-    buckets. Output (id_a, id_b)."""
+
+    Brute-force pairwise — the EXACT O(n²) baseline, kept for recall
+    ground-truth on small corpora. Because an exported all-pairs join
+    pointed at a real corpus is a scale-killer (10⁸ docs → 10¹⁶
+    candidate pairs), calling it requires an explicit
+    ``exact_baseline=True`` acknowledgment; otherwise it refuses with a
+    pointer to the bucketed production paths
+    (similarity.lsh_bucketed_pairs — hyperplane-LSH buckets;
+    clustering.semantic_dedup_pairs — k-means/IVF cells), which join
+    only within buckets. The same opt-in contract as
+    probe_minhash_index's side-swap error (this module). Output
+    (id_a, id_b)."""
+    if not exact_baseline:
+        raise ValueError(
+            "embedding_near_dup_pairs is the exact O(n^2) all-pairs "
+            "baseline — it cross-joins the corpus with itself and does "
+            "not scale past ground-truth-sized inputs. Pass "
+            "exact_baseline=True to acknowledge, or use the bucketed "
+            "paths: operators.similarity.lsh_bucketed_pairs "
+            "(hyperplane-LSH) / operators.clustering.semantic_dedup_pairs "
+            "(IVF-style k-means cells)."
+        )
     from hazelcast_jet_contrib_spark.functions.vectors import as_double, cosine
 
     v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
@@ -590,28 +610,44 @@ def connected_components(
     neighbors' labels, until a fixpoint. Iterations needed = graph
     diameter, and near-dup components are shallow (copies of a common
     ancestor), so this converges in a handful of rounds; each round is
-    one shuffle join + one aggregation, all JVM-side. The per-round
-    persist keeps lineage from compounding, and the convergence check is
-    an aggregate (no driver-side data collection).
+    one shuffle join + one aggregation, all JVM-side.
+
+    Lineage is CUT each round with ``localCheckpoint`` (the pagerank
+    loop's pattern, operators/graph.py): each iteration's plan
+    references the previous labels both through the join and through
+    the convergence probe, so a cache-only loop keeps a logical plan
+    that compounds per round (at max_iter=25 the old persist version
+    planned 496 broadcast nodes — execution was cached, but planning
+    time grew superlinearly with rounds). The checkpoint restarts every
+    round's plan from the materialized label partitions: plan size is
+    O(1) per round (asserted by
+    tests/test_dedup_similarity.py::test_cc_plan_size_is_iteration_invariant).
+    Edges are checkpointed once too — the pair detector upstream is the
+    expensive part and must not be re-planned (or re-run) per round.
+    Swap localCheckpoint for checkpoint() on a reliable FS when
+    executor loss must be survivable mid-computation. The convergence
+    check is an aggregate over the checkpointed step (no driver-side
+    data collection).
     """
     from pyspark import StorageLevel
 
     # the input pair relation is typically expensive (a near-dup
     # detector); persist it so the two-direction edge union doesn't
-    # compute it twice
+    # compute it twice while the edge checkpoint materializes
     p = pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     edges = (
         p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
+    p.unpersist()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("l"))
         .select("u", F.least("u", "l").alias("l"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -630,18 +666,15 @@ def connected_components(
                 F.col("l").alias("old"),
                 F.least("l", F.coalesce("nl", "l")).alias("l"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        # full count (not limit-1): the same job fully materializes the
-        # persisted `stepped`, so later rounds and the returned relation
-        # never fall back to recomputing a deep lineage
+        # the count runs against the already-materialized checkpoint
+        # partitions — later rounds and the returned relation never
+        # fall back to recomputing a deep lineage
         changed = stepped.filter(F.col("l") != F.col("old")).count()
-        labels.unpersist()
         labels = stepped.select("u", "l")
         if changed == 0:
             break
-    edges.unpersist()
-    p.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
 
 

@@ -202,82 +202,26 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 10
+_ROTATION_ROUND = 11
 _PRIORITY = [
-    # --- round-10 rotation (window = exactly 50; plan in
-    # ROUND10_PLAN.md, written BEFORE the build — the ROUND9_PLAN
-    # discipline). CORRECTNESS_r09 proved the round-9 priority set
-    # (49 hash-green + mmr rows-only); the 50 surviving r08-green
-    # queries age to two rounds unless re-proven now — THREE retire
-    # this round (media_image_features ⊂ media_phash_near_dup,
-    # q14_promo_effect ⊂ q8_market_share, parts_never_bulk_ordered ⊂
-    # q21/q22; reasons at their @retired_query sites), freeing the
-    # slots for:
-    # 1) the two r09-green queries whose semantics changed this round
-    #    (re-proof rule c) and the one new registration:
-    "mmr_rerank_diverse",  # rows-only -> value-level lam=1.0 + gate
-    "minhash_index_lifecycle",  # NEW: build→append→compact→probe
-    "video_near_dup_frames",  # plan changed: decode persisted once
-    # 2) the 47 queries last driver-green in r08, untouched since.
-    #    Semantics-neutral exemptions claimed for round 10 (rule c,
-    #    rationale in ROUND10_PLAN.md): minhash_index_probe's bench
-    #    sub-timing bookkeeping + probe-collect cap (identical result
-    #    set/schema/returned plan), and comment-only edits in
-    #    queries_retrieval. Order preserved from the round-9 demotion
-    #    list, minus the 3 retirements.
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "neardup_keep_best",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "kmeans_cluster_profile",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r09, implementation and oracle untouched
-    # since (the r09 window minus mmr_rerank_diverse and
-    # video_near_dup_frames, which re-prove above). 48 entries -> next
-    # round's window holds them all with 2 slots spare.
+    # --- round-11 rotation (window = exactly 50; plan in
+    # ROUND11_PLAN.md, written BEFORE the build). CORRECTNESS_r10
+    # proved the round-10 priority set 50/50 hash-green; the 48
+    # r09-green demoted queries age past the 2-round contract unless
+    # re-proven now. Demand: 48 aging + 1 new + 1 changed = exactly
+    # 50 — no retirements needed. Registry 98 → 99 (headroom 1).
+    # 1) the new registration and the one r10-green query whose
+    #    physical plan changed this round (re-proof rule c):
+    "webdataset_roundtrip",  # NEW: lazy tar write→untar-read roundtrip
+    "neardup_keep_best",  # plan changed: CC loop localCheckpoint cuts
+    # 2) the 48 queries last driver-green in r09, untouched since.
+    #    neardup_clusters shares the CC plan change but is in this
+    #    aging set anyway. Semantics-neutral exemptions claimed for
+    #    round 11 (rule c, rationale in ROUND11_PLAN.md): the
+    #    embedding_near_dup_pairs exact_baseline guard (error-path
+    #    only, no registry caller) and the HTTP push-sink batch bound
+    #    (streaming-only, not on any registry plan). Order preserved
+    #    from the round-10 demotion list.
     "pagerank_event_graph",
     "bpe_encode_pinned",
     "minhash_index_probe",
@@ -326,6 +270,61 @@ _DEMOTED = [
     "repetition_dup_ngrams",
     "snapshot_diff_statuses",
     "json_props_extraction",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r10, implementation and oracle untouched
+    # since (the r10 window's 50 minus neardup_keep_best, which
+    # re-proves above). 49 entries -> next round's window holds them
+    # all with 1 slot spare.
+    "mmr_rerank_diverse",
+    "minhash_index_lifecycle",
+    "video_near_dup_frames",
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "kmeans_cluster_profile",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
 ]
 
 

@@ -326,10 +326,18 @@ class _PushSinkBase:
         """foreachBatch adapter: rows are pushed in JSON form. The sink
         collects each (small, already-aggregated) result batch to the
         driver — the single-serving-point analog of
-        forceTotalParallelismOne."""
+        forceTotalParallelismOne. The collect is bounded to the
+        buffer's capacity BEFORE it reaches the driver: rows beyond
+        ``max_buffer`` in one batch would be dropped by the bounded
+        drop-oldest `_PushBuffer` anyway (HttpListenerSinkContext.java:
+        128-152 accumulation contract), so shipping them driver-side
+        only risks an OOM a runaway upstream shouldn't be able to
+        cause. Within a single oversized batch the retained subset is
+        the limit()'s — batch-internal order is undefined in Spark
+        regardless; across batches drop-oldest semantics are exact."""
 
         def fn(batch_df, epoch_id: int) -> None:
-            for row in batch_df.toJSON().collect():
+            for row in batch_df.limit(self._buffer.max_buffer).toJSON().collect():
                 self.publish(row)
 
         return fn
