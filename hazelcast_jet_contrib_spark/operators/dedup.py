@@ -628,6 +628,14 @@ def connected_components(
     executor loss must be survivable mid-computation. The convergence
     check is an aggregate over the checkpointed step (no driver-side
     data collection).
+
+    Storage is bounded too, not just plans: a SUPERSEDED round's
+    checkpoint blocks are freed deterministically (the checkpoint RDD
+    handle is taken from the DataFrame's own LogicalRDD, so nothing
+    else's cache can be touched) once the next round has materialized —
+    at any moment at most two label snapshots plus the edge relation
+    occupy executor storage, instead of max_iter snapshots waiting for
+    driver GC (asserted by test_cc_frees_superseded_checkpoints).
     """
     from pyspark import StorageLevel
 
@@ -642,6 +650,7 @@ def connected_components(
         .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint(eager=True)
     )
+    edges_h = _checkpoint_rdd_handle(edges)
     p.unpersist()
     labels = (
         edges.groupBy("u")
@@ -649,6 +658,7 @@ def connected_components(
         .select("u", F.least("u", "l").alias("l"))
         .localCheckpoint(eager=True)
     )
+    labels_h = _checkpoint_rdd_handle(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -668,14 +678,38 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        stepped_h = _checkpoint_rdd_handle(stepped)
         # the count runs against the already-materialized checkpoint
         # partitions — later rounds and the returned relation never
         # fall back to recomputing a deep lineage
         changed = stepped.filter(F.col("l") != F.col("old")).count()
-        labels = stepped.select("u", "l")
+        # stepped is fully materialized now, so the previous round's
+        # snapshot can never be read again — free its blocks
+        if labels_h is not None:
+            labels_h.unpersist(False)
+        labels, labels_h = stepped.select("u", "l"), stepped_h
         if changed == 0:
             break
+    # the returned relation reads only the final stepped checkpoint;
+    # the edge snapshot is dead weight past this point
+    if edges_h is not None:
+        edges_h.unpersist(False)
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+
+
+def _checkpoint_rdd_handle(df: DataFrame):
+    """The JVM RDD holding a localCheckpointed DataFrame's blocks (its
+    analyzed plan is a LogicalRDD wrapping exactly that RDD), so loops
+    can free a superseded round's storage deterministically. Returns
+    None — degrading to driver-GC-managed cleanup, never an error — if
+    a Spark version stops exposing the shape."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return plan.rdd()
+    except Exception:  # noqa: BLE001 - cleanup is best-effort by design
+        pass
+    return None
 
 
 def dedup_canonical_per_cluster(

@@ -813,26 +813,36 @@ FROM documents
 """
 
 _WDS_SCRATCH: list[str] = []
+_WDS_SCRATCH_LOCK = __import__("threading").Lock()
+# how many invocations' shard dirs stay readable at once: the newest
+# TWO, so "build plan A; build plan B; execute A" (EXPLAIN sweeps,
+# plan-hash harnesses) still works — only on the THIRD invocation does
+# A's scratch go away. Bounded so repeated bench/driver runs in one
+# process can't accumulate corpus copies on disk.
+_WDS_SCRATCH_KEEP = 2
 
 
 def _wds_scratch_dir() -> str:
     """A fresh shard scratch dir whose lifetime matches the LAZY result
-    DataFrame's: previous invocations' dirs are reaped here (by then
-    their plans have been executed or abandoned), the final one at
-    interpreter exit."""
+    DataFrame's: the newest _WDS_SCRATCH_KEEP invocations' dirs stay on
+    disk (their plans may not have executed yet), older ones are reaped
+    here, the survivors at interpreter exit. Thread-safe."""
     import atexit
     import shutil
     import tempfile
 
-    while _WDS_SCRATCH:
-        shutil.rmtree(_WDS_SCRATCH.pop(), ignore_errors=True)
     path = tempfile.mkdtemp(prefix="wds_roundtrip_q_")
-    if not _WDS_SCRATCH and not getattr(_wds_scratch_dir, "_atexit_armed", False):
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _WDS_SCRATCH]
-        )
-        _wds_scratch_dir._atexit_armed = True
-    _WDS_SCRATCH.append(path)
+    with _WDS_SCRATCH_LOCK:
+        _WDS_SCRATCH.append(path)
+        doomed = _WDS_SCRATCH[:-_WDS_SCRATCH_KEEP]
+        del _WDS_SCRATCH[:-_WDS_SCRATCH_KEEP]
+        if not getattr(_wds_scratch_dir, "_atexit_armed", False):
+            atexit.register(
+                lambda: [shutil.rmtree(p, ignore_errors=True) for p in _WDS_SCRATCH]
+            )
+            _wds_scratch_dir._atexit_armed = True
+    for old in doomed:
+        shutil.rmtree(old, ignore_errors=True)
     return path
 
 

@@ -132,7 +132,10 @@ def redis_zset_source(
     the server — the reference's manual-pushdown contract, the range
     never ships rows it excludes. Ranges are half-open (min exclusive
     via the '(' prefix, max inclusive) so adjacent partitions never
-    double-read a boundary score."""
+    double-read a boundary score; use ``float("-inf")`` (or ``None``)
+    as the FIRST range's min to include members sitting exactly on the
+    global lower bound — a finite first min excludes its own boundary
+    by the half-open contract."""
 
     def conn():
         redis = _require("redis", "redis")
@@ -146,18 +149,25 @@ def redis_zset_source(
         .search_fn(zset_search_fn)
         .destroy_fn(lambda client: client.close())
         .schema("member string, score double")
-        .partitions([(zset_key, float(lo), float(hi)) for lo, hi in score_ranges])
+        .partitions(
+            [
+                (zset_key, float("-inf") if lo is None else float(lo), float(hi))
+                for lo, hi in score_ranges
+            ]
+        )
         .build(spark)
     )
 
 
 def zset_search_fn(client: Any, part: tuple[str, float, float], flt: Any, proj: Any):
     """ZRANGEBYSCORE with the exclusive-min syntax — the pushdown runs
-    on the server, factored out for stub tests."""
+    on the server, factored out for stub tests. A -inf min is sent as
+    the inclusive ``-inf`` token (nothing exists below it to exclude),
+    so the first range of a full-space partitioning keeps members
+    sitting exactly on the global lower bound."""
     key, lo, hi = part
-    for member, score in client.zrangebyscore(
-        key, f"({lo}", hi, withscores=True
-    ):
+    min_arg = "-inf" if lo == float("-inf") else f"({lo}"
+    for member, score in client.zrangebyscore(key, min_arg, hi, withscores=True):
         yield {"member": member, "score": float(score)}
 
 
@@ -189,10 +199,16 @@ def redis_hash_sink(
     def flush(ctx: dict) -> None:
         if not ctx["buf"]:
             return
-        mapping, ctx["buf"] = ctx["buf"], {}
+        # the buffer is cleared only AFTER execute() succeeds: a
+        # transient failure leaves it intact so the retry strategy's
+        # re-invocation re-sends the same mapping (HSET is idempotent
+        # per (key, field), so a retry after partial success is safe —
+        # clearing first would make the retried flush a silent no-op
+        # and LOSE the batch)
         pipe = ctx["client"].pipeline(transaction=False)
-        pipe.hset(hash_key, mapping=mapping)
+        pipe.hset(hash_key, mapping=dict(ctx["buf"]))
         pipe.execute()
+        ctx["buf"] = {}
 
     def destroy(ctx: dict) -> None:
         ctx["client"].close()
@@ -304,7 +320,16 @@ def paho_publish_fn(
         )
         import os
 
-        c = mqtt.Client(client_id=f"{client_id_prefix}-{os.getpid()}")
+        cid = f"{client_id_prefix}-{os.getpid()}"
+        # paho-mqtt >= 2.0 requires the callback API version as the
+        # first positional argument (Client(client_id=...) raises
+        # ValueError there); 1.x has no CallbackAPIVersion attribute.
+        # We register no callbacks, so VERSION2 is a pure formality.
+        api_version = getattr(mqtt, "CallbackAPIVersion", None)
+        if api_version is not None:
+            c = mqtt.Client(api_version.VERSION2, client_id=cid)
+        else:
+            c = mqtt.Client(client_id=cid)
         if username is not None:
             c.username_pw_set(username, password)
         if tls is not None:

@@ -475,11 +475,22 @@ def mqtt_sink(
         if rest:
             retry.run(lambda: pub(root, topic, rest))
 
+    def destroy(ctx: dict) -> None:
+        # a stateful publish boundary (e.g. real_clients.paho_publish_fn
+        # holding a connected client + network-loop thread) exposes
+        # close(); each task deserialized its own copy of `pub`, so
+        # closing here releases exactly this writer's client — without
+        # it, reused python workers accumulate live broker connections
+        close = getattr(pub, "close", None)
+        if close is not None:
+            close()
+
     (
         SinkBuilder("mqtt")
         .create_fn(create)
         .receive_fn(receive)
         .flush_fn(flush)
+        .destroy_fn(destroy)
         .batch_size(batch_size)
         .write(df)
     )

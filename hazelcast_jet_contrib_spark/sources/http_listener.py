@@ -323,21 +323,23 @@ class _PushSinkBase:
         self._buffer.publish(row_json)
 
     def foreach_batch(self):
-        """foreachBatch adapter: rows are pushed in JSON form. The sink
-        collects each (small, already-aggregated) result batch to the
-        driver — the single-serving-point analog of
-        forceTotalParallelismOne. The collect is bounded to the
-        buffer's capacity BEFORE it reaches the driver: rows beyond
-        ``max_buffer`` in one batch would be dropped by the bounded
-        drop-oldest `_PushBuffer` anyway (HttpListenerSinkContext.java:
-        128-152 accumulation contract), so shipping them driver-side
-        only risks an OOM a runaway upstream shouldn't be able to
-        cause. Within a single oversized batch the retained subset is
-        the limit()'s — batch-internal order is undefined in Spark
-        regardless; across batches drop-oldest semantics are exact."""
+        """foreachBatch adapter: rows are pushed in JSON form through
+        the driver — the single-serving-point analog of
+        forceTotalParallelismOne. Driver memory is bounded WITHOUT
+        dropping deliveries: rows stream through ``toLocalIterator``
+        (no prefetch), so the driver holds at most ONE partition of the
+        batch at a time — a runaway upstream costs a partition's worth
+        of memory, never the whole batch. Every row is still published:
+        a connected live client that keeps up receives all of them
+        (sequence-numbered reads), while the bounded drop-oldest
+        `_PushBuffer` (HttpListenerSinkContext.java:128-152 accumulation
+        contract) retains only the newest ``max_buffer`` for late
+        joiners. A pre-collect limit() would bound memory too but would
+        silently unsend rows live clients are entitled to — retention
+        policy must not become delivery policy."""
 
         def fn(batch_df, epoch_id: int) -> None:
-            for row in batch_df.limit(self._buffer.max_buffer).toJSON().collect():
+            for row in batch_df.toJSON().toLocalIterator(prefetchPartitions=False):
                 self.publish(row)
 
         return fn

@@ -129,6 +129,16 @@ class StructCodec:
         if "_corrupt_value" in self._fields:
             raise ValueError("schema may not name a field '_corrupt_value'")
         passthrough = [c for c in df.columns if c != value_col]
+        collisions = sorted(set(passthrough) & set(self._fields))
+        if collisions:
+            raise ValueError(
+                f"schema field(s) {collisions} collide with the input "
+                f"DataFrame's transport columns — the typed projection "
+                f"would emit duplicate (ambiguous) column names. Rename "
+                f"the schema fields or drop/rename the transport columns "
+                f"before typed() (message-log transport names are fixed: "
+                f"stream, seq, key, properties, event_time)."
+            )
         if on_malformed == "fail":
             decoded = F.from_json(value_col, self.schema, {"mode": "FAILFAST"})
         else:

@@ -187,3 +187,19 @@ def test_typed_guards_reserved_column_and_bad_policy(spark):
         StructCodec("a long").typed(df, on_malformed="explode")
     with pytest.raises(ValueError, match="_corrupt_value"):
         StructCodec("_corrupt_value string").typed(df)
+
+
+def test_typed_rejects_transport_column_collisions(spark):
+    """A schema field named like a transport column (the message log
+    fixes 'key'/'stream'/'seq'/...) would project DUPLICATE column
+    names — ambiguous downstream. typed() refuses up front with the
+    fix spelled out (review finding, round 11)."""
+    df = spark.createDataFrame(
+        [("s1", "k1", '{"key":"inner","amount":2}')],
+        "stream string, key string, value string",
+    )
+    with pytest.raises(ValueError, match="collide.*key|key.*collide"):
+        StructCodec("key string, amount long").typed(df)
+    # non-colliding schema over the same transport df is fine
+    got = StructCodec("amount long").typed(df).collect()[0]
+    assert got["amount"] == 2 and got["key"] == "k1"

@@ -276,6 +276,25 @@ def test_cc_plan_size_is_iteration_invariant(spark):
     assert comps == {0}
 
 
+def test_cc_frees_superseded_checkpoints(spark):
+    """Storage stays bounded across rounds, not just plans: each
+    superseded round's checkpoint blocks are unpersisted once the next
+    round materializes, so a ~30-round run leaves at most the FINAL
+    label snapshot in executor storage (not 30 snapshots waiting for
+    driver GC) — and that survivor is exactly what the returned
+    relation reads."""
+    from hazelcast_jet_contrib_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    result = connected_components(chain, max_iter=40)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+    assert {r["component"] for r in result.collect()} == {0}
+
+
 def test_dedup_canonical_per_cluster_keeps_min_and_singletons(spark):
     from hazelcast_jet_contrib_spark.operators.dedup import (
         dedup_canonical_per_cluster,

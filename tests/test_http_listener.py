@@ -84,24 +84,34 @@ def test_sse_push_sink_delivers(spark):
         sink.stop()
 
 
-def test_push_sink_bounds_one_oversized_batch_before_collect(spark):
+def test_push_sink_streams_oversized_batch_bounded_without_losing_delivery(spark):
     """VERDICT r10 What's-wrong #3: a single runaway batch (3× the
-    buffer capacity) must be bounded BEFORE the driver collect — the
-    buffer holds exactly max_buffer rows afterwards, and the rows that
-    arrive are a subset of the batch (no invented or duplicated rows).
-    Drop-oldest semantics across batches stay exact: a later batch
-    evicts earlier rows, never the reverse."""
+    buffer capacity) must not materialize wholesale on the driver —
+    rows stream through partition-at-a-time (toLocalIterator). Crucial
+    distinction: EVERY row is still published (a live client that keeps
+    up would receive all 24 — retention policy is not delivery policy),
+    while the drop-oldest buffer retains only the newest max_buffer for
+    late joiners. Cross-batch drop-oldest stays exact."""
+    import json
+
     sink = SsePushSink(max_buffer=8).start()
     try:
-        big = spark.range(24).select(F.col("id"))  # 3x capacity
+        published: list[str] = []
+        orig_publish = sink.publish
+        sink.publish = lambda row: (published.append(row), orig_publish(row))[1]
+        big = spark.range(24).select(F.col("id")).repartition(6)  # 3x capacity
         sink.foreach_batch()(big, 0)
+        # delivery: all 24 rows were published, none dropped pre-buffer
+        assert {json.loads(r)["id"] for r in published} == set(range(24))
+        # retention: the bounded buffer holds exactly the newest 8
         got = sink._buffer.snapshot()
         assert len(got) == 8
-        ids = {__import__("json").loads(r)["id"] for r in got}
-        assert ids <= set(range(24)) and len(ids) == 8
-        # cross-batch drop-oldest is unaffected by the bound
+        assert [json.loads(r)["id"] for r in got] == [
+            json.loads(r)["id"] for r in published[-8:]
+        ]
+        # cross-batch drop-oldest is unaffected
         sink.foreach_batch()(spark.range(100, 103).select(F.col("id")), 1)
-        tail = [__import__("json").loads(r)["id"] for r in sink._buffer.snapshot()]
+        tail = [json.loads(r)["id"] for r in sink._buffer.snapshot()]
         assert tail[-3:] == [100, 101, 102] and len(tail) == 8
     finally:
         sink.stop()

@@ -192,6 +192,10 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         # round-9 registrations whose Arrow stage IS the declared design:
         "bpe_encode_pinned": 1,  # Arrow-batched trie encode (bpe.py)
         "video_near_dup_frames": 1,  # frame-decode kernel, persisted once
+        # round-11: the LAZY tar-shard read — the untar mapInPandas
+        # stage is exactly what the registration exists to prove
+        # (binaryFile scan + one Arrow stage, no LocalTableScan)
+        "webdataset_roundtrip": 1,
         # round-7 additions: all pure Catalyst, and the two eager
         # queries (training_shards_roundtrip, ivf_index_probe_topk)
         # return local relations — their kernels run inside the query

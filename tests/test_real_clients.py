@@ -109,6 +109,9 @@ _DATA = {
 _ZSET = {"z": [("m1", 1.0), ("m2", 2.5), ("m3", 3.0), ("m4", 4.5)]}
 
 
+_FAILED_ONCE = []
+
+
 class _Pipeline:
     def __init__(self, client):
         self._client, self._ops = client, []
@@ -117,6 +120,9 @@ class _Pipeline:
         self._ops.append((key, dict(mapping)))
 
     def execute(self):
+        if self._client._fail_first and not _FAILED_ONCE:
+            _FAILED_ONCE.append(True)
+            raise ConnectionError("transient broker hiccup (injected)")
         for key, mapping in self._ops:
             p = os.path.join(
                 self._client._dir, "hset-%d-%d.jsonl" % (os.getpid(), id(self))
@@ -130,6 +136,7 @@ class Redis:
     def __init__(self, url):
         q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
         self._dir = q.get("dir", [""])[0]
+        self._fail_first = q.get("fail_first", ["0"])[0] == "1"
 
     @classmethod
     def from_url(cls, url, **kw):
@@ -186,12 +193,50 @@ def test_redis_hash_source_e2e_through_spark_tasks(fake_redis_on_executors):
 
 def test_redis_zset_source_e2e_pushdown_partitions_disjoint(fake_redis_on_executors):
     spark = fake_redis_on_executors
+    # -inf first min (inclusive): m1 at the global lower bound 1.0 is
+    # kept; boundary score 2.5 lands in exactly one range (exclusive
+    # finite mins). A finite first min equal to a member's score would
+    # exclude it — the documented half-open contract.
     df = redis_zset_source(
-        spark, "redis://fake:6379/0", "z", [(0.0, 2.5), (2.5, 5.0)]
+        spark, "redis://fake:6379/0", "z", [(None, 2.5), (2.5, 5.0)]
     )
     rows = sorted((r["member"], r["score"]) for r in df.collect())
-    # boundary score 2.5 lands in exactly one range (exclusive min)
     assert rows == [("m1", 1.0), ("m2", 2.5), ("m3", 3.0), ("m4", 4.5)]
+    # and the documented exclusion: a finite min sitting ON a member's
+    # score drops that member (why -inf exists for the first range)
+    df2 = redis_zset_source(
+        spark, "redis://fake:6379/0", "z", [(1.0, 5.0)]
+    )
+    assert sorted(r["member"] for r in df2.collect()) == ["m2", "m3", "m4"]
+
+
+def test_redis_hash_sink_retry_resends_buffer_after_transient_failure(
+    fake_redis_on_executors, tmp_path
+):
+    """The flush clears its buffer only AFTER the pipeline executes: an
+    injected first-attempt ConnectionError is retried by the strategy
+    and the SAME mapping lands on the second attempt — clearing first
+    would make the retry a silent no-op and lose the batch (review
+    finding, round 11)."""
+    spark = fake_redis_on_executors
+    out = tmp_path / "retry_hsets"
+    out.mkdir()
+    df = spark.range(6).selectExpr(
+        "concat('f', id) AS field", "concat('v', id) AS value"
+    ).coalesce(1)
+    redis_hash_sink(
+        df,
+        f"redis://fake:6379/0?dir={out}&fail_first=1",
+        "target-hash",
+        field_fn=lambda r: r["field"],
+        value_fn=lambda r: r["value"],
+        batch_size=100,
+    )
+    written = {}
+    for p in out.glob("hset-*.jsonl"):
+        for line in open(p):
+            written.update(json.loads(line)["mapping"])
+    assert written == {f"f{i}": f"v{i}" for i in range(6)}
 
 
 def test_redis_hash_sink_e2e_pipelined_bulk_write(fake_redis_on_executors, tmp_path):
@@ -233,8 +278,9 @@ class _FakeInfo:
 
 
 class _FakePahoClient:
-    def __init__(self, client_id=""):
+    def __init__(self, client_id="", api_version=None):
         self.client_id = client_id
+        self.api_version = api_version
         self.published: list[tuple] = []
         self.infos: list[_FakeInfo] = []
         self.connected = None
@@ -268,7 +314,32 @@ class _FakePahoClient:
         return info
 
 
+class _FakeCallbackAPIVersion:
+    VERSION1 = "v1"
+    VERSION2 = "v2"
+
+
 class _FakePahoModule:
+    """paho-mqtt >= 2.0 shape: Client REQUIRES the callback API version
+    as its first positional argument (2.x raises ValueError without
+    it — the pip-install default since Feb 2024)."""
+
+    CallbackAPIVersion = _FakeCallbackAPIVersion
+
+    def __init__(self):
+        self.clients: list[_FakePahoClient] = []
+
+    def Client(self, callback_api_version=None, client_id=""):
+        if callback_api_version is None:
+            raise ValueError("Unsupported callback API version")  # the 2.x error
+        c = _FakePahoClient(client_id, api_version=callback_api_version)
+        self.clients.append(c)
+        return c
+
+
+class _FakeLegacyPahoModule:
+    """paho-mqtt 1.x shape: no CallbackAPIVersion, Client(client_id=...)."""
+
     def __init__(self):
         self.clients: list[_FakePahoClient] = []
 
@@ -292,6 +363,7 @@ def test_paho_publish_fn_connects_once_and_routes_qos():
     pub("ignored-root", "t/1", [{"value": "d", "properties": {"qos": 1}}])
     assert len(mod.clients) == 1  # lazy client, reused across flushes
     c = mod.clients[0]
+    assert c.api_version == _FakeCallbackAPIVersion.VERSION2  # paho 2.x path
     assert c.connected == ("broker.example", 8883, 60) and c.looping
     assert c.auth == ("u", "p")
     assert [q for _, _, q in c.published] == [0, 1, 2, 1]
@@ -299,6 +371,45 @@ def test_paho_publish_fn_connects_once_and_routes_qos():
     assert [i.waited for i in c.infos] == [False, True, True, True]
     pub.close()
     assert c.connected is None and not c.looping
+
+
+def test_paho_publish_fn_supports_legacy_1x_client_signature():
+    mod = _FakeLegacyPahoModule()
+    pub = paho_publish_fn("h", mqtt_module=mod)
+    pub("r", "t", [{"value": "x", "properties": {"qos": 1}}])
+    assert mod.clients[0].api_version is None  # 1.x path: no version arg
+    assert mod.clients[0].published == [("t", "x", 1)]
+
+
+def test_mqtt_sink_closes_closable_publish_fn(spark):
+    """mqtt_sink's partition writer must invoke publish_fn.close() in
+    its destroy hook — a paho binding holds a connected client plus a
+    network-loop thread per writer, which reused python workers would
+    otherwise accumulate. Proven with a file-recording close (the
+    closure runs inside Spark tasks, out of this process)."""
+    import glob
+
+    from hazelcast_jet_contrib_spark.sinks.connectors import mqtt_sink
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mqtt_close_")
+
+    def closable_publish(root, topic, records):
+        pass
+
+    def _close(d=d):
+        import os
+        import tempfile as _tf
+
+        fd, _ = _tf.mkstemp(prefix="closed-", dir=d)
+        os.close(fd)
+
+    closable_publish.close = _close
+    df = spark.range(8).selectExpr("cast(id as string) AS v").repartition(2)
+    mqtt_sink(df, root="unused", topic="t", value_fn=lambda r: r["v"],
+              publish_fn=closable_publish)
+    assert len(glob.glob(f"{d}/closed-*")) == 2  # one close per writer
 
 
 def test_paho_publish_fn_raises_on_failed_ack_for_qos1():

@@ -175,9 +175,14 @@ def test_registered_query_is_lazy_untar_scan(spark):
     first_scratch = qc._WDS_SCRATCH[-1]
     # executable after return (the shards still exist when collected)
     assert df.count() > 0
-    # next invocation reaps the previous scratch dir
+    # the scratch window keeps the newest TWO invocations readable
+    # (build-two-plans-then-execute-the-first harnesses), reaping on
+    # the third
     df2 = qc.webdataset_roundtrip(spark, "/root/testdata/sf0.001")
     import os
 
+    assert os.path.exists(first_scratch)
+    assert df.count() > 0  # older plan still executable inside window
+    qc.webdataset_roundtrip(spark, "/root/testdata/sf0.001")
     assert not os.path.exists(first_scratch)
     assert df2.count() > 0
