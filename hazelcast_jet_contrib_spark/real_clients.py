@@ -164,10 +164,13 @@ def zset_search_fn(client: Any, part: tuple[str, float, float], flt: Any, proj: 
     on the server, factored out for stub tests. A -inf min is sent as
     the inclusive ``-inf`` token (nothing exists below it to exclude),
     so the first range of a full-space partitioning keeps members
-    sitting exactly on the global lower bound."""
+    sitting exactly on the global lower bound. Bounds arrive as strings
+    when the descriptor rode the builder's array<string> partition
+    frame — normalize before comparing."""
     key, lo, hi = part
-    min_arg = "-inf" if lo == float("-inf") else f"({lo}"
-    for member, score in client.zrangebyscore(key, min_arg, hi, withscores=True):
+    lo_f, hi_f = float(lo), float(hi)
+    min_arg = "-inf" if lo_f == float("-inf") else f"({lo_f}"
+    for member, score in client.zrangebyscore(key, min_arg, hi_f, withscores=True):
         yield {"member": member, "score": float(score)}
 
 
@@ -215,6 +218,136 @@ def redis_hash_sink(
 
     (
         SinkBuilder("redis-hash-sink")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .destroy_fn(destroy)
+        .batch_size(batch_size)
+        .retry(retry if retry is not None else RetryStrategy.constant(3, 0.05))
+        .write(df)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MongoDB (pymongo): partitioned find() source with pushdown, insertMany sink
+# ---------------------------------------------------------------------------
+
+
+def mongo_source(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    schema: str,
+    partition_filters: list[dict],
+    find_filter: dict | None = None,
+    projection: dict | None = None,
+) -> DataFrame:
+    """Partitioned ``find()`` read through pymongo
+    (MongoDBSourceBuilder.java:84-126 connection→search→map→destroy
+    live binding): each partition descriptor is a filter document (id
+    ranges, shard keys) ANDed with the base ``find_filter``, and both
+    filter and projection execute SERVER-SIDE — the reference's manual
+    pushdown (MongoDBSources.java:85-93). One task per partition
+    filter; each opens its own MongoClient. The explicit ``schema``
+    keeps Catalyst able to prune above the source."""
+
+    def conn():
+        pymongo = _require("pymongo", "pymongo")
+        return pymongo.MongoClient(uri)
+
+    base = dict(find_filter or {})
+    proj = dict(projection) if projection is not None else None
+
+    def search(client, part, flt, prj):
+        import json
+
+        return mongo_search_fn(
+            client, database, collection, base, json.loads(part), proj
+        )
+
+    import json
+
+    # descriptors ride the partition frame as JSON strings: filter
+    # documents nest ({"_id": {"$gte": ...}}), and the builder's
+    # map<string,string> descriptor coercion would stringify the inner
+    # dicts into unusable reprs
+    return (
+        BatchSourceBuilder("mongo-find")
+        .connection_fn(conn)
+        .search_fn(search)
+        .destroy_fn(lambda client: client.close())
+        .schema(schema)
+        .partitions([json.dumps(p or {}) for p in (partition_filters or [{}])])
+        .build(spark)
+    )
+
+
+def mongo_search_fn(
+    client: Any,
+    database: str,
+    collection: str,
+    base_filter: dict,
+    part_filter: dict,
+    projection: dict | None,
+):
+    """The find() itself, factored out for stub tests: base and
+    partition filters compose with $and (never clobbering a shared
+    key), projection passes through verbatim — both run on the
+    server."""
+    if base_filter and part_filter:
+        query: dict = {"$and": [base_filter, part_filter]}
+    else:
+        query = base_filter or part_filter or {}
+    yield from client[database][collection].find(query, projection)
+
+
+def mongo_sink(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    doc_fn: Callable[[Any], dict],
+    ordered: bool = False,
+    bypass_validation: bool = False,
+    batch_size: int = 512,
+    retry: RetryStrategy | None = None,
+) -> None:
+    """Buffered ``insertMany`` sink through pymongo
+    (MongoDBSinkBuilder.java:169-183 live binding): rows buffer per
+    partition and flush as one insert_many(ordered=..., bypass
+    validation=...) call under the retry strategy. Delivery is
+    AT-LEAST-ONCE exactly like the reference's: insertMany is not
+    idempotent, so a retry after a partially applied batch can
+    duplicate — give documents deterministic ``_id``s in ``doc_fn`` so
+    replays collide (duplicate-key errors on an unordered insert leave
+    the already-present documents in place) or dedupe downstream, the
+    same discipline the message-log sink documents. The buffer clears
+    only after a successful flush."""
+
+    def create(writer_id: str) -> dict:
+        pymongo = _require("pymongo", "pymongo")
+        client = pymongo.MongoClient(uri)
+        return {"client": client, "buf": []}
+
+    def receive(ctx: dict, row) -> None:
+        ctx["buf"].append(doc_fn(row))
+
+    def flush(ctx: dict) -> None:
+        if not ctx["buf"]:
+            return
+        ctx["client"][database][collection].insert_many(
+            list(ctx["buf"]),
+            ordered=ordered,
+            bypass_document_validation=bypass_validation,
+        )
+        ctx["buf"] = []
+
+    def destroy(ctx: dict) -> None:
+        ctx["client"].close()
+
+    (
+        SinkBuilder("mongo-sink")
         .create_fn(create)
         .receive_fn(receive)
         .flush_fn(flush)
@@ -364,6 +497,9 @@ def paho_publish_fn(
 __all__ = [
     "MqttTls",
     "hash_search_fn",
+    "mongo_search_fn",
+    "mongo_sink",
+    "mongo_source",
     "paho_publish_fn",
     "redis_hash_sink",
     "redis_hash_slices",

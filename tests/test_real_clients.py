@@ -264,6 +264,178 @@ def test_redis_hash_sink_e2e_pipelined_bulk_write(fake_redis_on_executors, tmp_p
 
 
 # ---------------------------------------------------------------------------
+# tier 1b': mongo adapter glue (pymongo) — direct + injected-module e2e
+# ---------------------------------------------------------------------------
+
+from hazelcast_jet_contrib_spark.real_clients import (  # noqa: E402
+    mongo_search_fn,
+    mongo_sink,
+    mongo_source,
+)
+
+
+class _FakeMongoColl:
+    def __init__(self):
+        self.calls = []
+
+    def find(self, query=None, projection=None):
+        self.calls.append((query, projection))
+        return iter([{"_id": 1}])
+
+
+class _FakeMongoClient:
+    def __init__(self):
+        self.coll = _FakeMongoColl()
+
+    def __getitem__(self, db):
+        return {"c": self.coll}
+
+
+def test_mongo_search_fn_composes_filters_with_and_and_pushes_projection():
+    """Base filter and partition filter compose with $and (a plain dict
+    merge would CLOBBER a shared key like _id and silently widen the
+    read); both filter and projection are handed to find() verbatim —
+    the server-side pushdown (MongoDBSources.java:85-93)."""
+    c = _FakeMongoClient()
+    base, part, proj = {"brand": "B1"}, {"_id": {"$gte": 0, "$lt": 15}}, {"_id": 1}
+    rows = list(mongo_search_fn(c, "db", "c", base, part, proj))
+    assert rows == [{"_id": 1}]
+    assert c.coll.calls == [({"$and": [base, part]}, proj)]
+    # degenerate shapes: single-sided filters pass through un-wrapped
+    list(mongo_search_fn(c, "db", "c", {}, part, None))
+    assert c.coll.calls[-1] == (part, None)
+    list(mongo_search_fn(c, "db", "c", base, {}, None))
+    assert c.coll.calls[-1] == (base, None)
+
+
+_FAKE_PYMONGO_SRC = '''
+"""Injected stand-in for pymongo, API-compatible for the adapter calls."""
+import json, os, urllib.parse
+
+_DOCS = {
+    ("db", "parts"): [
+        {"_id": i, "brand": "B%d" % (i % 3), "price": float(i)} for i in range(30)
+    ]
+}
+
+
+def _match(doc, q):
+    if "$and" in q:
+        return all(_match(doc, s) for s in q["$and"])
+    for k, v in q.items():
+        if isinstance(v, dict):
+            if "$gte" in v and not doc[k] >= v["$gte"]:
+                return False
+            if "$lt" in v and not doc[k] < v["$lt"]:
+                return False
+            if "$in" in v and doc[k] not in v["$in"]:
+                return False
+        elif doc.get(k) != v:
+            return False
+    return True
+
+
+def _project(doc, proj):
+    if not proj:
+        return dict(doc)
+    keep = {k for k, v in proj.items() if v}
+    return {k: doc[k] for k in doc if k in keep}
+
+
+class _Coll:
+    def __init__(self, client, db, name):
+        self._client, self._db, self._name = client, db, name
+
+    def find(self, query=None, projection=None):
+        for d in _DOCS.get((self._db, self._name), []):
+            if _match(d, query or {}):
+                yield _project(d, projection)
+
+    def insert_many(self, docs, ordered=False, bypass_document_validation=False):
+        p = os.path.join(
+            self._client._dir, "ins-%d-%d.jsonl" % (os.getpid(), id(docs))
+        )
+        with open(p, "a") as f:
+            for d in docs:
+                f.write(json.dumps({"doc": d, "ordered": ordered}) + "\\n")
+
+
+class _DB:
+    def __init__(self, client, name):
+        self._client, self._name = client, name
+
+    def __getitem__(self, coll):
+        return _Coll(self._client, self._name, coll)
+
+
+class MongoClient:
+    def __init__(self, uri):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(uri).query)
+        self._dir = q.get("dir", [""])[0]
+
+    def __getitem__(self, db):
+        return _DB(self, db)
+
+    def close(self):
+        pass
+'''
+
+
+@pytest.fixture(scope="module")
+def fake_pymongo_on_executors(spark, tmp_path_factory):
+    if find_spec("pymongo") is not None:  # pragma: no cover - live env
+        pytest.skip("real pymongo installed; stub injection would shadow it")
+    d = tmp_path_factory.mktemp("fake_pymongo")
+    mod = d / "pymongo.py"
+    mod.write_text(_FAKE_PYMONGO_SRC)
+    spark.sparkContext.addPyFile(str(mod))
+    return spark
+
+
+def test_mongo_source_e2e_partitioned_find_with_pushdown(fake_pymongo_on_executors):
+    spark = fake_pymongo_on_executors
+    df = mongo_source(
+        spark,
+        "mongodb://fake:27017/?dir=",
+        "db",
+        "parts",
+        schema="_id long, price double",
+        partition_filters=[
+            {"_id": {"$gte": 0, "$lt": 15}},
+            {"_id": {"$gte": 15, "$lt": 30}},
+        ],
+        find_filter={"brand": "B1"},
+        projection={"_id": 1, "price": 1},
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = sorted((r["_id"], r["price"]) for r in df.collect())
+    assert rows == [(i, float(i)) for i in range(30) if i % 3 == 1]
+
+
+def test_mongo_sink_e2e_insert_many(fake_pymongo_on_executors, tmp_path):
+    spark = fake_pymongo_on_executors
+    out = tmp_path / "inserts"
+    out.mkdir()
+    df = spark.range(9).selectExpr("id", "concat('n', id) AS name").repartition(3)
+    mongo_sink(
+        df,
+        f"mongodb://fake:27017/?dir={out}",
+        "db",
+        "parts",
+        doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+        ordered=False,
+        batch_size=4,
+    )
+    docs = {}
+    for p in out.glob("ins-*.jsonl"):
+        for line in open(p):
+            rec = json.loads(line)
+            assert rec["ordered"] is False
+            docs[rec["doc"]["_id"]] = rec["doc"]["name"]
+    assert docs == {i: f"n{i}" for i in range(9)}
+
+
+# ---------------------------------------------------------------------------
 # tier 1c: paho publish glue with an injected module (driver-side)
 # ---------------------------------------------------------------------------
 
@@ -561,6 +733,30 @@ requires_live_mqtt = pytest.mark.skipif(
     find_spec("paho") is None or "SPARK_GRAFT_MQTT_HOST" not in os.environ,
     reason="needs paho-mqtt installed and SPARK_GRAFT_MQTT_HOST set",
 )
+requires_live_mongo = pytest.mark.skipif(
+    find_spec("pymongo") is None or "SPARK_GRAFT_MONGO_URI" not in os.environ,
+    reason="needs pymongo installed and SPARK_GRAFT_MONGO_URI set",
+)
+
+
+@requires_live_mongo
+def test_live_mongo_roundtrip(spark):  # pragma: no cover - live only
+    import pymongo
+
+    uri = os.environ["SPARK_GRAFT_MONGO_URI"]
+    pymongo.MongoClient(uri)["sg_live"]["rt"].drop()
+    df = spark.range(25).selectExpr("id", "concat('n', id) AS name")
+    mongo_sink(
+        df, uri, "sg_live", "rt",
+        doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+    )
+    back = mongo_source(
+        spark, uri, "sg_live", "rt",
+        schema="_id long, name string",
+        partition_filters=[{"_id": {"$lt": 13}}, {"_id": {"$gte": 13}}],
+    )
+    assert sorted(r["_id"] for r in back.collect()) == list(range(25))
+    pymongo.MongoClient(uri)["sg_live"]["rt"].drop()
 
 
 @requires_live_redis
