@@ -56,3 +56,25 @@ def release_tracked(blocking: bool = False) -> int:
             pass  # session already stopped; nothing to release
     _TRACKED.clear()
     return n
+
+
+def checkpoint_rdd_handle(df: DataFrame):
+    """The JVM RDD holding a ``localCheckpoint``ed DataFrame's blocks
+    (its analyzed plan is a LogicalRDD wrapping exactly that RDD), so
+    iterative loops can free a SUPERSEDED round's storage
+    deterministically instead of waiting for driver GC — without the
+    global persistent-RDD map diff that could race a concurrent job.
+    Call ``handle.unpersist(False)`` only once every plan that reads
+    the checkpoint has fully materialized: a localCheckpoint is
+    non-recomputable, so freeing a still-needed one FAILS later reads
+    rather than slowing them. Returns None — degrading to
+    GC-managed cleanup, never an error — if a Spark version stops
+    exposing the shape. Used by the connected-components, PageRank,
+    and BPE merge loops (one superseded snapshot freed per round)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return plan.rdd()
+    except Exception:  # noqa: BLE001 - cleanup is best-effort by design
+        pass
+    return None

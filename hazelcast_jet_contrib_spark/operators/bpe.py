@@ -104,8 +104,17 @@ def train_bpe(
         _initial_symbols(F.col("word")).alias("sym"), "freq"
     )
     merges: list[tuple[str, str]] = []
+    last_cp = None  # superseded checkpoint snapshots freed per round
     for _ in range(num_merges):
         words = words.localCheckpoint(eager=True)  # cut per-round lineage
+        from hazelcast_jet_contrib_spark.cache import checkpoint_rdd_handle
+
+        if last_cp is not None:
+            # the new checkpoint materialized FROM last round's — free
+            # its blocks now instead of at driver GC (at most two
+            # word-table snapshots resident at any moment)
+            last_cp.unpersist(False)
+        last_cp = checkpoint_rdd_handle(words)
         pairs = (
             words.select(
                 F.explode(
@@ -134,6 +143,10 @@ def train_bpe(
         words = words.select(
             _merge_expr(F.col("sym"), a, b).alias("sym"), "freq"
         )
+    # the merge list is the output — the last word-table snapshot has
+    # no consumer past this point
+    if last_cp is not None:
+        last_cp.unpersist(False)
     return merges
 
 

@@ -21,6 +21,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from hazelcast_jet_contrib_spark.cache import (
+    checkpoint_rdd_handle as _checkpoint_rdd_handle,
+)
 from hazelcast_jet_contrib_spark.functions.text import shingles_of_tokens, tokens
 
 # ---------------------------------------------------------------------------
@@ -697,19 +700,6 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
 
 
-def _checkpoint_rdd_handle(df: DataFrame):
-    """The JVM RDD holding a localCheckpointed DataFrame's blocks (its
-    analyzed plan is a LogicalRDD wrapping exactly that RDD), so loops
-    can free a superseded round's storage deterministically. Returns
-    None — degrading to driver-GC-managed cleanup, never an error — if
-    a Spark version stops exposing the shape."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith(".LogicalRDD"):
-            return plan.rdd()
-    except Exception:  # noqa: BLE001 - cleanup is best-effort by design
-        pass
-    return None
 
 
 def dedup_canonical_per_cluster(

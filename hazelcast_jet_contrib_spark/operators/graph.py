@@ -181,6 +181,7 @@ def pagerank(
         tele_col = F.when(is_seed, F.lit((1.0 - damping) / n_tele)).otherwise(
             F.lit(0.0)
         )
+        last_cp = None  # previous sweep's checkpoint handle, freed once superseded
         for _ in range(iterations):
             # Lineage MUST be cut each sweep, not just cached: the next
             # plan references `base` both directly and through the previous
@@ -192,6 +193,15 @@ def pagerank(
             # survivable mid-computation.
             prev = ranks
             ranks = ranks.localCheckpoint(eager=True)
+            # this eager checkpoint just materialized FROM the previous
+            # sweep's checkpoint — that snapshot can never be read again,
+            # so free its executor storage now instead of at driver GC
+            # (at most two |V| snapshots resident at any moment)
+            from hazelcast_jet_contrib_spark.cache import checkpoint_rdd_handle
+
+            if last_cp is not None:
+                last_cp.unpersist(False)
+            last_cp = checkpoint_rdd_handle(ranks)
             if sweep_stats is not None and not is_init:
                 from hazelcast_jet_contrib_spark.plans.audit import (
                     executed_shuffle_stats,
@@ -235,6 +245,10 @@ def pagerank(
         # iteration chain against unpersisted inputs.
         final = ranks.select("node", F.round("rank", 8).alias("rank"))
         out = final.localCheckpoint(eager=True)
+        # `out` is materialized; the last sweep's snapshot it was
+        # computed from is now superseded too
+        if last_cp is not None:
+            last_cp.unpersist(False)
         if sweep_stats is not None:
             from hazelcast_jet_contrib_spark.plans.audit import (
                 executed_shuffle_stats,

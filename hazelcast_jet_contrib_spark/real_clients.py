@@ -123,7 +123,7 @@ def redis_zset_source(
     spark: SparkSession,
     url: str,
     zset_key: str,
-    score_ranges: list[tuple[float, float]],
+    score_ranges: list[tuple[float | None, float | None]],
     socket_timeout: float = 5.0,
 ) -> DataFrame:
     """Sorted-set range read with SERVER-SIDE pushdown through redis-py
@@ -135,7 +135,9 @@ def redis_zset_source(
     double-read a boundary score; use ``float("-inf")`` (or ``None``)
     as the FIRST range's min to include members sitting exactly on the
     global lower bound — a finite first min excludes its own boundary
-    by the half-open contract."""
+    by the half-open contract — and ``None``/``float("inf")`` as the
+    LAST range's max for an open upper end (max is inclusive, so
+    ``+inf`` is safe on that side)."""
 
     def conn():
         redis = _require("redis", "redis")
@@ -151,7 +153,11 @@ def redis_zset_source(
         .schema("member string, score double")
         .partitions(
             [
-                (zset_key, float("-inf") if lo is None else float(lo), float(hi))
+                (
+                    zset_key,
+                    float("-inf") if lo is None else float(lo),
+                    float("inf") if hi is None else float(hi),
+                )
                 for lo, hi in score_ranges
             ]
         )
@@ -170,7 +176,8 @@ def zset_search_fn(client: Any, part: tuple[str, float, float], flt: Any, proj: 
     key, lo, hi = part
     lo_f, hi_f = float(lo), float(hi)
     min_arg = "-inf" if lo_f == float("-inf") else f"({lo_f}"
-    for member, score in client.zrangebyscore(key, min_arg, hi_f, withscores=True):
+    max_arg = "+inf" if hi_f == float("inf") else hi_f
+    for member, score in client.zrangebyscore(key, min_arg, max_arg, withscores=True):
         yield {"member": member, "score": float(score)}
 
 
@@ -336,11 +343,27 @@ def mongo_sink(
     def flush(ctx: dict) -> None:
         if not ctx["buf"]:
             return
-        ctx["client"][database][collection].insert_many(
-            list(ctx["buf"]),
-            ordered=ordered,
-            bypass_document_validation=bypass_validation,
-        )
+        try:
+            ctx["client"][database][collection].insert_many(
+                list(ctx["buf"]),
+                ordered=ordered,
+                bypass_document_validation=bypass_validation,
+            )
+        except Exception as ex:
+            # A retry after a PARTIALLY applied batch collides with the
+            # already-inserted documents. With deterministic _ids (the
+            # documented replay discipline) that surfaces as a
+            # BulkWriteError whose every writeError is duplicate-key
+            # (code 11000) — which means every document is present, so
+            # the flush SUCCEEDED from the at-least-once contract's
+            # point of view. Any other error (or any non-duplicate
+            # writeError mixed in) re-raises into the retry strategy.
+            # Shape-checked via ex.details so no pymongo import is
+            # needed on this path.
+            details = getattr(ex, "details", None)
+            werrs = (details or {}).get("writeErrors") if isinstance(details, dict) else None
+            if not werrs or any(e.get("code") != 11000 for e in werrs):
+                raise
         ctx["buf"] = []
 
     def destroy(ctx: dict) -> None:

@@ -129,6 +129,13 @@ class StructCodec:
         if "_corrupt_value" in self._fields:
             raise ValueError("schema may not name a field '_corrupt_value'")
         passthrough = [c for c in df.columns if c != value_col]
+        if on_malformed == "keep" and "_corrupt_value" in passthrough:
+            raise ValueError(
+                "input already carries a _corrupt_value column (a prior "
+                "typed() output?) — drop or rename it before re-typing "
+                "with on_malformed='keep', or the projection would emit "
+                "duplicate _corrupt_value columns"
+            )
         collisions = sorted(set(passthrough) & set(self._fields))
         if collisions:
             raise ValueError(

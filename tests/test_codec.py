@@ -203,3 +203,22 @@ def test_typed_rejects_transport_column_collisions(spark):
     # non-colliding schema over the same transport df is fine
     got = StructCodec("amount long").typed(df).collect()[0]
     assert got["amount"] == 2 and got["key"] == "k1"
+
+
+def test_typed_rejects_retyping_a_keep_output(spark):
+    """A typed(on_malformed='keep') output carries _corrupt_value; the
+    guard must catch feeding it back through typed() with the default
+    policy instead of projecting two _corrupt_value columns (review
+    finding, round 11). drop/fail modes don't emit the column, so they
+    re-type fine."""
+    codec = StructCodec("a long")
+    df = spark.createDataFrame([("s", '{"a":1}')], "stream string, value string")
+    once = codec.typed(df).withColumn(
+        "value", F.lit('{"b":2}')
+    )  # keep-output + a fresh value column
+    with pytest.raises(ValueError, match="_corrupt_value"):
+        StructCodec("b long").typed(once.withColumnRenamed("a", "b2"))
+    kept = StructCodec("b long").typed(
+        once.drop("_corrupt_value"), on_malformed="drop"
+    )
+    assert kept.collect()[0]["b"] == 2

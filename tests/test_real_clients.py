@@ -342,6 +342,15 @@ def _project(doc, proj):
     return {k: doc[k] for k in doc if k in keep}
 
 
+class BulkWriteError(Exception):
+    def __init__(self, details):
+        self.details = details
+        super().__init__("batch op errors occurred")
+
+
+_PARTIAL_STATE = []
+
+
 class _Coll:
     def __init__(self, client, db, name):
         self._client, self._db, self._name = client, db, name
@@ -351,13 +360,35 @@ class _Coll:
             if _match(d, query or {}):
                 yield _project(d, projection)
 
-    def insert_many(self, docs, ordered=False, bypass_document_validation=False):
+    def _write(self, docs, ordered):
         p = os.path.join(
             self._client._dir, "ins-%d-%d.jsonl" % (os.getpid(), id(docs))
         )
         with open(p, "a") as f:
             for d in docs:
                 f.write(json.dumps({"doc": d, "ordered": ordered}) + "\\n")
+
+    def insert_many(self, docs, ordered=False, bypass_document_validation=False):
+        docs = list(docs)
+        if self._client._partial_fail and not _PARTIAL_STATE:
+            # attempt 1: half the batch lands, then the network dies
+            _PARTIAL_STATE.append(1)
+            self._write(docs[: len(docs) // 2], ordered)
+            raise ConnectionError("network died mid-batch (injected)")
+        if self._client._partial_fail and _PARTIAL_STATE == [1]:
+            # attempt 2 (the retry): the first half collides on _id,
+            # the second half inserts — the real pymongo shape
+            _PARTIAL_STATE.append(2)
+            self._write(docs[len(docs) // 2 :], ordered)
+            raise BulkWriteError(
+                {
+                    "writeErrors": [
+                        {"code": 11000, "index": i}
+                        for i in range(len(docs) // 2)
+                    ]
+                }
+            )
+        self._write(docs, ordered)
 
 
 class _DB:
@@ -372,6 +403,7 @@ class MongoClient:
     def __init__(self, uri):
         q = urllib.parse.parse_qs(urllib.parse.urlparse(uri).query)
         self._dir = q.get("dir", [""])[0]
+        self._partial_fail = q.get("partial_fail", ["0"])[0] == "1"
 
     def __getitem__(self, db):
         return _DB(self, db)
@@ -433,6 +465,46 @@ def test_mongo_sink_e2e_insert_many(fake_pymongo_on_executors, tmp_path):
             assert rec["ordered"] is False
             docs[rec["doc"]["_id"]] = rec["doc"]["name"]
     assert docs == {i: f"n{i}" for i in range(9)}
+
+
+def test_mongo_sink_retry_tolerates_duplicate_keys_after_partial_batch(
+    fake_pymongo_on_executors, tmp_path
+):
+    """insert_many is not idempotent: a retry after a partially applied
+    batch collides with the already-inserted documents. With the
+    documented deterministic-_id discipline the retry's BulkWriteError
+    is ALL duplicate-key (11000) — which means every document is
+    present, so the flush must treat it as success instead of failing
+    the task forever (review finding, round 11). The injected failure:
+    attempt 1 applies half then dies; the retry collides on that half
+    and inserts the rest; union on disk == the full batch."""
+    spark = fake_pymongo_on_executors
+    out = tmp_path / "partial_inserts"
+    out.mkdir()
+    df = spark.range(10).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+    mongo_sink(
+        df,
+        f"mongodb://fake:27017/?dir={out}&partial_fail=1",
+        "db",
+        "parts",
+        doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+        batch_size=100,
+    )
+    docs = {}
+    for p in out.glob("ins-*.jsonl"):
+        for line in open(p):
+            rec = json.loads(line)
+            docs[rec["doc"]["_id"]] = rec["doc"]["name"]
+    assert docs == {i: f"n{i}" for i in range(10)}
+
+
+def test_redis_zset_source_open_upper_bound(fake_redis_on_executors):
+    spark = fake_redis_on_executors
+    df = redis_zset_source(
+        spark, "redis://fake:6379/0", "z", [(None, 2.5), (2.5, None)]
+    )
+    rows = sorted(r["member"] for r in df.collect())
+    assert rows == ["m1", "m2", "m3", "m4"]
 
 
 # ---------------------------------------------------------------------------

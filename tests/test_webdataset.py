@@ -159,6 +159,50 @@ def test_roundtrip_query_matches_sql_oracle_driver_style(spark):
     )
 
 
+def test_webdataset_growth_law_linear_bytes_zero_shuffle(spark, tmp_path):
+    """Measured growth law (the test_scale_rehearsal discipline): a 4×
+    corpus through the tar write→read roundtrip costs 4× shard bytes
+    and 4× samples at ZERO shuffle records on the read at BOTH scales —
+    the pipeline is embarrassingly parallel end to end (write: each
+    partition streams its own tars; read: binaryFile scan + one Arrow
+    untar stage, no exchange). Shard count follows the writer's
+    partitioning, 4× as well — the parallelism knob a 100 TB export
+    turns. Fails if bytes/samples leave [3.5, 4.5]× or any read ever
+    shuffles."""
+    from hazelcast_jet_contrib_spark.operators.webdataset import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    measured = {}
+    for scale, parts in ((1, 4), (4, 16)):
+        out = str(tmp_path / f"wds_{scale}x")
+        docs = spark.range(1500 * scale).selectExpr(
+            "id AS doc_id",
+            "encode(concat('payload ', repeat('x', 80), id), 'utf-8') AS body",
+        )
+        manifest = write_webdataset_shards(
+            docs.repartition(parts), out, "doc_id", {"body": "bin"}
+        ).collect()
+        back = read_webdataset(spark, out)
+        rows = back.collect()
+        measured[scale] = {
+            "shards": len(manifest),
+            "samples": sum(m["n_samples"] for m in manifest),
+            "bytes": sum(m["n_bytes"] for m in manifest),
+            "read_rows": len(rows),
+            "read_shuffle": executed_shuffle_stats(back)["shuffle_records"],
+        }
+        assert measured[scale]["read_rows"] == 1500 * scale
+        assert measured[scale]["read_shuffle"] == 0
+        assert measured[scale]["shards"] == parts
+    ratio_bytes = measured[4]["bytes"] / measured[1]["bytes"]
+    ratio_samples = measured[4]["samples"] / measured[1]["samples"]
+    assert 3.5 <= ratio_bytes <= 4.5, measured
+    assert ratio_samples == 4.0, measured
+
+
 def test_registered_query_is_lazy_untar_scan(spark):
     """VERDICT r10 What's-wrong #1: the registered query must return
     the LAZY binaryFile + untar mapInPandas plan, not a collected
