@@ -901,6 +901,26 @@ def band_probe_pairs_64(
 # ---------------------------------------------------------------------------
 
 
+def index_rows(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+) -> DataFrame:
+    """The index's row relation — (id, band, bh, hs), one row per
+    (document, band) — shared by `build_minhash_index` (full build) and
+    `append_to_minhash_index` (delta). Exposed so the scale rehearsal
+    can run the exact build computation through the executed-plan
+    shuffle accumulators: its cost law (one signature-aggregation
+    shuffle + one band repartition, records linear in corpus) IS the
+    index build's cost law."""
+    sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
+    sig = minhash_signatures(sh, num_hashes)
+    return band_keys(sig, num_hashes, bands).join(sig.select("id", "hs"), "id")
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,
@@ -926,11 +946,7 @@ def build_minhash_index(
 
     Index parameters persist in a `_`-prefixed sidecar so probes can
     never be computed with a mismatched family."""
-    sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
-    sig = minhash_signatures(sh, num_hashes)
-    banded = band_keys(sig, num_hashes, bands).join(
-        sig.select("id", "hs"), "id"
-    )
+    banded = index_rows(corpus, id_col, text_col, num_hashes, bands, shingle_words)
     (
         banded.repartition("band")
         .sortWithinPartitions("bh")
@@ -1060,10 +1076,13 @@ def append_to_minhash_index(
 
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
-    sh = _shingle_sets(corpus, id_col, text_col, params["shingle_words"])
-    sig = minhash_signatures(sh, params["num_hashes"])
-    banded = band_keys(sig, params["num_hashes"], params["bands"]).join(
-        sig.select("id", "hs"), "id"
+    banded = index_rows(
+        corpus,
+        id_col,
+        text_col,
+        params["num_hashes"],
+        params["bands"],
+        params["shingle_words"],
     )
     (
         banded.repartition("band")
