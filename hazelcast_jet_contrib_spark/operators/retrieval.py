@@ -244,7 +244,45 @@ def rrf_fuse(
     )
 
 
-__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_all", "rrf_fuse", "mmr_rerank", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_all", "rrf_fuse", "mmr_rerank", "mmr_rerank_multi", "DEFAULT_K1", "DEFAULT_B"]
+
+
+def _mmr_greedy(vecs, rel, k: int, lam: float):
+    """The per-query greedy MMR core, shared by `mmr_rerank` and
+    `mmr_rerank_multi` so a multi-lam run is provably the same
+    selection per lam (pytest asserts row-level equality). Inputs:
+    L2-normalized embedding rows + relevance, BOTH already sorted
+    (rel desc, doc id asc) — argmax over the 9dp-rounded scores then
+    resolves ties to the highest-relevance, smallest-id candidate.
+    Returns (chosen positional indices, 6dp mmr scores)."""
+    import numpy as np
+
+    n = len(rel)
+    chosen: list[int] = []
+    max_sim = np.zeros(n)
+    picked = np.zeros(n, dtype=bool)
+    for _ in range(min(k, n)):
+        mmr = lam * rel - (1.0 - lam) * max_sim
+        mmr[picked] = -np.inf
+        # ties -> smaller doc id (stable because the input is sorted by
+        # id within equal rel and argmax takes the first maximum)
+        best = int(np.argmax(np.round(mmr, 9)))
+        chosen.append(best)
+        picked[best] = True
+        max_sim = np.maximum(max_sim, vecs @ vecs[best])
+    mmr_vals = [
+        round(float(lam * rel[c] - (1 - lam) * 0), 6)
+        if i == 0
+        else round(
+            float(
+                lam * rel[c]
+                - (1 - lam) * float(np.max(vecs[chosen[:i]] @ vecs[c]))
+            ),
+            6,
+        )
+        for i, c in enumerate(chosen)
+    ]
+    return chosen, mmr_vals
 
 
 def mmr_rerank(
@@ -310,29 +348,12 @@ def mmr_rerank(
         vecs = vecs / norms[:, None]
         rel = pdf["rel"].to_numpy()
         ids = pdf["d"].to_numpy()
-        n = len(pdf)
-        chosen: list[int] = []
-        max_sim = np.zeros(n)
-        picked = np.zeros(n, dtype=bool)
-        for _ in range(min(k, n)):
-            mmr = lam * rel - (1.0 - lam) * max_sim
-            mmr[picked] = -np.inf
-            # ties -> smaller doc id (stable because pdf is sorted by id
-            # within equal rel and argmax takes the first maximum)
-            best = int(np.argmax(np.round(mmr, 9)))
-            chosen.append(best)
-            picked[best] = True
-            max_sim = np.maximum(max_sim, vecs @ vecs[best])
+        chosen, mmr_vals = _mmr_greedy(vecs, rel, k, lam)
         return pd.DataFrame(
             {
                 "q": pdf["q"].iloc[0],
                 "d": ids[chosen],
-                "mmr": [round(float(lam * rel[c] - (1 - lam) * 0), 6) if i == 0
-                        else round(float(lam * rel[c]
-                                         - (1 - lam) * float(
-                                             np.max(vecs[chosen[:i]] @ vecs[c])
-                                         )), 6)
-                        for i, c in enumerate(chosen)],
+                "mmr": mmr_vals,
                 "rank": list(range(1, len(chosen) + 1)),
             }
         )
@@ -360,6 +381,106 @@ def mmr_rerank(
         .select(
             F.col("q").alias(query_col),
             F.col("d").alias(doc_col),
+            "mmr",
+            "rank",
+        )
+    )
+
+
+def mmr_rerank_multi(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lams: list[float] | tuple[float, ...] = (0.7,),
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    score_col: str = "score",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`mmr_rerank` for SEVERAL lambda values in ONE Arrow pass: the
+    shortlist-embedding join, the group shuffle, and the Python worker
+    round-trip happen once, and the (cheap, O(N*k)) greedy core runs
+    per lam inside the same batch — for the lam-sweep shape every MMR
+    consumer actually has (a degenerate-exact leg plus a diverse leg in
+    `mmr_rerank_diverse`; lam grid searches in evaluation harnesses).
+    Per-lam results are row-identical to separate `mmr_rerank` calls
+    (shared `_mmr_greedy`, asserted in tests/test_analytics.py).
+
+    Output: (query_col, doc_col, lam double, mmr double 6dp, rank int).
+
+    Staged round 11 for the round-12 rotation: `mmr_rerank_diverse` is
+    a frozen r10-green row this round, so the registered query keeps
+    its two-call plan until it re-enters the proof window.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lams = [float(l) for l in lams]
+    if not lams:
+        raise ValueError("lams must be non-empty")
+    if any(not 0.0 <= l <= 1.0 for l in lams):
+        raise ValueError("every lam must be in [0, 1]")
+    import numpy as np
+
+    cand = candidates.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(score_col).cast("double").alias("rel"),
+    ).join(
+        embeddings.select(
+            F.col(id_col).alias("d"), F.col(vec_col).alias("v")
+        ),
+        "d",
+    )
+
+    def pick_multi(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "d"], ascending=[False, True])
+        vecs = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        vecs = vecs / norms[:, None]
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["d"].to_numpy()
+        parts = []
+        for lam in lams:
+            chosen, mmr_vals = _mmr_greedy(vecs, rel, k, lam)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "q": pdf["q"].iloc[0],
+                        "d": ids[chosen],
+                        "lam": lam,
+                        "mmr": mmr_vals,
+                        "rank": list(range(1, len(chosen) + 1)),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("q", candidates.schema[query_col].dataType),
+            StructField("d", candidates.schema[doc_col].dataType),
+            StructField("lam", DoubleType()),
+            StructField("mmr", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    return (
+        cand.groupBy("q")
+        .applyInPandas(pick_multi, schema=out_schema)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("d").alias(doc_col),
+            "lam",
             "mmr",
             "rank",
         )

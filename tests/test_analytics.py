@@ -498,6 +498,60 @@ def test_mmr_validation(spark):
         mmr_rerank(cand, emb, lam=1.5)
 
 
+def test_mmr_multi_rowlevel_equal_to_separate_calls(spark):
+    """mmr_rerank_multi(lams=[a, b]) must emit, per lam, EXACTLY the
+    rows (ids, 6dp scores, ranks) of mmr_rerank(lam=...) — the
+    one-Arrow-pass fusion can never change a selection (shared
+    _mmr_greedy core; random multi-query shortlist)."""
+    import numpy as np
+
+    from hazelcast_jet_contrib_spark.operators.retrieval import (
+        mmr_rerank,
+        mmr_rerank_multi,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(25, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = [
+        (q, d, round(float(rng.uniform(0, 1)), 6))
+        for q in (0, 1, 2)
+        for d in range(25)
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, score double"
+    )
+    lams, k = [1.0, 0.7, 0.3], 5
+    fused = {
+        (r["lam"], r["query_id"], r["rank"]): (r["neighbor_id"], r["mmr"])
+        for r in mmr_rerank_multi(cand, emb, k=k, lams=lams).collect()
+    }
+    assert len(fused) == len(lams) * 3 * k
+    for lam in lams:
+        single = {
+            (lam, r["query_id"], r["rank"]): (r["neighbor_id"], r["mmr"])
+            for r in mmr_rerank(cand, emb, k=k, lam=lam).collect()
+        }
+        assert {kk: v for kk, v in fused.items() if kk[0] == lam} == single
+
+
+def test_mmr_multi_validation(spark):
+    import pytest as _pytest
+
+    from hazelcast_jet_contrib_spark.operators.retrieval import mmr_rerank_multi
+
+    cand, emb = _mmr_fixture(spark)
+    with _pytest.raises(ValueError):
+        mmr_rerank_multi(cand, emb, lams=[])
+    with _pytest.raises(ValueError):
+        mmr_rerank_multi(cand, emb, lams=[0.5, 1.2])
+    with _pytest.raises(ValueError):
+        mmr_rerank_multi(cand, emb, k=0, lams=[0.5])
+
+
 # ---------------------------------------------------------------------------
 # Cohort retention
 # ---------------------------------------------------------------------------
