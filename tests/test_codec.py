@@ -222,3 +222,78 @@ def test_typed_rejects_retyping_a_keep_output(spark):
         once.drop("_corrupt_value"), on_malformed="drop"
     )
     assert kept.collect()[0]["b"] == 2
+
+# ---------------------------------------------------------------------------
+# property: encode -> typed() decode is lossless for ANY conforming record
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_psettings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a value strategy per palette type; names f0..fN so transport-column
+# collisions can't occur
+_PALETTE = {
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "string": st.text(max_size=20),
+    "boolean": st.booleans(),
+    "array<long>": st.lists(st.integers(-(2**31), 2**31 - 1), max_size=4),
+    "struct<a:long,b:string>": st.fixed_dictionaries(
+        {"a": st.integers(-1000, 1000), "b": st.text(max_size=8)}
+    ),
+}
+
+
+@st.composite
+def _schema_and_records(draw):
+    types = draw(
+        st.lists(st.sampled_from(sorted(_PALETTE)), min_size=1, max_size=4)
+    )
+    ddl = ", ".join(f"f{i} {t}" for i, t in enumerate(types))
+    n = draw(st.integers(1, 3))
+    records = []
+    for _ in range(n):
+        rec = {}
+        for i, t in enumerate(types):
+            if draw(st.booleans()):  # every field is nullable in DDL strings
+                rec[f"f{i}"] = draw(_PALETTE[t])
+        records.append(rec)
+    return ddl, types, records
+
+
+@given(_schema_and_records())
+@_psettings
+def test_codec_roundtrip_lossless_for_any_conforming_record(spark, case):
+    """For ANY schema drawn from the palette and ANY conforming records
+    (random field subsets null): encode() -> typed() decode returns
+    every value exactly — longs/bools/strings/arrays/structs equal,
+    doubles bit-equal (json.dumps repr is shortest-roundtrip and
+    Jackson parses to nearest) — and nothing lands in
+    _corrupt_value."""
+    ddl, types, records = case
+    codec = StructCodec(ddl)
+    values = [(i, codec.encode(r)) for i, r in enumerate(records)]
+    df = spark.createDataFrame(values, "seq long, value string")
+    out = {r["seq"]: r for r in codec.typed(df).collect()}
+    assert len(out) == len(records)
+    for i, rec in enumerate(records):
+        row = out[i]
+        assert row["_corrupt_value"] is None, row
+        for j, t in enumerate(types):
+            name = f"f{j}"
+            expected = rec.get(name)
+            got = row[name]
+            if expected is None:
+                assert got is None, (name, t, got)
+            elif t == "struct<a:long,b:string>":
+                assert got["a"] == expected["a"] and got["b"] == expected["b"]
+            elif t == "array<long>":
+                assert list(got) == expected
+            else:
+                assert got == expected, (name, t, expected, got)
