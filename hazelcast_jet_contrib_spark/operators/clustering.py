@@ -89,7 +89,20 @@ def kmeans_lloyd(
     iters: int = 2,
 ) -> DataFrame:
     """Final assignment (id, cidx, dist) after `iters` Lloyd rounds from
-    the deterministic k-lowest-id initialization."""
+    the deterministic k-lowest-id initialization.
+
+    Lineage is CUT each round by ``localCheckpoint``ing the recomputed
+    centroid relation (k rows — kilobytes however large the corpus is),
+    the connected_components/pagerank pattern (dedup.py, graph.py):
+    without the cut, round N's centroids reference round N-1's
+    assignment which references round N-2's centroids, so the logical
+    plan compounds per Lloyd round — harmless at iters=2 but
+    superlinear planning cost at real iteration counts (20-50). With
+    the cut, every round's plan is points x checkpointed-centroids:
+    O(1) size per round, asserted by tests/test_dedup_similarity.py::
+    test_kmeans_plan_size_is_iteration_invariant. Checkpointing the
+    k-row side (not the assignment) keeps the materialization cost
+    negligible while still severing the recurrence."""
     points = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -103,7 +116,7 @@ def kmeans_lloyd(
     )
     assign = kmeans_assign(points, centroids)
     for _ in range(iters - 1):
-        centroids = kmeans_recompute(points, assign)
+        centroids = kmeans_recompute(points, assign).localCheckpoint(eager=True)
         assign = kmeans_assign(points, centroids)
     return assign
 

@@ -103,3 +103,49 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# salted join: the 100 TB skew lever (operators/skew.py, SCALE.md) as a
+# hash-green driver row. The Spark side routes lineitem through
+# `salted_join` — each left row's key is split into one of `salt`
+# sub-keys and the right side replicated `salt` times, so a
+# pathologically hot orderkey would spread over `salt` tasks instead of
+# one. The oracle is the PLAIN join + aggregate: salting only re-routes
+# rows, never changes membership, so value identity of the aggregate IS
+# the semantics-preservation proof (the same claim
+# tests/test_skew_rehearsal.py measures for task-spread). Reference
+# scope: Jet relies on per-member partition assignment
+# (RedisSources.java:693-756); at 100 TB an engine needs an explicit
+# lever for keys AQE cannot split (aggregation-keyed skew,
+# broadcast-ineligible sides).
+# --------------------------------------------------------------------------
+@query(
+    "salted_join_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_contrib_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    ords = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, ords, "orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )

@@ -192,11 +192,15 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
        cross-engine float cosine ties are why THAT leg is a gate, not
        a hash).
 
-    Scale: per-query greedy over a bounded shortlist via one Arrow
-    batch per query group (operators/retrieval.py mmr_rerank)."""
+    Scale: per-query greedy over a bounded shortlist via ONE Arrow
+    batch per query group for BOTH lam values (operators/retrieval.py
+    mmr_rerank_multi — flipped round 12 from two separate mmr_rerank
+    calls, halving the shortlist-embedding join + Python round-trip;
+    per-lam rows proven identical to separate calls in
+    tests/test_analytics.py)."""
     from hazelcast_jet_contrib_spark.operators.retrieval import (
         bm25_topk_multi,
-        mmr_rerank,
+        mmr_rerank_multi,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -214,8 +218,9 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["query_id"], r["neighbor_id"], r["score"]) for r in cand_rows],
         "query_id long, neighbor_id long, score double",
     )
-    exact = mmr_rerank(cand, emb, k=5, lam=1.0).collect()
-    diverse = mmr_rerank(cand, emb, k=5, lam=0.7).collect()
+    both = mmr_rerank_multi(cand, emb, k=5, lams=[1.0, 0.7]).collect()
+    exact = [r for r in both if r["lam"] == 1.0]
+    diverse = [r for r in both if r["lam"] == 0.7]
     shortlist: dict[int, set[int]] = {}
     for r in cand_rows:
         shortlist.setdefault(r["query_id"], set()).add(r["neighbor_id"])

@@ -202,26 +202,81 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 11
+_ROTATION_ROUND = 12
 _PRIORITY = [
-    # --- round-11 rotation (window = exactly 50; plan in
-    # ROUND11_PLAN.md, written BEFORE the build). CORRECTNESS_r10
-    # proved the round-10 priority set 50/50 hash-green; the 48
-    # r09-green demoted queries age past the 2-round contract unless
-    # re-proven now. Demand: 48 aging + 1 new + 1 changed = exactly
-    # 50 — no retirements needed. Registry 98 → 99 (headroom 1).
-    # 1) the new registration and the one r10-green query whose
-    #    physical plan changed this round (re-proof rule c):
-    "webdataset_roundtrip",  # NEW: lazy tar write→untar-read roundtrip
-    "neardup_keep_best",  # plan changed: CC loop localCheckpoint cuts
-    # 2) the 48 queries last driver-green in r09, untouched since.
-    #    neardup_clusters shares the CC plan change but is in this
-    #    aging set anyway. Semantics-neutral exemptions claimed for
-    #    round 11 (rule c, rationale in ROUND11_PLAN.md): the
-    #    embedding_near_dup_pairs exact_baseline guard (error-path
-    #    only, no registry caller) and the HTTP push-sink batch bound
-    #    (streaming-only, not on any registry plan). Order preserved
-    #    from the round-10 demotion list.
+    # --- round-12 rotation (window = exactly 50; plan in
+    # ROUND12_PLAN.md, written BEFORE the build). CORRECTNESS_r11
+    # proved the round-11 priority set 50/50 hash-green; the 49
+    # r10-green demoted queries age past the 2-round contract unless
+    # re-proven now. Demand: 49 aging + 1 new = exactly 50 — no
+    # retirements needed. Registry 99 → 100 (hard cap reached).
+    # 1) the new registration, then the two aging queries whose
+    #    implementation/plan changes this round (re-proof rule c,
+    #    satisfied by window membership since both were aging anyway):
+    "salted_join_priority_revenue",  # NEW: skew-lever row, plain-join oracle
+    "mmr_rerank_diverse",  # impl flip: two mmr_rerank calls -> one mmr_rerank_multi pass
+    "kmeans_cluster_profile",  # plan changed: kmeans_lloyd localCheckpoint cuts
+    # 2) the remaining 46 queries last driver-green in r10, untouched
+    #    since, order preserved from the round-11 demotion list.
+    #    Semantics-neutral exemptions claimed for round 12 (rule c,
+    #    rationale in ROUND12_PLAN.md): the ADVICE-r11 fixes are all
+    #    off the registry plans (real_clients adapter code, codec
+    #    error-path validation, webdataset scratch-reap path).
+    "minhash_index_lifecycle",
+    "video_near_dup_frames",
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r11, implementation and oracle untouched
+    # since (the full round-11 priority window). 50 entries -> next
+    # round's window holds them all exactly (zero spare slots; see
+    # ROUND12_PLAN.md round-13 pre-analysis).
+    "webdataset_roundtrip",
+    "neardup_keep_best",
     "pagerank_event_graph",
     "bpe_encode_pinned",
     "minhash_index_probe",
@@ -270,61 +325,6 @@ _PRIORITY = [
     "repetition_dup_ngrams",
     "snapshot_diff_statuses",
     "json_props_extraction",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r10, implementation and oracle untouched
-    # since (the r10 window's 50 minus neardup_keep_best, which
-    # re-proves above). 49 entries -> next round's window holds them
-    # all with 1 slot spare.
-    "mmr_rerank_diverse",
-    "minhash_index_lifecycle",
-    "video_near_dup_frames",
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "kmeans_cluster_profile",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
 ]
 
 
