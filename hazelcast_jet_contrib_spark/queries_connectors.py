@@ -813,36 +813,71 @@ FROM documents
 """
 
 _WDS_SCRATCH: list[str] = []
+_WDS_REAPED: list[str] = []
 _WDS_SCRATCH_LOCK = __import__("threading").Lock()
 # how many invocations' shard dirs stay readable at once: the newest
-# TWO, so "build plan A; build plan B; execute A" (EXPLAIN sweeps,
-# plan-hash harnesses) still works — only on the THIRD invocation does
-# A's scratch go away. Bounded so repeated bench/driver runs in one
-# process can't accumulate corpus copies on disk.
+# TWO by default, so "build plan A; build plan B; execute A" (EXPLAIN
+# sweeps, plan-hash harnesses) still works — only on the THIRD
+# invocation does A's scratch go away. Bounded so repeated bench/driver
+# runs in one process can't accumulate corpus copies on disk. Callers
+# that hold MORE live result DataFrames raise the bound via the
+# SPARK_GRAFT_WDS_SCRATCH_KEEP env var (ADVICE r11 #4).
 _WDS_SCRATCH_KEEP = 2
+_WDS_TOMBSTONE = "_SCRATCH_REAPED.txt"
+
+
+def _wds_keep() -> int:
+    import os
+
+    return max(1, int(os.environ.get("SPARK_GRAFT_WDS_SCRATCH_KEEP",
+                                     str(_WDS_SCRATCH_KEEP))))
 
 
 def _wds_scratch_dir() -> str:
     """A fresh shard scratch dir whose lifetime matches the LAZY result
-    DataFrame's: the newest _WDS_SCRATCH_KEEP invocations' dirs stay on
-    disk (their plans may not have executed yet), older ones are reaped
-    here, the survivors at interpreter exit. Thread-safe."""
+    DataFrame's: the newest keep-N invocations' dirs stay on disk
+    (their plans may not have executed yet), older ones are reaped
+    here, the survivors at interpreter exit. Thread-safe.
+
+    Reaping deletes the SHARDS but leaves the directory behind with a
+    tombstone file (_SCRATCH_REAPED.txt) naming the lifetime policy —
+    so when a caller executes a stale plan and Spark reports the shard
+    file missing, the directory itself explains why instead of having
+    vanished (ADVICE r11 #4). Tombstone dirs are removed at exit."""
     import atexit
     import shutil
     import tempfile
 
     path = tempfile.mkdtemp(prefix="wds_roundtrip_q_")
+    keep = _wds_keep()
     with _WDS_SCRATCH_LOCK:
         _WDS_SCRATCH.append(path)
-        doomed = _WDS_SCRATCH[:-_WDS_SCRATCH_KEEP]
-        del _WDS_SCRATCH[:-_WDS_SCRATCH_KEEP]
+        doomed = _WDS_SCRATCH[:-keep]
+        del _WDS_SCRATCH[:-keep]
+        _WDS_REAPED.extend(doomed)
         if not getattr(_wds_scratch_dir, "_atexit_armed", False):
             atexit.register(
-                lambda: [shutil.rmtree(p, ignore_errors=True) for p in _WDS_SCRATCH]
+                lambda: [
+                    shutil.rmtree(p, ignore_errors=True)
+                    for p in _WDS_SCRATCH + _WDS_REAPED
+                ]
             )
             _wds_scratch_dir._atexit_armed = True
+    import os
+
     for old in doomed:
         shutil.rmtree(old, ignore_errors=True)
+        try:
+            os.makedirs(old, exist_ok=True)
+            with open(os.path.join(old, _WDS_TOMBSTONE), "w") as f:
+                f.write(
+                    "webdataset_roundtrip scratch shards reaped: only the "
+                    f"newest {keep} invocations' result DataFrames stay "
+                    "executable per process (set SPARK_GRAFT_WDS_SCRATCH_KEEP "
+                    "to hold more live results).\n"
+                )
+        except OSError:
+            pass  # tombstone is best-effort; the reap itself succeeded
     return path
 
 

@@ -343,6 +343,7 @@ def mongo_sink(
     def flush(ctx: dict) -> None:
         if not ctx["buf"]:
             return
+        n_docs = len(ctx["buf"])
         try:
             ctx["client"][database][collection].insert_many(
                 list(ctx["buf"]),
@@ -364,6 +365,21 @@ def mongo_sink(
             werrs = (details or {}).get("writeErrors") if isinstance(details, dict) else None
             if not werrs or any(e.get("code") != 11000 for e in werrs):
                 raise
+            if ordered:
+                # An ORDERED insert_many stops at the FIRST error, so an
+                # all-duplicate-key writeErrors list only proves the
+                # colliding documents up to the stop point exist — the
+                # tail of the batch was never attempted (ADVICE r11 #1).
+                # Success requires every document accounted for:
+                # inserted this attempt + collided == the whole batch.
+                # Anything else re-raises; note that a replayed ordered
+                # batch with deterministic _ids re-collides at its first
+                # document on every retry, so ordered + replay is an
+                # unsatisfiable combination by construction — prefer
+                # ordered=False (the default) for at-least-once sinks.
+                n_ins = details.get("nInserted")
+                if n_ins is None or n_ins + len(werrs) != n_docs:
+                    raise
         ctx["buf"] = []
 
     def destroy(ctx: dict) -> None:
@@ -371,6 +387,336 @@ def mongo_sink(
 
     (
         SinkBuilder("mongo-sink")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .destroy_fn(destroy)
+        .batch_size(batch_size)
+        .retry(retry if retry is not None else RetryStrategy.constant(3, 0.05))
+        .write(df)
+    )
+
+
+# ---------------------------------------------------------------------------
+# InfluxDB (influxdb-client): chunked Flux query source + batched point
+# sink (InfluxDbSources.java:79-136,229-315 / InfluxDbSinks.java:44-64
+# live bindings)
+# ---------------------------------------------------------------------------
+
+
+def influx_flux_records(client: Any, flux: str):
+    """The query itself, factored out for stub tests:
+    ``query_api().query_stream(flux)`` — the CHUNKED read path (records
+    parse incrementally off the HTTP stream, the analog of the
+    reference's chunkSize-bounded series iteration,
+    InfluxDbSources.java:229-315). Yields FluxRecord-shaped objects."""
+    yield from client.query_api().query_stream(flux)
+
+
+def influx_long_record_fn(tag_key: str) -> Callable[[Any], dict]:
+    """Map a FluxRecord to the engine's long measurement layout —
+    ``(measurement, tag, time, field, val)``, the same schema
+    ``sources.timeseries.measurement_source`` emits — so a caller can
+    swap the in-process boundary for the live one without touching a
+    downstream plan. The typed/POJO path (InfluxDbSources.java:167-221)
+    is any other ``record_fn`` returning dicts matching the caller's
+    explicit StructType."""
+
+    def rec_fn(r: Any) -> dict:
+        t = r.get_time()
+        if getattr(t, "tzinfo", None) is not None:
+            t = t.replace(tzinfo=None)  # stores are UTC; Spark wants naive
+        return {
+            "measurement": r.get_measurement(),
+            "tag": str(r.values.get(tag_key)),
+            "time": t,
+            "field": r.get_field(),
+            "val": float(r.get_value()),
+        }
+
+    return rec_fn
+
+
+def influx_source(
+    spark: SparkSession,
+    url: str,
+    token: str,
+    org: str,
+    partition_fluxes: list[str],
+    schema: str,
+    record_fn: Callable[[Any], dict],
+) -> DataFrame:
+    """Partitioned Flux read through influxdb-client
+    (InfluxDbSources.java:79-136 connection→query→map→destroy live
+    binding): each partition descriptor is a complete Flux query —
+    typically the same query template sharded by time range — so the
+    range/measurement/field predicates run SERVER-SIDE, exactly like
+    the reference embedding ``WHERE time > ...`` in the query text
+    (InfluxDbSources.java:57). One task per flux string; each opens its
+    own client and streams records chunked (never a full-result
+    collect). The explicit ``schema`` keeps Catalyst able to prune
+    above the source; ``record_fn`` is the measurement projection
+    (MeasurementProjection.java:38) or typed mapping
+    (InfluxDbSources.java:167-221)."""
+
+    def conn():
+        ic = _require("influxdb_client", "influxdb-client")
+        return ic.InfluxDBClient(url=url, token=token, org=org)
+
+    def search(client, part, flt, prj):
+        for r in influx_flux_records(client, part):
+            yield record_fn(r)
+
+    return (
+        BatchSourceBuilder("influx-flux")
+        .connection_fn(conn)
+        .search_fn(search)
+        .destroy_fn(lambda client: client.close())
+        .schema(schema)
+        .partitions(list(partition_fluxes))
+        .build(spark)
+    )
+
+
+def _influx_sync_write_api(ic_mod: Any, client: Any):
+    """A write_api whose ``write`` RAISES on failure in the calling
+    thread: the real library's default is background-batching (errors
+    surface in a callback, invisible to the sink's retry strategy), so
+    the adapter always requests synchronous writes — the reference
+    rethrows batch errors for the same reason (InfluxDbSinks.java:55-60).
+    Falls back to a top-level SYNCHRONOUS attr for single-file injected
+    stubs that have no ``influxdb_client.client.write_api`` subpackage."""
+    try:
+        from influxdb_client.client.write_api import SYNCHRONOUS
+    except ImportError:
+        SYNCHRONOUS = getattr(ic_mod, "SYNCHRONOUS", None)
+    if SYNCHRONOUS is None:
+        return client.write_api()
+    return client.write_api(write_options=SYNCHRONOUS)
+
+
+def influx_sink(
+    df: DataFrame,
+    url: str,
+    token: str,
+    org: str,
+    bucket: str,
+    measurement: str,
+    time_col: str,
+    tag_cols: list[str],
+    field_cols: list[str],
+    precision: str = "ms",
+    batch_size: int = 1024,
+    retry: RetryStrategy | None = None,
+) -> None:
+    """Batched point writer through influxdb-client
+    (InfluxDbSinks.java:44-64 live binding): each row becomes a
+    ``Point(measurement).tag(...).field(...).time(epoch, precision)``
+    — the same row→Point mapping as the in-process
+    ``sinks.connectors.point_sink`` — buffered per partition writer and
+    flushed as one synchronous ``write_api.write`` call under the retry
+    strategy. Replays are SAFE here, unlike insert-only stores: Influx
+    upserts on (measurement, tagset, timestamp), so a retried batch
+    overwrites identical points instead of duplicating — idempotent
+    at-least-once by the store's own semantics."""
+    from hazelcast_jet_contrib_spark.sinks.connectors import _PRECISION_NS
+
+    if precision not in _PRECISION_NS:
+        raise ValueError(f"precision must be one of {sorted(_PRECISION_NS)}")
+    div = _PRECISION_NS[precision]
+
+    def create(writer_id: str) -> dict:
+        ic = _require("influxdb_client", "influxdb-client")
+        client = ic.InfluxDBClient(url=url, token=token, org=org)
+        return {
+            "ic": ic,
+            "client": client,
+            "wapi": _influx_sync_write_api(ic, client),
+            "buf": [],
+        }
+
+    def receive(ctx: dict, row) -> None:
+        ctx["buf"].append(row)
+
+    def flush(ctx: dict) -> None:
+        if not ctx["buf"]:
+            return
+        ic = ctx["ic"]
+        prec = getattr(ic.WritePrecision, precision.upper())
+        points = []
+        for row in ctx["buf"]:
+            ts = row[time_col]
+            epoch_ns = (
+                int(ts.timestamp() * 1_000_000) * 1_000
+                if hasattr(ts, "timestamp")
+                else int(ts) * _PRECISION_NS["s"]
+            )
+            p = ic.Point(measurement)
+            for t in tag_cols:
+                p = p.tag(t, str(row[t]))
+            for fc in field_cols:
+                p = p.field(fc, float(row[fc]))
+            points.append(p.time(epoch_ns // div, prec))
+        ctx["wapi"].write(bucket=bucket, org=org, record=points)
+        ctx["buf"] = []
+
+    def destroy(ctx: dict) -> None:
+        ctx["client"].close()
+
+    (
+        SinkBuilder("influx-sink")
+        .create_fn(create)
+        .receive_fn(receive)
+        .flush_fn(flush)
+        .destroy_fn(destroy)
+        .batch_size(batch_size)
+        .retry(retry if retry is not None else RetryStrategy.constant(3, 0.05))
+        .write(df)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pulsar (pulsar-client): replayable reader source + producer sink with
+# key/props/eventTime extractors (PulsarReaderBuilder.java:156-199 /
+# PulsarSinkBuilder.java:100-131 live bindings)
+# ---------------------------------------------------------------------------
+
+
+def pulsar_read_fn(
+    pulsar_mod: Any,
+    client: Any,
+    topic: str,
+    start_after: bytes | None = None,
+    timeout_ms: int = 5000,
+):
+    """The reader loop, factored out for stub tests: a non-subscription
+    READER from a replayable MessageId — ``start_after`` is the
+    serialized id of the last PROCESSED message (resume is exclusive,
+    the MessageLogStreamReader offset contract; None = earliest), and
+    the loop drains until ``has_message_available()`` goes false — the
+    reference's batch-bounded readNextAsync drain
+    (PulsarReaderBuilder.java:156-199). Yields transport dicts whose
+    ``message_id`` is ``MessageId.serialize()`` bytes — store it in the
+    checkpoint and pass it back as the next call's ``start_after`` for
+    exactly-once resume."""
+    start = (
+        pulsar_mod.MessageId.deserialize(start_after)
+        if start_after is not None
+        else pulsar_mod.MessageId.earliest
+    )
+    reader = client.create_reader(topic, start_message_id=start)
+    try:
+        while reader.has_message_available():
+            msg = reader.read_next(timeout_millis=timeout_ms)
+            yield {
+                "topic": topic,
+                "key": msg.partition_key() or None,
+                "value": bytes(msg.data()),
+                "properties": {str(k): str(v) for k, v in (msg.properties() or {}).items()},
+                "event_time": int(msg.event_timestamp() or 0),
+                "message_id": bytes(msg.message_id().serialize()),
+            }
+    finally:
+        reader.close()
+
+
+def pulsar_reader_source(
+    spark: SparkSession,
+    service_url: str,
+    topics: list[str],
+    start_after: dict[str, bytes] | None = None,
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """Replayable batch read through pulsar-client
+    (PulsarSources.java:84-92 / PulsarReaderBuilder.java:48-216 live
+    binding): one task per topic (pass the ``-partition-N`` names of a
+    partitioned topic for one task per broker partition); each opens
+    its own client+reader and drains from its ``start_after`` offset.
+    Values stay ``binary`` — decode with
+    :class:`~.streaming.codec.StructCodec` (the ``Schema<M>`` typed
+    path) above the source, where Catalyst can prune it."""
+    offsets = dict(start_after or {})
+
+    def conn():
+        pulsar = _require("pulsar", "pulsar-client")
+        return (pulsar, pulsar.Client(service_url))
+
+    def search(conn_pair, part, flt, prj):
+        pulsar, client = conn_pair
+        return pulsar_read_fn(
+            pulsar, client, part, offsets.get(part), timeout_ms=timeout_ms
+        )
+
+    return (
+        BatchSourceBuilder("pulsar-reader")
+        .connection_fn(conn)
+        .search_fn(search)
+        .destroy_fn(lambda conn_pair: conn_pair[1].close())
+        .schema(
+            "topic string, key string, value binary, "
+            "properties map<string,string>, event_time long, message_id binary"
+        )
+        .partitions(list(topics))
+        .build(spark)
+    )
+
+
+def pulsar_producer_sink(
+    df: DataFrame,
+    service_url: str,
+    topic: str,
+    value_fn: Callable[[Any], bytes],
+    key_fn: Callable[[Any], str | None] | None = None,
+    props_fn: Callable[[Any], dict | None] | None = None,
+    event_time_fn: Callable[[Any], int] | None = None,
+    batch_size: int = 512,
+    retry: RetryStrategy | None = None,
+) -> None:
+    """Producer sink through pulsar-client with the reference's three
+    extractors (PulsarSinkBuilder.java:100-131): ``key_fn`` →
+    partition key, ``props_fn`` → message properties, ``event_time_fn``
+    → event timestamp (epoch millis). Rows buffer per partition writer
+    and flush as sequential synchronous sends (each send raises on
+    broker rejection, engaging the retry strategy — at-least-once, the
+    reference's delivery level). One client+producer per writer,
+    created inside the task."""
+
+    def create(writer_id: str) -> dict:
+        pulsar = _require("pulsar", "pulsar-client")
+        client = pulsar.Client(service_url)
+        return {
+            "client": client,
+            "producer": client.create_producer(topic),
+            "buf": [],
+        }
+
+    def receive(ctx: dict, row) -> None:
+        ctx["buf"].append(row)
+
+    def flush(ctx: dict) -> None:
+        if not ctx["buf"]:
+            return
+        for row in ctx["buf"]:
+            kwargs: dict[str, Any] = {}
+            if key_fn is not None:
+                k = key_fn(row)
+                if k is not None:
+                    kwargs["partition_key"] = k
+            if props_fn is not None:
+                p = props_fn(row)
+                if p:
+                    kwargs["properties"] = {str(a): str(b) for a, b in p.items()}
+            if event_time_fn is not None:
+                kwargs["event_timestamp"] = int(event_time_fn(row))
+            ctx["producer"].send(value_fn(row), **kwargs)
+        ctx["buf"] = []
+
+    def destroy(ctx: dict) -> None:
+        ctx["producer"].close()
+        ctx["client"].close()
+
+    (
+        SinkBuilder("pulsar-producer")
         .create_fn(create)
         .receive_fn(receive)
         .flush_fn(flush)
@@ -501,10 +847,21 @@ def paho_publish_fn(
             qos = int((rec.get("properties") or {}).get("qos", 1))
             info = c.publish(topic, rec["value"], qos=qos)
             if qos >= 1:
+                # wait_for_publish(timeout) returns SILENTLY on timeout
+                # and rc only reflects the local enqueue result — an
+                # unacknowledged publish leaves rc==0 (ADVICE r11 #2).
+                # is_published() is the actual broker-ack signal; an
+                # unacked message must raise so the sink retry strategy
+                # engages instead of dropping the delivery guarantee.
                 info.wait_for_publish(timeout=publish_timeout)
                 if info.rc != 0:
                     raise ConnectionError(
                         f"MQTT publish to {topic!r} failed rc={info.rc}"
+                    )
+                if not info.is_published():
+                    raise ConnectionError(
+                        f"MQTT publish to {topic!r} not acknowledged by "
+                        f"the broker within {publish_timeout}s (QoS {qos})"
                     )
 
     def close() -> None:
@@ -520,10 +877,17 @@ def paho_publish_fn(
 __all__ = [
     "MqttTls",
     "hash_search_fn",
+    "influx_flux_records",
+    "influx_long_record_fn",
+    "influx_sink",
+    "influx_source",
     "mongo_search_fn",
     "mongo_sink",
     "mongo_source",
     "paho_publish_fn",
+    "pulsar_producer_sink",
+    "pulsar_read_fn",
+    "pulsar_reader_source",
     "redis_hash_sink",
     "redis_hash_slices",
     "redis_hash_source",

@@ -378,6 +378,7 @@ class _Coll:
         if self._client._partial_fail and _PARTIAL_STATE == [1]:
             # attempt 2 (the retry): the first half collides on _id,
             # the second half inserts — the real pymongo shape
+            # (details carries nInserted exactly like the live driver)
             _PARTIAL_STATE.append(2)
             self._write(docs[len(docs) // 2 :], ordered)
             raise BulkWriteError(
@@ -385,7 +386,29 @@ class _Coll:
                     "writeErrors": [
                         {"code": 11000, "index": i}
                         for i in range(len(docs) // 2)
-                    ]
+                    ],
+                    "nInserted": len(docs) - len(docs) // 2,
+                }
+            )
+        if self._client._ordered_stop:
+            # ordered=True semantics: the server stops at the FIRST
+            # duplicate (index 0 here), reports nInserted=0 and ONE
+            # all-dup writeError — the tail was never attempted
+            raise BulkWriteError(
+                {
+                    "writeErrors": [{"code": 11000, "index": 0}],
+                    "nInserted": 0,
+                }
+            )
+        if self._client._ordered_tail_dup:
+            # ordered=True, replay collides only on the LAST document:
+            # everything before it inserted, so the batch IS fully
+            # accounted for (nInserted + writeErrors == len(docs))
+            self._write(docs[:-1], ordered)
+            raise BulkWriteError(
+                {
+                    "writeErrors": [{"code": 11000, "index": len(docs) - 1}],
+                    "nInserted": len(docs) - 1,
                 }
             )
         self._write(docs, ordered)
@@ -404,6 +427,8 @@ class MongoClient:
         q = urllib.parse.parse_qs(urllib.parse.urlparse(uri).query)
         self._dir = q.get("dir", [""])[0]
         self._partial_fail = q.get("partial_fail", ["0"])[0] == "1"
+        self._ordered_stop = q.get("ordered_stop", ["0"])[0] == "1"
+        self._ordered_tail_dup = q.get("ordered_tail_dup", ["0"])[0] == "1"
 
     def __getitem__(self, db):
         return _DB(self, db)
@@ -498,6 +523,63 @@ def test_mongo_sink_retry_tolerates_duplicate_keys_after_partial_batch(
     assert docs == {i: f"n{i}" for i in range(10)}
 
 
+def test_mongo_sink_ordered_first_doc_dup_is_not_swallowed(
+    fake_pymongo_on_executors, tmp_path
+):
+    """ADVICE r11 #1: an ORDERED insert_many stops at the first error,
+    so an all-duplicate-key BulkWriteError with nInserted=0 proves only
+    doc 0 is present — the other nine were never attempted. Treating it
+    as success would clear the buffer and silently lose them; the flush
+    must re-raise (and with deterministic _ids an ordered replay
+    re-collides forever, so the task correctly fails instead of lying)."""
+    spark = fake_pymongo_on_executors
+    out = tmp_path / "ordered_stop"
+    out.mkdir()
+    from hazelcast_jet_contrib_spark.sinks.builder import RetryStrategy
+
+    df = spark.range(10).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+    with pytest.raises(Exception, match="batch op errors occurred"):
+        mongo_sink(
+            df,
+            f"mongodb://fake:27017/?dir={out}&ordered_stop=1",
+            "db",
+            "parts",
+            doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+            ordered=True,
+            batch_size=100,
+            retry=RetryStrategy.constant(2, 0.01),
+        )
+    # nothing may pretend to have been written
+    assert list(out.glob("ins-*.jsonl")) == []
+
+
+def test_mongo_sink_ordered_fully_accounted_dup_batch_succeeds(
+    fake_pymongo_on_executors, tmp_path
+):
+    """The ordered counterpart that IS safe to swallow: the server
+    inserted every document up to a duplicate LAST one, so
+    nInserted + len(writeErrors) == len(batch) — all docs accounted
+    for, the flush succeeds and the buffer clears."""
+    spark = fake_pymongo_on_executors
+    out = tmp_path / "ordered_tail"
+    out.mkdir()
+    df = spark.range(10).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+    mongo_sink(
+        df,
+        f"mongodb://fake:27017/?dir={out}&ordered_tail_dup=1",
+        "db",
+        "parts",
+        doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+        ordered=True,
+        batch_size=100,
+    )
+    docs = set()
+    for p in out.glob("ins-*.jsonl"):
+        for line in open(p):
+            docs.add(json.loads(line)["doc"]["_id"])
+    assert docs == set(range(9))  # all but the duplicate tail doc
+
+
 def test_redis_zset_source_open_upper_bound(fake_redis_on_executors):
     spark = fake_redis_on_executors
     df = redis_zset_source(
@@ -513,12 +595,18 @@ def test_redis_zset_source_open_upper_bound(fake_redis_on_executors):
 
 
 class _FakeInfo:
-    def __init__(self, rc):
+    def __init__(self, rc, published=True):
         self.rc = rc
         self.waited = False
+        self._published = published and rc == 0
 
     def wait_for_publish(self, timeout=None):
+        # like real paho: returns SILENTLY even when the ack never
+        # arrives within the timeout — is_published() is the signal
         self.waited = True
+
+    def is_published(self):
+        return self._published
 
 
 class _FakePahoClient:
@@ -532,6 +620,7 @@ class _FakePahoClient:
         self.tls_ctx = None
         self.looping = False
         self.fail_next_rc = 0
+        self.fail_ack_next = False
 
     def username_pw_set(self, u, p):
         self.auth = (u, p)
@@ -553,7 +642,8 @@ class _FakePahoClient:
 
     def publish(self, topic, payload, qos=0):
         self.published.append((topic, payload, qos))
-        info = _FakeInfo(self.fail_next_rc)
+        info = _FakeInfo(self.fail_next_rc, published=not self.fail_ack_next)
+        self.fail_ack_next = False
         self.infos.append(info)
         return info
 
@@ -665,6 +755,25 @@ def test_paho_publish_fn_raises_on_failed_ack_for_qos1():
         pub("r", "t", [{"value": "boom", "properties": {"qos": 1}}])
     # QoS 0 ignores rc — the protocol's at-most-once contract
     pub("r", "t", [{"value": "drop", "properties": {"qos": 0}}])
+
+
+def test_paho_publish_fn_raises_on_unacked_publish_despite_rc0():
+    """ADVICE r11 #2: paho's wait_for_publish(timeout) returns silently
+    on timeout and rc only reflects the LOCAL enqueue — a broker that
+    never acks leaves rc==0. The adapter must consult is_published()
+    so the sink retry strategy sees the failure instead of the
+    delivery silently downgrading below QoS 1."""
+    mod = _FakePahoModule()
+    pub = paho_publish_fn("h", mqtt_module=mod, publish_timeout=0.01)
+    pub("r", "t", [{"value": "ok", "properties": {"qos": 1}}])
+    mod.clients[0].fail_ack_next = True
+    with pytest.raises(ConnectionError, match="not acknowledged"):
+        pub("r", "t", [{"value": "lost-ack", "properties": {"qos": 1}}])
+    info = mod.clients[0].infos[-1]
+    assert info.waited and info.rc == 0 and not info.is_published()
+    # QoS 0 never waits for an ack — unaffected by the broker going mute
+    mod.clients[0].fail_ack_next = True
+    pub("r", "t", [{"value": "fire-and-forget", "properties": {"qos": 0}}])
 
 
 def test_paho_publish_fn_arms_tls_context(tmp_path):

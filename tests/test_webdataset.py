@@ -228,5 +228,36 @@ def test_registered_query_is_lazy_untar_scan(spark):
     assert os.path.exists(first_scratch)
     assert df.count() > 0  # older plan still executable inside window
     qc.webdataset_roundtrip(spark, "/root/testdata/sf0.001")
-    assert not os.path.exists(first_scratch)
+    # reaped: the shards are gone but a tombstone names the lifetime
+    # policy (ADVICE r11 #4) so the eventual failure is explicable
+    assert os.listdir(first_scratch) == [qc._WDS_TOMBSTONE]
+    tomb = open(os.path.join(first_scratch, qc._WDS_TOMBSTONE)).read()
+    assert "SPARK_GRAFT_WDS_SCRATCH_KEEP" in tomb
     assert df2.count() > 0
+    # executing the PAST-LIFETIME plan fails loudly (missing shard
+    # files), never silently returns rows from nowhere
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.count()
+
+
+def test_scratch_keep_is_env_configurable(spark, monkeypatch):
+    """ADVICE r11 #4: callers holding more than two live result
+    DataFrames raise the scratch window via SPARK_GRAFT_WDS_SCRATCH_KEEP
+    instead of hitting the reap."""
+    import os
+
+    from hazelcast_jet_contrib_spark import queries_connectors as qc
+
+    monkeypatch.setenv("SPARK_GRAFT_WDS_SCRATCH_KEEP", "4")
+    dfs = [
+        qc.webdataset_roundtrip(spark, "/root/testdata/sf0.001")
+        for _ in range(4)
+    ]
+    scratches = qc._WDS_SCRATCH[-4:]
+    assert all(
+        any(f.endswith(".tar") for f in os.listdir(s)) for s in scratches
+    )
+    # all four plans execute — none was reaped
+    assert all(df.count() > 0 for df in dfs)
