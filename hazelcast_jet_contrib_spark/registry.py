@@ -202,79 +202,21 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 12
+_ROTATION_ROUND = 13
 _PRIORITY = [
-    # --- round-12 rotation (window = exactly 50; plan in
-    # ROUND12_PLAN.md, written BEFORE the build). CORRECTNESS_r11
-    # proved the round-11 priority set 50/50 hash-green; the 49
-    # r10-green demoted queries age past the 2-round contract unless
-    # re-proven now. Demand: 49 aging + 1 new = exactly 50 — no
-    # retirements needed. Registry 99 → 100 (hard cap reached).
-    # 1) the new registration, then the two aging queries whose
-    #    implementation/plan changes this round (re-proof rule c,
-    #    satisfied by window membership since both were aging anyway):
-    "salted_join_priority_revenue",  # NEW: skew-lever row, plain-join oracle
-    "mmr_rerank_diverse",  # impl flip: two mmr_rerank calls -> one mmr_rerank_multi pass
-    "kmeans_cluster_profile",  # plan changed: kmeans_lloyd localCheckpoint cuts
-    # 2) the remaining 46 queries last driver-green in r10, untouched
-    #    since, order preserved from the round-11 demotion list.
-    #    Semantics-neutral exemptions claimed for round 12 (rule c,
-    #    rationale in ROUND12_PLAN.md): the ADVICE-r11 fixes are all
-    #    off the registry plans (real_clients adapter code, codec
-    #    error-path validation, webdataset scratch-reap path).
-    "minhash_index_lifecycle",
-    "video_near_dup_frames",
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "winnowing_fingerprints",
-    "winnowing_shared_overlap",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r11, implementation and oracle untouched
-    # since (the full round-11 priority window). 50 entries -> next
-    # round's window holds them all exactly (zero spare slots; see
-    # ROUND12_PLAN.md round-13 pre-analysis).
+    # --- round-13 rotation (window = exactly 50; plan in
+    # ROUND13_PLAN.md, written BEFORE the build). CORRECTNESS_r12
+    # proved the round-12 priority set 50/50 hash-green; the 50
+    # r11-green demoted queries age past the 2-round contract unless
+    # re-proven now. Demand: exactly 50 — zero spare slots, zero new
+    # registrations (registry at the 100 hard cap; r14 retirement
+    # candidates pre-analyzed in ROUND13_PLAN.md). Order preserved
+    # from the round-12 demotion list. No registry query's
+    # implementation or oracle changes this round; the round's
+    # product-code edits (real_clients influx tz fix,
+    # fault_injection bug fixes + test wiring) are adapter/test
+    # boundary code with no registry caller (rule-c exemption,
+    # rationale in ROUND13_PLAN.md).
     "webdataset_roundtrip",
     "neardup_keep_best",
     "pagerank_event_graph",
@@ -326,6 +268,122 @@ _DEMOTED = [
     "snapshot_diff_statuses",
     "json_props_extraction",
 ]
+_DEMOTED = [
+    # green in CORRECTNESS_r12 (the full round-12 priority window: the
+    # new salted-join registration, the two plan-flipped queries, and
+    # the 47 then-aging r10-green queries — 3 + 47 = 50; the round-12
+    # comment's "46" was a miscount, ADVICE r12 #3), implementation
+    # and oracle untouched since. 50 entries -> the round-14 window
+    # holds them all exactly (zero spare slots; registry at cap, any
+    # r14 registration needs a retirement first — candidates in
+    # ROUND13_PLAN.md §Round-14).
+    "salted_join_priority_revenue",
+    "mmr_rerank_diverse",
+    "kmeans_cluster_profile",
+    "minhash_index_lifecycle",
+    "video_near_dup_frames",
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "winnowing_fingerprints",
+    "winnowing_shared_overlap",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+]
+
+# ---------------------------------------------------------------------------
+# EAGER: queries whose registered callable executes work the RETURNED
+# frame's physical plan does not show (VERDICT r11 #9 / r12 #4 — the
+# PLANS.md "eager" column). A "-" row in PLANS.md means the audited plan
+# IS the whole computation; an eager tag means the plan under-represents
+# it, in one of these documented, bounded ways:
+#
+#   local-k      the result is a k-bounded collect handed back as a
+#                local relation (createDataFrame); the distributed
+#                operator plans ran eagerly before the return. The
+#                collects are documented k/shard-bounded (30-row
+#                shortlists, top-k hits, per-leg summaries) — never
+#                corpus-sized.
+#   lineage-cut  an iterative operator localCheckpoints each round
+#                (kmeans_lloyd clustering.py:119, pagerank
+#                graph.py:195, connected_components dedup.py:654-682);
+#                the returned frame is distributed but its plan starts
+#                at the last checkpoint, hiding the executed rounds.
+#   eager-loop   a driver-coordinated loop ran per-iteration jobs whose
+#                driver traffic is O(model), not O(rows) (classifier
+#                gradient collect, classifier.py:121-126).
+#   scalar-build a one-row/small-group aggregate was collected to
+#                parameterize the otherwise-lazy plan (LM corpus
+#                totals, group counts for resample fractions).
+#   eager-build  index construction collected nlist-bounded state
+#                (IVF centroids similarity.py:175, probed-cell set).
+#   eager-export the query wrote artifacts (tar/parquet shards) and the
+#                returned frame re-reads or summarizes them; the write
+#                jobs ran eagerly (webdataset.py:180 shard-count-bounded
+#                collect, training_shards.py:82).
+#
+# tests/test_plan_audits.py proves none of these hide an unbounded
+# collect; this map only makes the audit table honest about WHICH plans
+# are partial views.
+EAGER: dict[str, str] = {
+    "minhash_index_probe": "local-k",
+    "minhash_index_lifecycle": "local-k",
+    "bm25_topk_multi_docs": "local-k",
+    "rrf_fusion_hybrid": "local-k",
+    "mmr_rerank_diverse": "local-k",
+    "ivf_pq_probe_exact_topk": "local-k",
+    "training_shards_roundtrip": "eager-export",
+    "webdataset_roundtrip": "eager-export",
+    "kmeans_cluster_profile": "lineage-cut",
+    "pagerank_event_graph": "lineage-cut",
+    "neardup_clusters": "lineage-cut",
+    "neardup_keep_best": "lineage-cut",
+    "leakage_safe_split_census": "lineage-cut",
+    "classifier_holdout_accuracy": "eager-loop",
+    "unigram_lm_quality": "scalar-build",
+    "bigram_lm_quality": "scalar-build",
+    "corpus_mix_to_target": "scalar-build",
+    "temperature_resample_by_lang": "scalar-build",
+    "ivf_recall_at_nprobe": "eager-build",
+}
 
 
 def _reorder() -> None:
