@@ -41,6 +41,14 @@ from typing import Any, Callable
 _SCHEDULE_FILE = "fault_schedule.json"
 _COUNTER_SUFFIX = ".calls"
 
+# Per-process memo of the highest call number this process has claimed
+# for each (dir, method): the cross-process tick-file scan restarts
+# from here instead of n=1, so N calls cost O(N) syscalls in the steady
+# state instead of O(N^2) (ADVICE r12 #2). Correctness is unaffected —
+# numbers below the memo are guaranteed already claimed (a tick file
+# exists for each), and O_CREAT|O_EXCL still arbitrates races above it.
+_LAST_CLAIMED: dict[tuple[str, str], int] = {}
+
 
 def write_schedule(dir_: str, faults: list[dict]) -> None:
     """Persist a fault schedule. Each fault:
@@ -64,13 +72,18 @@ def write_schedule(dir_: str, faults: list[dict]) -> None:
 def _next_call(dir_: str, method: str) -> int:
     """Atomic cross-process call counter: one tick file per call,
     claimed with O_CREAT|O_EXCL (the portable mutex primitive), so two
-    workers can never observe the same call number."""
-    n = 1
+    workers can never observe the same call number. Safe to call before
+    write_schedule (an empty schedule dir just means no faults) and
+    resumes from this process's last claim instead of rescanning from
+    1 (ADVICE r12 #2)."""
+    os.makedirs(dir_, exist_ok=True)
+    n = _LAST_CLAIMED.get((dir_, method), 0) + 1
     while True:
         path = os.path.join(dir_, f"{method}{_COUNTER_SUFFIX}.{n}")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
+            _LAST_CLAIMED[(dir_, method)] = n
             return n
         except FileExistsError:
             n += 1

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from datetime import timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -478,6 +479,25 @@ def influx_source(
     )
 
 
+def influx_epoch_ns(ts: Any) -> int:
+    """Timestamp → UTC epoch nanoseconds, the Influx adapters' single
+    time convention (ADVICE r12 #1): naive datetimes are UTC wall-clock
+    — the session TZ is pinned to UTC (session.py) and the read side
+    strips tzinfo off the store's UTC FluxRecord time
+    (influx_long_record_fn) — so the conversion pins tzinfo to UTC
+    explicitly instead of letting ``timestamp()`` interpret naive
+    values in the PROCESS-local zone (which would shift every point by
+    the host's UTC offset on any non-UTC executor). tz-aware values
+    keep their own zone; bare ints are epoch seconds."""
+    if hasattr(ts, "timestamp"):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return int(ts.timestamp() * 1_000_000) * 1_000
+    from hazelcast_jet_contrib_spark.sinks.connectors import _PRECISION_NS
+
+    return int(ts) * _PRECISION_NS["s"]
+
+
 def _influx_sync_write_api(ic_mod: Any, client: Any):
     """A write_api whose ``write`` RAISES on failure in the calling
     thread: the real library's default is background-batching (errors
@@ -545,12 +565,9 @@ def influx_sink(
         prec = getattr(ic.WritePrecision, precision.upper())
         points = []
         for row in ctx["buf"]:
-            ts = row[time_col]
-            epoch_ns = (
-                int(ts.timestamp() * 1_000_000) * 1_000
-                if hasattr(ts, "timestamp")
-                else int(ts) * _PRECISION_NS["s"]
-            )
+            # naive-UTC convention pinned in influx_epoch_ns (ADVICE
+            # r12 #1) — never ts.timestamp() on a naive value here
+            epoch_ns = influx_epoch_ns(row[time_col])
             p = ic.Point(measurement)
             for t in tag_cols:
                 p = p.tag(t, str(row[t]))
@@ -877,6 +894,7 @@ def paho_publish_fn(
 __all__ = [
     "MqttTls",
     "hash_search_fn",
+    "influx_epoch_ns",
     "influx_flux_records",
     "influx_long_record_fn",
     "influx_sink",

@@ -1,0 +1,274 @@
+"""fault_injection unit tier (VERDICT r12 #3 / ADVICE r12 #2): the four
+fault shapes, schedule validation, the cross-process-safe call counter
+(including the missing-dir and O(N) memo regressions), the
+FaultyClient/FaultyClientModule proxies — and the paho adapter-family
+fault-schedule test (Toxiproxy parity: the reference proves MQTT
+reconnect/redelivery by scheduling network failure into the broker,
+mqtt/src/test/java/.../MosquittoContainer.java:88-92; here the same
+error_after shape forces redelivery through the REAL retry path and the
+test asserts the dedupe discipline that absorbs it).
+
+The executor-side families (pymongo multi-fault, influx timeout, pulsar
+error_after) live next to their stub fixtures:
+tests/test_real_clients.py / tests/test_real_clients_influx_pulsar.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from hazelcast_jet_contrib_spark import fault_injection as fi
+from hazelcast_jet_contrib_spark.fault_injection import (
+    FaultyClient,
+    FaultyClientModule,
+    apply_fault,
+    faulty,
+    write_schedule,
+)
+from hazelcast_jet_contrib_spark.real_clients import paho_publish_fn
+from hazelcast_jet_contrib_spark.sinks.builder import RetryStrategy
+from test_real_clients import _FakePahoModule
+
+
+# ---------------------------------------------------------------------------
+# schedule validation
+# ---------------------------------------------------------------------------
+
+
+def test_write_schedule_rejects_unknown_action(tmp_path):
+    with pytest.raises(ValueError, match="unknown fault action"):
+        write_schedule(str(tmp_path), [{"method": "m", "call": 1, "action": "nuke"}])
+
+
+def test_write_schedule_rejects_bad_call_number(tmp_path):
+    for bad in (0, -1, "2", None):
+        with pytest.raises(ValueError, match="1-based"):
+            write_schedule(
+                str(tmp_path), [{"method": "m", "call": bad, "action": "error"}]
+            )
+
+
+def test_write_schedule_rejects_missing_method(tmp_path):
+    with pytest.raises(ValueError, match="method"):
+        write_schedule(str(tmp_path), [{"call": 1, "action": "error"}])
+
+
+# ---------------------------------------------------------------------------
+# the four fault shapes
+# ---------------------------------------------------------------------------
+
+
+def _recorder():
+    calls = []
+
+    def fn(*a, **kw):
+        calls.append((a, kw))
+        return len(calls)
+
+    return fn, calls
+
+
+def test_apply_fault_latency_delivers_after_sleep(tmp_path):
+    d = str(tmp_path / "s")
+    write_schedule(
+        d, [{"method": "op", "call": 1, "action": "latency", "seconds": 0.05}]
+    )
+    fn, calls = _recorder()
+    t0 = time.monotonic()
+    assert apply_fault(d, "op", fn, 7, k=1) == 1
+    assert time.monotonic() - t0 >= 0.04
+    assert calls == [((7,), {"k": 1})]
+
+
+def test_apply_fault_error_is_request_lost(tmp_path):
+    """error = the REQUEST was lost: fn never ran, a retry is
+    exactly-once safe."""
+    d = str(tmp_path / "s")
+    write_schedule(d, [{"method": "op", "call": 1, "action": "error"}])
+    fn, calls = _recorder()
+    with pytest.raises(ConnectionError, match="request lost"):
+        apply_fault(d, "op", fn)
+    assert calls == []
+    assert apply_fault(d, "op", fn) == 1  # call 2: no fault
+
+
+def test_apply_fault_error_after_is_response_lost(tmp_path):
+    """error_after = the RESPONSE was lost: fn RAN (the server applied
+    the op) and the client still sees a failure — the shape that forces
+    redelivery and makes at-least-once visible."""
+    d = str(tmp_path / "s")
+    write_schedule(d, [{"method": "op", "call": 1, "action": "error_after"}])
+    fn, calls = _recorder()
+    with pytest.raises(ConnectionError, match="response lost"):
+        apply_fault(d, "op", fn, "payload")
+    assert calls == [(("payload",), {})]  # delivered exactly once
+
+
+def test_apply_fault_timeout_is_half_open(tmp_path):
+    d = str(tmp_path / "s")
+    write_schedule(
+        d, [{"method": "op", "call": 1, "action": "timeout", "seconds": 0.01}]
+    )
+    fn, calls = _recorder()
+    with pytest.raises(TimeoutError, match="half-open"):
+        apply_fault(d, "op", fn)
+    assert calls == []
+
+
+def test_apply_fault_without_schedule_dir_is_a_noop_passthrough(tmp_path):
+    """ADVICE r12 #2 regression: calling before write_schedule (or with
+    no schedule at all) must count calls and deliver, not crash with
+    FileNotFoundError — _next_call creates the dir itself."""
+    d = str(tmp_path / "never_written")
+    fn, calls = _recorder()
+    assert apply_fault(d, "op", fn) == 1
+    assert apply_fault(d, "op", fn) == 2
+    assert calls == [((), {}), ((), {})]
+
+
+# ---------------------------------------------------------------------------
+# the cross-process call counter
+# ---------------------------------------------------------------------------
+
+
+def test_counter_is_per_method_and_monotonic(tmp_path):
+    d = str(tmp_path / "s")
+    assert fi._next_call(d, "a") == 1
+    assert fi._next_call(d, "a") == 2
+    assert fi._next_call(d, "b") == 1  # independent stream
+    assert fi._next_call(d, "a") == 3
+
+
+def test_counter_memo_advances_in_process(tmp_path):
+    """ADVICE r12 #2: the per-(dir, method) memo must track the last
+    claim so N calls cost O(N) syscalls, not an O(N^2) rescan from 1."""
+    d = str(tmp_path / "s")
+    for i in range(5):
+        assert fi._next_call(d, "op") == i + 1
+    assert fi._LAST_CLAIMED[(d, "op")] == 5
+
+
+def test_counter_never_reuses_numbers_across_processes(tmp_path):
+    """A 'fresh process' (empty memo) must continue after the numbers
+    other processes already claimed — O_CREAT|O_EXCL arbitration, same
+    guarantee the Spark-worker usage depends on."""
+    d = str(tmp_path / "s")
+    for _ in range(3):
+        fi._next_call(d, "op")
+    fi._LAST_CLAIMED.pop((d, "op"), None)  # simulate a new process
+    assert fi._next_call(d, "op") == 4
+
+
+# ---------------------------------------------------------------------------
+# the proxies
+# ---------------------------------------------------------------------------
+
+
+class _Plain:
+    marker = "untouched"
+
+    def __init__(self):
+        self.sent = []
+
+    def send(self, x):
+        self.sent.append(x)
+        return f"ok:{x}"
+
+    def other(self):
+        return "other"
+
+
+def test_faulty_client_routes_only_named_methods(tmp_path):
+    d = str(tmp_path / "s")
+    write_schedule(d, [{"method": "send", "call": 2, "action": "error"}])
+    c = faulty(_Plain(), d, {"send"})
+    assert isinstance(c, FaultyClient)
+    assert c.send("a") == "ok:a"
+    with pytest.raises(ConnectionError):
+        c.send("b")
+    assert c.other() == "other"  # unnamed method: never counted
+    assert c.marker == "untouched"  # non-callable attrs delegate
+    assert c.send("c") == "ok:c"  # call 3: clean
+
+
+class _Mod:
+    marker = "enum-like"
+
+    def __init__(self):
+        self.made = []
+
+    def Client(self, name):
+        p = _Plain()
+        self.made.append((name, p))
+        return p
+
+
+def test_faulty_client_module_wraps_factory_results(tmp_path):
+    d = str(tmp_path / "s")
+    write_schedule(d, [{"method": "send", "call": 1, "action": "error"}])
+    mod = FaultyClientModule(_Mod(), d, {"send"}, factories=("Client",))
+    assert mod.marker == "enum-like"  # non-factory attr passes through
+    c = mod.Client("x")
+    assert isinstance(c, FaultyClient)
+    with pytest.raises(ConnectionError):
+        c.send("a")
+    assert c.send("b") == "ok:b"
+
+
+# ---------------------------------------------------------------------------
+# adapter family: paho MQTT — error_after on publish → the mqtt_sink
+# retry line (RetryStrategy.run over the whole buffer) redelivers, and
+# dedupe-by-payload restores exactly the input set
+# ---------------------------------------------------------------------------
+
+
+def test_paho_error_after_redelivers_then_dedupes(tmp_path):
+    """The broker APPLIED publish #2, the client saw a failure
+    (response lost). The retry republishes the WHOLE buffer — exactly
+    what mqtt_sink's flush does (sinks/connectors.py retry.run) — so
+    the broker sees duplicates, and the documented downstream dedupe
+    discipline (acked-log absorb / idempotent consumer) recovers the
+    input set. This is the reconnect-redeliver proof the reference
+    runs through Toxiproxy (MosquittoContainer.java:88-92)."""
+    d = str(tmp_path / "sched")
+    write_schedule(d, [{"method": "publish", "call": 2, "action": "error_after"}])
+    inner = _FakePahoModule()
+    mod = FaultyClientModule(inner, d, {"publish"}, factories=("Client",))
+    pub = paho_publish_fn("broker.example", 1883, mqtt_module=mod)
+    records = [
+        {"key": None, "value": f"v{i}", "properties": {"qos": 1}} for i in range(4)
+    ]
+
+    # the same retry construction mqtt_sink uses for its QoS>=1 buffer
+    RetryStrategy.constant(3, 0.01).run(lambda: pub("", "t/x", records))
+
+    c = inner.clients[0]
+    payloads = [p for _, p, _ in c.published]
+    # attempt 1 delivered v0, v1 (v1's response was lost); the retry
+    # redelivered the whole buffer: at-least-once is VISIBLE...
+    assert payloads == ["v0", "v1", "v0", "v1", "v2", "v3"]
+    assert payloads.count("v1") == 2
+    # ...and dedupe-by-payload restores exactly the input set
+    assert sorted(set(payloads)) == ["v0", "v1", "v2", "v3"]
+
+
+def test_paho_timeout_exhausts_retry_and_surfaces(tmp_path):
+    """A half-open connection on every attempt must exhaust the retry
+    strategy and surface TimeoutError — not silently drop the batch."""
+    d = str(tmp_path / "sched")
+    write_schedule(
+        d,
+        [
+            {"method": "publish", "call": n, "action": "timeout", "seconds": 0.01}
+            for n in (1, 2)
+        ],
+    )
+    mod = FaultyClientModule(_FakePahoModule(), d, {"publish"})
+    pub = paho_publish_fn("broker.example", 1883, mqtt_module=mod)
+    with pytest.raises(TimeoutError):
+        RetryStrategy.constant(2, 0.01).run(
+            lambda: pub("", "t/x", [{"key": None, "value": "v", "properties": {"qos": 1}}])
+        )

