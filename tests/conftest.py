@@ -109,3 +109,10 @@ def pytest_configure(config):
         "markers",
         "slow: full-volume fault-tolerance workloads (reference's largest test shapes)",
     )
+    config.addinivalue_line(
+        "markers",
+        "live: needs a live backing service + its client library — the "
+        "reference's testIntegration/NightlyTest split (build.gradle:96-108); "
+        "docker-compose + env recipe in docs/LIVE_TIER.md; run with "
+        "`pytest -m live`",
+    )

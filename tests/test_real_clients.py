@@ -984,6 +984,7 @@ requires_live_mongo = pytest.mark.skipif(
 )
 
 
+@pytest.mark.live
 @requires_live_mongo
 def test_live_mongo_roundtrip(spark):  # pragma: no cover - live only
     import pymongo
@@ -1004,6 +1005,7 @@ def test_live_mongo_roundtrip(spark):  # pragma: no cover - live only
     pymongo.MongoClient(uri)["sg_live"]["rt"].drop()
 
 
+@pytest.mark.live
 @requires_live_redis
 def test_live_redis_hash_roundtrip(spark):  # pragma: no cover - live only
     import redis as real_redis
@@ -1022,6 +1024,7 @@ def test_live_redis_hash_roundtrip(spark):  # pragma: no cover - live only
     real_redis.Redis.from_url(url).delete("sg:live:hash")
 
 
+@pytest.mark.live
 @requires_live_mqtt
 def test_live_mqtt_publish(spark):  # pragma: no cover - live only
     from hazelcast_jet_contrib_spark.sinks.connectors import mqtt_sink

@@ -747,6 +747,7 @@ def test_pulsar_producer_error_after_redelivers_then_dedupes(
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.live
 @pytest.mark.skipif(
     find_spec("influxdb_client") is None, reason="influxdb-client not installed"
 )
@@ -770,6 +771,7 @@ def test_live_influx_roundtrip(spark):  # pragma: no cover - live only
     assert back.count() >= 10
 
 
+@pytest.mark.live
 @pytest.mark.skipif(find_spec("pulsar") is None, reason="pulsar-client not installed")
 def test_live_pulsar_roundtrip(spark):  # pragma: no cover - live only
     url = os.environ.get("SPARK_GRAFT_PULSAR_URL")
