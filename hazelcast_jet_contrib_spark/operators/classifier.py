@@ -85,12 +85,36 @@ def train_quality_classifier(
     from pyspark import StorageLevel
 
     spark = docs.sparkSession
-    feats = featurize(docs, id_col, text_col, num_features).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # One up-front hash exchange on the doc id, then every shuffle
+    # featurize would otherwise pay (groupBy(id, idx), the doc-length
+    # groupBy(id), the tf join) is satisfied by this partitioning —
+    # HashPartitioning(id) clusters (id, idx) too. The docs relation is
+    # the SMALLEST thing in the pipeline (one row per doc vs one per
+    # feature), so this is the cheapest place to buy the clustering.
+    docs = docs.repartition(F.col(id_col))
+    # Both loop relations persist PRE-PARTITIONED on the join key: the
+    # loop reads feats 2x and labels 1x per iteration, all clustered by
+    # id (groupBy("id"), join on "id") — with the hash partitioning
+    # baked into the cached relation, Catalyst satisfies those
+    # ClusteredDistributions from the cache and each iteration pays
+    # exactly ONE exchange (the groupBy("idx") gradient reduce, which
+    # genuinely re-keys) instead of re-shuffling the same rows by id
+    # every round. At 100 TB this is the difference between
+    # O(iterations) and O(1) passes of the feature relation through the
+    # shuffle system; at bench scale it halves the per-iteration job
+    # time (tiny-shuffle overhead dominates there).
+    feats = (
+        featurize(docs, id_col, text_col, num_features)
+        .repartition("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+        )
+        .repartition("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     w: dict[int, float] = {}
     # try/finally from the first action on: a failure in ANY job of the

@@ -897,8 +897,12 @@ def classifier_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = corpus.filter(F.col("doc_id") % 2 == 0)
     held = corpus.filter(F.col("doc_id") % 2 == 1)
+    # 3 iterations: the synthetic (real, rare-token-junk) separation
+    # converges to holdout accuracy 1.0 by iteration 2 at every SF
+    # (measured round 13; gate is 0.9) — the extra rounds bought
+    # nothing but per-iteration job overhead in the bench sweep.
     w = train_quality_classifier(
-        train, "label", num_features=1 << 12, iterations=5, lr=4.0
+        train, "label", num_features=1 << 12, iterations=3, lr=4.0
     )
     scored = score_documents(held, w, num_features=1 << 12).join(
         held.select("doc_id", "label"), "doc_id"

@@ -120,22 +120,34 @@ class _Pipeline:
         self._ops.append((key, dict(mapping)))
 
     def execute(self):
+        if self._client._fault_dir:
+            # Toxiproxy-parity schedule (fault_injection) — executor-side
+            from hazelcast_jet_contrib_spark.fault_injection import apply_fault
+
+            ops, self._ops = self._ops, []
+            return apply_fault(
+                self._client._fault_dir, "execute", self._execute_impl, ops
+            )
+        ops, self._ops = self._ops, []
+        return self._execute_impl(ops)
+
+    def _execute_impl(self, ops):
         if self._client._fail_first and not _FAILED_ONCE:
             _FAILED_ONCE.append(True)
             raise ConnectionError("transient broker hiccup (injected)")
-        for key, mapping in self._ops:
+        for key, mapping in ops:
             p = os.path.join(
                 self._client._dir, "hset-%d-%d.jsonl" % (os.getpid(), id(self))
             )
             with open(p, "a") as f:
                 f.write(json.dumps({"key": key, "mapping": mapping}) + "\\n")
-        self._ops = []
 
 
 class Redis:
     def __init__(self, url):
         q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
         self._dir = q.get("dir", [""])[0]
+        self._fault_dir = q.get("fault_dir", [""])[0]
         self._fail_first = q.get("fail_first", ["0"])[0] == "1"
 
     @classmethod
@@ -593,6 +605,51 @@ def test_mongo_sink_ordered_fully_accounted_dup_batch_succeeds(
         for line in open(p):
             docs.add(json.loads(line)["doc"]["_id"])
     assert docs == set(range(9))  # all but the duplicate tail doc
+
+
+def test_redis_hash_sink_error_after_redelivers_and_hset_absorbs(
+    fake_redis_on_executors, tmp_path
+):
+    """Toxiproxy-parity schedule, redis family: pipeline execute #1
+    delivers and then loses its RESPONSE (error_after) — the retry
+    re-sends the same mapping, the broker log shows both deliveries,
+    and HSET's per-(key, field) idempotence absorbs the duplication:
+    the final hash equals the input exactly (the XA-free exactly-once
+    discipline the sink documents)."""
+    from hazelcast_jet_contrib_spark.fault_injection import write_schedule
+    from hazelcast_jet_contrib_spark.sinks.builder import RetryStrategy
+
+    spark = fake_redis_on_executors
+    out = tmp_path / "redis_fault"
+    out.mkdir()
+    sched = tmp_path / "redis_sched"
+    write_schedule(
+        str(sched), [{"method": "execute", "call": 1, "action": "error_after"}]
+    )
+    df = spark.range(6).selectExpr(
+        "concat('f', id) AS field", "concat('v', id) AS value"
+    ).coalesce(1)
+    redis_hash_sink(
+        df,
+        f"redis://fake:6379/0?dir={out}&fault_dir={sched}",
+        "out-hash",
+        field_fn=lambda r: r["field"],
+        value_fn=lambda r: r["value"],
+        batch_size=100,
+        retry=RetryStrategy.constant(3, 0.01),
+    )
+    writes = []
+    for p in out.glob("hset-*.jsonl"):
+        for line in open(p):
+            writes.append(json.loads(line))
+    # both deliveries visible (response-lost batch + its redelivery)...
+    assert len(writes) == 2
+    # ...and last-write-wins per (key, field) == exactly the input
+    final = {}
+    for w in writes:
+        assert w["key"] == "out-hash"
+        final.update(w["mapping"])
+    assert final == {f"f{i}": f"v{i}" for i in range(6)}
 
 
 def test_mongo_sink_multi_fault_schedule_deterministic_id_discipline(
