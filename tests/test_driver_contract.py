@@ -172,6 +172,29 @@ def test_changed_queries_lead_the_window():
     assert list(registry.QUERIES)[: len(expect)] == expect
 
 
+def test_eager_map_names_registry_queries_and_plans_md_carries_it():
+    """The PLANS.md eager column (VERDICT r11 #9 / r12 #4) is driven by
+    registry.EAGER; a key that drifts off the registry (rename,
+    retirement) would silently vanish from the audit table instead of
+    failing — pin it here. Also require the generated PLANS.md to carry
+    the column so a regeneration with an older script can't ship."""
+    registry = _registry()
+    stray = set(registry.EAGER) - set(registry.QUERIES)
+    assert not stray, f"registry.EAGER names unknown queries: {sorted(stray)}"
+    allowed = {
+        "local-k", "lineage-cut", "eager-loop",
+        "scalar-build", "eager-build", "eager-export",
+    }
+    bad = {k: v for k, v in registry.EAGER.items() if v not in allowed}
+    assert not bad, f"unknown eager tags: {bad}"
+    text = open(os.path.join(REPO, "PLANS.md")).read()
+    assert "| eager |" in text, "PLANS.md lacks the eager column header"
+    for name, tag in registry.EAGER.items():
+        assert re.search(rf"^\| {name} \|.*\| {tag} \|$", text, re.M), (
+            f"PLANS.md row for {name} missing its eager tag {tag!r}"
+        )
+
+
 def test_plans_md_covers_every_registry_query():
     """VERDICT r05 item 7: PLANS.md must have exactly one row per
     registry query — a new query without a regenerated PLANS.md fails
