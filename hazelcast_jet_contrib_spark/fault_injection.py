@@ -100,6 +100,16 @@ def _fault_for(dir_: str, method: str, call: int) -> dict | None:
     return None
 
 
+def next_fault(dir_: str, method: str) -> dict | None:
+    """Claim the next call number for ``method`` and return its
+    scheduled fault dict (or None). The building block for callers
+    whose fault semantics live MID-OPERATION rather than at the call
+    boundary — e.g. a cursor that must deliver half its response
+    stream before the connection drops, which :func:`apply_fault`
+    (call-granular by design) cannot express."""
+    return _fault_for(dir_, method, _next_call(dir_, method))
+
+
 def apply_fault(dir_: str, method: str, fn: Callable, *args: Any, **kwargs: Any):
     """Run ``fn(*args, **kwargs)`` under the schedule in ``dir_``:
     consume the next call number for ``method`` and apply its fault,
@@ -187,5 +197,6 @@ __all__ = [
     "FaultyClientModule",
     "apply_fault",
     "faulty",
+    "next_fault",
     "write_schedule",
 ]

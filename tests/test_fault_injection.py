@@ -26,6 +26,7 @@ from hazelcast_jet_contrib_spark.fault_injection import (
     FaultyClientModule,
     apply_fault,
     faulty,
+    next_fault,
     write_schedule,
 )
 from hazelcast_jet_contrib_spark.real_clients import paho_publish_fn
@@ -127,6 +128,27 @@ def test_apply_fault_without_schedule_dir_is_a_noop_passthrough(tmp_path):
     assert apply_fault(d, "op", fn) == 1
     assert apply_fault(d, "op", fn) == 2
     assert calls == [((), {}), ((), {})]
+
+
+def test_next_fault_claims_and_returns_spec_for_midstream_semantics(tmp_path):
+    """next_fault is the building block for MID-OPERATION fault
+    semantics apply_fault can't express (a cursor that dies after half
+    its response stream, tests/test_task_retry.py): it claims the call
+    number and hands the caller the raw fault spec — or None — leaving
+    the failure shape to the caller."""
+    d = str(tmp_path / "s")
+    write_schedule(
+        d, [{"method": "find", "call": 2, "action": "error", "message": "m"}]
+    )
+    assert next_fault(d, "find") is None  # call 1: clean
+    f = next_fault(d, "find")  # call 2: the scheduled fault, verbatim
+    assert f == {"method": "find", "call": 2, "action": "error", "message": "m"}
+    assert next_fault(d, "find") is None  # call 3: clean again
+    # it shares apply_fault's counter stream: the next apply_fault call
+    # for the same method claims call 4
+    fn, calls = _recorder()
+    apply_fault(d, "find", fn)
+    assert fi._LAST_CLAIMED[(d, "find")] == 4
 
 
 # ---------------------------------------------------------------------------

@@ -368,9 +368,46 @@ class _Coll:
         self._client, self._db, self._name = client, db, name
 
     def find(self, query=None, projection=None):
-        for d in _DOCS.get((self._db, self._name), []):
-            if _match(d, query or {}):
-                yield _project(d, projection)
+        docs = [
+            _project(d, projection)
+            for d in _DOCS.get((self._db, self._name), [])
+            if _match(d, query or {})
+        ]
+        fd = self._client._fault_dir
+        if not fd:
+            yield from docs
+            return
+        # READ-side faults carry mid-stream semantics a call-boundary
+        # wrapper can't express, so consume the schedule via next_fault
+        # instead of apply_fault:
+        #   error       -> half the response stream arrives, then the
+        #                  connection drops (mid-cursor death)
+        #   error_after -> full stream, then the cursor close fails
+        #   latency     -> slow-loris: the whole response is delayed
+        #   timeout     -> half-open connection: no documents, then
+        #                  TimeoutError
+        from hazelcast_jet_contrib_spark.fault_injection import next_fault
+
+        f = next_fault(fd, "find")
+        if f is None:
+            yield from docs
+            return
+        import time as _time
+
+        action = f["action"]
+        if action == "latency":
+            _time.sleep(float(f.get("seconds", 0.05)))
+            yield from docs
+            return
+        if action == "timeout":
+            _time.sleep(float(f.get("seconds", 0.05)))
+            raise TimeoutError("find: half-open connection (injected)")
+        if action == "error":
+            for d in docs[: len(docs) // 2]:
+                yield d
+            raise ConnectionError("find: cursor died mid-stream (injected)")
+        yield from docs
+        raise ConnectionError("find: cursor close failed (injected)")
 
     def _write(self, docs, ordered):
         p = os.path.join(

@@ -1,0 +1,186 @@
+"""Spark task-retry semantics under scheduled READ-side faults — the
+deeper half of the Toxiproxy-parity layer (fault_injection.py).
+
+The sink-side fault tests (test_real_clients*.py) prove the at-least-
+once/redelivery discipline of each adapter's WRITE path. This module
+proves the READ path's exactly-once story, which rests on a different
+mechanism entirely: Spark discards the partial output of a failed task
+and re-runs the whole partition, so a source read is exactly-once iff
+re-running search_fn for a partition yields the same rows (our
+partition descriptors are pure filter documents — it does).
+
+That mechanism is invisible at ``local[N]`` (task maxFailures=1: the
+first failure kills the job), so these tests run a subprocess driver on
+``local[4,2]`` — 4 threads, 2 attempts per task, the local-mode spelling
+of the cluster default ``spark.task.maxFailures`` — and schedule faults
+into the injected pymongo stub's cursor:
+
+1. **mid-stream cursor death** (action=error: half the response stream
+   arrives, then ConnectionError): the task had already produced rows —
+   the retry must NOT duplicate them. Asserts the result is the exact
+   expected set AND exactly 3 find() calls were claimed (2 partitions
+   + 1 retry), i.e. the fault really fired and really was retried.
+2. **slow-loris** (action=latency on both partitions): delay is not
+   failure — rows exact, exactly 2 find() calls (no retry burned).
+3. **persistent half-open connection** (action=timeout on calls 1-4 =
+   every attempt of both partitions): the job must fail LOUDLY rather
+   than return partial data.
+
+Reference parity: the reference proves its source connectors against
+scheduled network failure on a containerized broker
+(mqtt/src/test/java/.../MosquittoContainer.java:88-92) and relies on
+Jet's processor-restart semantics for read replay; Spark's equivalent
+unit of replay is the task, which is what this file pins down.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+from importlib.util import find_spec
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+_DRIVER_SRC = '''
+import glob, json, os, sys
+
+sys.path.insert(0, {repo!r})
+
+from pyspark.sql import SparkSession
+
+from hazelcast_jet_contrib_spark.fault_injection import write_schedule
+from hazelcast_jet_contrib_spark.real_clients import mongo_source
+
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("task-retry-faults")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile({fake_mod!r})
+
+PARTS = [
+    {{"_id": {{"$gte": 0, "$lt": 15}}}},
+    {{"_id": {{"$gte": 15, "$lt": 30}}}},
+]
+
+
+def read(fault_dir):
+    df = mongo_source(
+        spark,
+        "mongodb://fake:27017/?dir=&fault_dir=" + fault_dir,
+        "db",
+        "parts",
+        schema="_id long, price double",
+        partition_filters=PARTS,
+        find_filter={{"brand": "B1"}},
+        projection={{"_id": 1, "price": 1}},
+    )
+    return sorted((r["_id"], r["price"]) for r in df.collect())
+
+
+def claimed(fault_dir):
+    return len(glob.glob(os.path.join(fault_dir, "find.calls.*")))
+
+
+out = {{}}
+base = {base!r}
+
+# 1. mid-stream cursor death on the first find(): task retried, rows exact
+d1 = os.path.join(base, "midstream")
+write_schedule(d1, [{{"method": "find", "call": 1, "action": "error"}}])
+out["midstream_rows"] = read(d1)
+out["midstream_calls"] = claimed(d1)
+
+# 2. slow-loris on both partitions: delay is not failure, no retry burned
+d2 = os.path.join(base, "sloloris")
+write_schedule(
+    d2,
+    [
+        {{"method": "find", "call": 1, "action": "latency", "seconds": 0.4}},
+        {{"method": "find", "call": 2, "action": "latency", "seconds": 0.4}},
+    ],
+)
+out["sloloris_rows"] = read(d2)
+out["sloloris_calls"] = claimed(d2)
+
+# 3. persistent half-open connection (every attempt of both partitions
+#    times out): the job must fail loudly, never return partial data
+d3 = os.path.join(base, "halfopen")
+write_schedule(
+    d3,
+    [
+        {{"method": "find", "call": n, "action": "timeout", "seconds": 0.1}}
+        for n in (1, 2, 3, 4)
+    ],
+)
+try:
+    rows = read(d3)
+    out["halfopen"] = "returned %d rows" % len(rows)
+except Exception as exc:
+    out["halfopen"] = "job failed: " + type(exc).__name__
+out["halfopen_calls"] = claimed(d3)
+
+spark.stop()
+print("RESULT " + json.dumps(out))
+'''
+
+
+@pytest.mark.skipif(
+    find_spec("pymongo") is not None,
+    reason="real pymongo installed; stub injection would shadow it",
+)
+def test_task_retry_read_faults(tmp_path):
+    from test_real_clients import _FAKE_PYMONGO_SRC
+
+    fake_dir = tmp_path / "fake_pymongo"
+    fake_dir.mkdir()
+    fake_mod = fake_dir / "pymongo.py"
+    fake_mod.write_text(_FAKE_PYMONGO_SRC)
+
+    sched_base = tmp_path / "schedules"
+    sched_base.mkdir()
+    driver = tmp_path / "retry_driver.py"
+    driver.write_text(
+        _DRIVER_SRC.format(
+            repo=str(REPO), fake_mod=str(fake_mod), base=str(sched_base)
+        )
+    )
+
+    proc = subprocess.run(
+        [sys.executable, str(driver)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    assert line, proc.stdout[-4000:]
+    out = json.loads(line[-1][len("RESULT ") :])
+
+    expected = [[i, float(i)] for i in range(30) if i % 3 == 1]
+
+    # 1. mid-stream death: the failed task's partial rows were discarded,
+    #    the retry re-read the partition — exact set, no dupes/missing;
+    #    3 claims prove the fault fired AND the retry happened
+    assert out["midstream_rows"] == expected
+    assert out["midstream_calls"] == 3
+
+    # 2. slow-loris: exact rows, exactly 2 claims — no retry burned
+    assert out["sloloris_rows"] == expected
+    assert out["sloloris_calls"] == 2
+
+    # 3. persistent half-open: loud failure; at least 3 attempts consumed
+    #    (2 first attempts + the retry whose failure aborts the job — the
+    #    OTHER partition's retry may be cancelled by the abort, so 3 or 4)
+    assert out["halfopen"].startswith("job failed:"), out["halfopen"]
+    assert out["halfopen_calls"] in (3, 4)
