@@ -9,8 +9,11 @@ canonical documents inside a link/citation/near-dup graph, weight
 sources by reference structure before sampling).
 
 Scale shape: one out-degree aggregation up front, then per iteration
-exactly ONE shuffle join (ranks ⋈ edges on src) + one aggregation on
-dst — the same bounded-lineage loop as the k-means and label-
+exactly ONE exchange (the dst inflow aggregation) — the edge and base
+relations persist pre-partitioned on their sweep join keys and the
+checkpointed ranks inherit hash(node) partitioning, so the sweep joins
+satisfy their clustering from cache — the same bounded-lineage loop as
+the k-means and label-
 propagation operators (per-iteration lineage cut, ZERO driver-side
 data: the dangling-mass scalar is a one-row broadcast aggregate of the
 checkpointed ranks, never a collect). Ranks relation is |V| rows,
@@ -89,9 +92,23 @@ def pagerank(
         raise ValueError("init_ranks warm start and seeds are mutually exclusive")
     from pyspark import StorageLevel
 
+    # Both loop-invariant relations persist PRE-PARTITIONED on their
+    # sweep join key (the classifier GD-loop pattern, classifier.py):
+    # e clustered on src satisfies the sweep join's right side, base
+    # clustered on node satisfies the rank-update join. Locally AQE
+    # broadcasts the tiny ranks side and neither matters; at 100 TB,
+    # where |V| is far past any broadcast threshold and sort-merge join
+    # engages, this is O(1) passes of the |E|-row edge relation through
+    # the shuffle system instead of O(iterations) — each sweep then
+    # re-shuffles only the checkpointed ranks (localCheckpoint yields
+    # UnknownPartitioning) and the inflow partial aggregates. Measured
+    # under a forced no-broadcast plan in
+    # tests/test_scale_rehearsal_analytics.py (live per-sweep shuffle
+    # ~|V| + partials, an order of magnitude under |E|).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -110,9 +127,12 @@ def pagerank(
             return nodes.select("node", F.lit(0.0).alias("rank"))
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         # out-degree attached once; deg NULL marks a dangling node
-        base = nodes.join(deg, nodes.node == deg.src, "left").select(
-            "node", "deg"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base = (
+            nodes.join(deg, nodes.node == deg.src, "left")
+            .select("node", "deg")
+            .repartition("node")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         base.count()
 
         if seeds is None:
@@ -207,7 +227,15 @@ def pagerank(
                     executed_shuffle_stats,
                 )
 
-                sweep_stats.append(executed_shuffle_stats(prev))
+                stats = executed_shuffle_stats(prev)
+                # the live_* view excludes the cached build plans'
+                # frozen exchange metrics (re-reported by every sweep
+                # that scans the cache): what THIS sweep shuffled
+                live = executed_shuffle_stats(prev, include_cached=False)
+                stats["live_shuffle_records"] = live["shuffle_records"]
+                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
+                stats["live_exchanges"] = live["exchanges"]
+                sweep_stats.append(stats)
             is_init = False
             # Total rank sitting on dangling nodes: a one-row aggregate of
             # the CHECKPOINTED relation, broadcast into the sweep — no
@@ -254,7 +282,12 @@ def pagerank(
                 executed_shuffle_stats,
             )
 
-            sweep_stats.append(executed_shuffle_stats(final))
+            stats = executed_shuffle_stats(final)
+            live = executed_shuffle_stats(final, include_cached=False)
+            stats["live_shuffle_records"] = live["shuffle_records"]
+            stats["live_shuffle_bytes"] = live["shuffle_bytes"]
+            stats["live_exchanges"] = live["exchanges"]
+            sweep_stats.append(stats)
     finally:
         base_df = locals().get("base")
         for df in (e, nodes) + ((base_df,) if base_df is not None else ()):

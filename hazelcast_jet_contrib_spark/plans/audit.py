@@ -144,7 +144,7 @@ def _codegen_subtree_count(df: DataFrame, execute: bool) -> int | None:
         return None
 
 
-def _walk_executed_plan(df: DataFrame, visit) -> None:
+def _walk_executed_plan(df: DataFrame, visit, include_cached: bool = True) -> None:
     """Shared traversal of a finished execution's final adaptive plan:
     descends AdaptiveSparkPlan -> executedPlan, QueryStage -> plan, and
     cached (InMemoryTableScan) subtrees; skips ReusedExchange subtrees
@@ -152,7 +152,15 @@ def _walk_executed_plan(df: DataFrame, visit) -> None:
     (identity-hash seen-set). ``visit(simple_class_name, node)`` is
     called once per plan node — the per-metric leaf logic lives in the
     callers, the traversal lives HERE so a fix to the walk (a new AQE
-    node type, the cachedPlan guard) cannot drift between them."""
+    node type, the cachedPlan guard) cannot drift between them.
+
+    ``include_cached=False`` stops at InMemoryTableScan without
+    descending into the cached relation's BUILD plan: the metrics of a
+    cached build's exchanges are frozen at materialization time but are
+    otherwise indistinguishable from this execution's own, so a loop
+    that re-reads a cache every iteration sees the same constant build
+    contribution in every per-iteration measurement — excluding it
+    isolates the shuffles THIS execution actually performed."""
     jvm = df.sparkSession._jvm
     seen: set[int] = set()
 
@@ -171,7 +179,7 @@ def _walk_executed_plan(df: DataFrame, visit) -> None:
         if "ReusedExchange" in cname:
             return
         visit(cname, node)
-        if "InMemoryTableScan" in cname:
+        if "InMemoryTableScan" in cname and include_cached:
             try:
                 walk(node.relation().cachedPlan())
             except Exception:
@@ -192,7 +200,7 @@ def _sql_metrics(node) -> dict[str, int]:
     return out
 
 
-def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
+def executed_shuffle_stats(df: DataFrame, include_cached: bool = True) -> dict[str, int]:
     """Measured shuffle totals of THIS DataFrame's finished execution,
     read from the executed plan's SQL metrics (the same accumulators the
     SparkListener bus publishes to the UI): summed ``shuffleRecordsWritten``
@@ -205,6 +213,12 @@ def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
 
     This is what turns "the LSH shuffle grows linearly" from a docstring
     claim into an executable assertion (tests/test_scale_rehearsal.py).
+
+    ``include_cached=False`` excludes exchanges nested inside cached
+    relations' build plans (frozen at materialization, re-reported
+    verbatim by every later execution that scans the cache) — the view
+    an iterative loop needs to measure what ONE sweep actually shuffles
+    (tests/test_scale_rehearsal_analytics.py pagerank no-broadcast law).
     """
     totals = {"shuffle_records": 0, "shuffle_bytes": 0, "exchanges": 0}
 
@@ -215,7 +229,7 @@ def executed_shuffle_stats(df: DataFrame) -> dict[str, int]:
             totals["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
             totals["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
 
-    _walk_executed_plan(df, visit)
+    _walk_executed_plan(df, visit, include_cached=include_cached)
     return totals
 
 

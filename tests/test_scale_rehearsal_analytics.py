@@ -335,3 +335,59 @@ def test_pagerank_sweep_shuffle_linear_in_edges(spark, tmp_path):
         f"PAGERANK-SCALE 1x: {s1} rec/{x1} exch; 8x: {s8} rec/{x8} exch; "
         f"growth {growth:.2f}x"
     )
+
+
+@pytest.mark.slow
+def test_pagerank_edges_stay_out_of_the_per_sweep_shuffle(spark, tmp_path):
+    """The loop-invariant relations (edges on src, base on node) persist
+    PRE-PARTITIONED on their sweep join keys (graph.py, the classifier
+    GD-loop pattern), so once sort-merge join engages — the 100 TB
+    regime, where |V| is far past any broadcast threshold — each sweep
+    re-shuffles only the checkpointed ranks (|V| rows, localCheckpoint
+    yields UnknownPartitioning) and the inflow partial aggregates, NOT
+    the |E|-row edge relation. Locally AQE broadcasts the tiny ranks
+    side and hides this entirely, so the test FORCES the at-scale join
+    shape by disabling broadcast and asserts per-sweep LIVE shuffled
+    records (sweep_stats' live_* view, which excludes the cached build
+    plans' frozen exchange metrics) stay well under |E|. Dropping either
+    repartition() in graph.py puts the edge relation back through the
+    shuffle every sweep and blows the bound."""
+    from hazelcast_jet_contrib_spark.operators.graph import pagerank
+
+    n_edges, n_nodes = 40_000, 500
+    path = str(tmp_path / "pr_edges_nobc")
+    spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("dst"),
+    ).write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    n_distinct = edges.distinct().count()
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        sweeps: list[dict] = []
+        pagerank(edges, iterations=3, sweep_stats=sweeps).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    per_sweep = max(s["live_shuffle_records"] for s in sweeps)
+    assert per_sweep < n_distinct // 2, (
+        f"per-sweep live shuffle {per_sweep} records vs {n_distinct} distinct "
+        f"edges: the edge relation is transiting the shuffle every sweep"
+    )
+    print(
+        f"PAGERANK-NOBC edges={n_distinct} per-sweep live shuffle={per_sweep} "
+        f"rec ({[s['live_shuffle_records'] for s in sweeps]})"
+    )
