@@ -602,6 +602,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node that appears in ``pairs``, where
     ``component`` is the minimum node id reachable through the pair
@@ -637,8 +638,15 @@ def connected_components(
     handle is taken from the DataFrame's own LogicalRDD, so nothing
     else's cache can be touched) once the next round has materialized —
     at any moment at most two label snapshots plus the edge relation
-    occupy executor storage, instead of max_iter snapshots waiting for
-    driver GC (asserted by test_cc_frees_superseded_checkpoints).
+    (checkpoint snapshot + its hash(v)-partitioned cache, the
+    space-for-shuffle trade) occupy executor storage, instead of
+    max_iter snapshots waiting for driver GC (asserted by
+    test_cc_frees_superseded_checkpoints).
+
+    ``round_stats``: diagnostic-only — pass a list to receive one
+    shuffle-stats dict per round (the pagerank ``sweep_stats`` shape,
+    including the ``live_*`` cache-excluded view); how the per-round
+    shuffle law is measured rather than claimed.
     """
     from pyspark import StorageLevel
 
@@ -655,6 +663,21 @@ def connected_components(
     )
     edges_h = _checkpoint_rdd_handle(edges)
     p.unpersist()
+    # The checkpoint cut the lineage but left UnknownPartitioning, so
+    # once sort-merge join engages (at scale, labels past any broadcast
+    # threshold) every round would re-shuffle the 2|E| edge rows. Cache
+    # them pre-partitioned on the round join key instead (the pagerank /
+    # classifier loop-invariant pattern, operators/graph.py): each round
+    # then re-shuffles only the |V|-row label relation and the min-label
+    # partial aggregates — O(1) passes of the edge relation through the
+    # shuffle system instead of O(rounds), measured under a forced
+    # no-broadcast plan in tests/test_scale_rehearsal_analytics.py. The
+    # checkpoint handle stays alive underneath the cache (the cache's
+    # shallow lineage recomputes from it if blocks are evicted); the
+    # extra edge copy is the standard space-for-shuffle trade and both
+    # are freed before return.
+    edges = edges.repartition("v").persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("l"))
@@ -672,16 +695,28 @@ def connected_components(
         )
         # one join carries both the new label and the old one, so the
         # convergence probe below doesn't need a second join per round
-        stepped = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.col("l").alias("old"),
-                F.least("l", F.coalesce("nl", "l")).alias("l"),
-            )
-            .localCheckpoint(eager=True)
+        stepped_plan = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.col("l").alias("old"),
+            F.least("l", F.coalesce("nl", "l")).alias("l"),
         )
+        stepped = stepped_plan.localCheckpoint(eager=True)
         stepped_h = _checkpoint_rdd_handle(stepped)
+        if round_stats is not None:
+            # diagnostic-only (the pagerank sweep_stats pattern): each
+            # round's executed-plan shuffle metrics, with the live_*
+            # view excluding the cached edge relation's frozen build
+            # exchanges — what THIS round actually shuffled
+            from hazelcast_jet_contrib_spark.plans.audit import (
+                executed_shuffle_stats,
+            )
+
+            stats = executed_shuffle_stats(stepped_plan)
+            live = executed_shuffle_stats(stepped_plan, include_cached=False)
+            stats["live_shuffle_records"] = live["shuffle_records"]
+            stats["live_shuffle_bytes"] = live["shuffle_bytes"]
+            stats["live_exchanges"] = live["exchanges"]
+            round_stats.append(stats)
         # the count runs against the already-materialized checkpoint
         # partitions — later rounds and the returned relation never
         # fall back to recomputing a deep lineage
@@ -694,7 +729,8 @@ def connected_components(
         if changed == 0:
             break
     # the returned relation reads only the final stepped checkpoint;
-    # the edge snapshot is dead weight past this point
+    # the edge cache and its backing snapshot are dead weight past here
+    edges.unpersist()
     if edges_h is not None:
         edges_h.unpersist(False)
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))

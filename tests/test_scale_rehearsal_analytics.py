@@ -391,3 +391,56 @@ def test_pagerank_edges_stay_out_of_the_per_sweep_shuffle(spark, tmp_path):
         f"PAGERANK-NOBC edges={n_distinct} per-sweep live shuffle={per_sweep} "
         f"rec ({[s['live_shuffle_records'] for s in sweeps]})"
     )
+
+
+@pytest.mark.slow
+def test_cc_edges_stay_out_of_the_per_round_shuffle(spark, tmp_path):
+    """Connected components' loop-invariant edge relation caches
+    pre-partitioned on the round join key (dedup.py, same trade as the
+    pagerank sweep), so under the at-scale join shape (broadcast
+    disabled — locally AQE broadcasts the tiny label side and hides
+    everything) each min-label round re-shuffles only the |V|-row label
+    relation and the aggregation partials, NOT the 2|E| edge rows.
+    Asserted through the round_stats live_* view; removing the
+    repartition+persist in connected_components puts the edges back
+    through the shuffle every round and blows the bound."""
+    from hazelcast_jet_contrib_spark.operators.dedup import connected_components
+
+    n_pairs, n_nodes = 30_000, 400
+    path = str(tmp_path / "cc_pairs_nobc")
+    spark.range(n_pairs).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("id_a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("id_b"),
+    ).write.mode("overwrite").parquet(path)
+    pairs = spark.read.parquet(path)
+    n_edges = 2 * pairs.count()  # both directions transit the loop
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rounds: list[dict] = []
+        connected_components(pairs, max_iter=4, round_stats=rounds).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert rounds, "expected at least one round"
+    per_round = max(r["live_shuffle_records"] for r in rounds)
+    assert per_round < n_edges // 2, (
+        f"per-round live shuffle {per_round} records vs {n_edges} directed "
+        f"edges: the edge relation is transiting the shuffle every round"
+    )
+    print(
+        f"CC-NOBC edges={n_edges} per-round live shuffle={per_round} rec "
+        f"({[r['live_shuffle_records'] for r in rounds]})"
+    )
