@@ -87,6 +87,8 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 10,
     iters: int = 2,
+    prepartition: bool = False,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Final assignment (id, cidx, dist) after `iters` Lloyd rounds from
     the deterministic k-lowest-id initialization.
@@ -102,23 +104,70 @@ def kmeans_lloyd(
     O(1) size per round, asserted by tests/test_dedup_similarity.py::
     test_kmeans_plan_size_is_iteration_invariant. Checkpointing the
     k-row side (not the assignment) keeps the materialization cost
-    negligible while still severing the recurrence."""
+    negligible while still severing the recurrence.
+
+    ``prepartition=True`` caches the points relation hash-partitioned
+    on id (the pagerank / connected-components loop-invariant pattern):
+    the recompute join (assign ⋈ points on id) then satisfies its
+    clustering from cache on BOTH sides — assign is a narrow map over
+    the same cached relation, so it inherits the partitioning — and
+    once sort-merge join engages (at scale, past any broadcast
+    threshold) each Lloyd round shuffles only the k·d mean partials
+    instead of the full |N|-row VECTOR relation twice. Value-neutral by
+    construction: kmeans_recompute's 9-dp mean rounding exists exactly
+    to erase partition-order accumulation differences (asserted by
+    tests/test_dedup_similarity.py). Default False — STAGED FLIP: the
+    registry query kmeans_cluster_profile is outside the round-13
+    re-prove window, so its plan flips to prepartition=True in round 14
+    (ROUND13_PLAN.md §Round-14), the mmr_rerank_multi precedent.
+
+    ``round_stats``: diagnostic-only — one shuffle-stats dict per Lloyd
+    round (the pagerank ``sweep_stats`` shape incl. the ``live_*``
+    cache-excluded view), measured off each round's centroid
+    recomputation; how the per-round law is measured rather than
+    claimed."""
     points = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    centroids = (
-        points.orderBy("id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("id")) - 1).alias("cidx"),
-            F.col("v").alias("c"),
+    if prepartition:
+        from pyspark import StorageLevel
+
+        points = points.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
+        points.count()
+    try:
+        centroids = (
+            points.orderBy("id")
+            .limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy("id")) - 1).alias("cidx"),
+                F.col("v").alias("c"),
+            )
         )
-    )
-    assign = kmeans_assign(points, centroids)
-    for _ in range(iters - 1):
-        centroids = kmeans_recompute(points, assign).localCheckpoint(eager=True)
         assign = kmeans_assign(points, centroids)
-    return assign
+        for _ in range(iters - 1):
+            recomputed = kmeans_recompute(points, assign)
+            centroids = recomputed.localCheckpoint(eager=True)
+            if round_stats is not None:
+                from hazelcast_jet_contrib_spark.plans.audit import (
+                    executed_shuffle_stats,
+                )
+
+                stats = executed_shuffle_stats(recomputed)
+                live = executed_shuffle_stats(recomputed, include_cached=False)
+                stats["live_shuffle_records"] = live["shuffle_records"]
+                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
+                stats["live_exchanges"] = live["exchanges"]
+                round_stats.append(stats)
+            assign = kmeans_assign(points, centroids)
+        if prepartition:
+            # materialize the returned assignment before the points
+            # cache releases, so callers never recompute the Lloyd
+            # chain against an unpersisted input
+            assign = assign.localCheckpoint(eager=True)
+        return assign
+    finally:
+        if prepartition:
+            points.unpersist()
 
 
 def semantic_dedup_pairs(

@@ -444,3 +444,68 @@ def test_cc_edges_stay_out_of_the_per_round_shuffle(spark, tmp_path):
         f"CC-NOBC edges={n_edges} per-round live shuffle={per_round} rec "
         f"({[r['live_shuffle_records'] for r in rounds]})"
     )
+
+
+@pytest.mark.slow
+def test_kmeans_prepartition_keeps_points_out_of_the_per_round_shuffle(
+    spark, tmp_path
+):
+    """STAGED for round 14 (kmeans_cluster_profile is outside the r13
+    re-prove window — the mmr_rerank_multi precedent): with
+    prepartition=True the Lloyd loop caches the points relation
+    hash-partitioned on id, so under the at-scale join shape (broadcast
+    disabled) each round's recompute join satisfies both sides from
+    cache and shuffles only the k*d mean partials — NOT the full |N|-row
+    vector relation twice. Also pins value-neutrality: the 9-dp mean
+    rounding absorbs partition-order accumulation, so both modes return
+    identical assignments."""
+    from hazelcast_jet_contrib_spark.operators.clustering import kmeans_lloyd
+
+    n, d = 4_000, 8
+    path = str(tmp_path / "km_points_nobc")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda p: (F.pmod(F.xxhash64(F.col("id"), p), F.lit(1000)) / 500.0 - 1.0),
+    )
+    spark.range(n).select(F.col("id").alias("doc_id"), vec.alias("emb")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    pts = spark.read.parquet(path)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rounds: list[dict] = []
+        pre = kmeans_lloyd(
+            pts, "doc_id", "emb", k=10, iters=3, prepartition=True,
+            round_stats=rounds,
+        ).collect()
+        plain = kmeans_lloyd(pts, "doc_id", "emb", k=10, iters=3).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # value-neutrality: identical assignments either way
+    key = lambda r: (r["id"], r["cidx"], round(r["dist"], 6))
+    assert sorted(map(key, pre)) == sorted(map(key, plain))
+
+    assert len(rounds) == 2
+    per_round = max(r["live_shuffle_records"] for r in rounds)
+    assert per_round < n, (
+        f"per-round live shuffle {per_round} records vs {n} points: the "
+        f"vector relation is transiting the recompute join's shuffle"
+    )
+    print(
+        f"KMEANS-NOBC points={n} per-round live shuffle={per_round} rec "
+        f"({[r['live_shuffle_records'] for r in rounds]})"
+    )
