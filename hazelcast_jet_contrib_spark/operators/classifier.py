@@ -75,11 +75,18 @@ def train_quality_classifier(
     iterations: int = 30,
     lr: float = 2.0,
     l2: float = 0.0,
+    round_stats: list | None = None,
 ) -> dict[int, float]:
     """Train logistic regression (full-batch GD) on labeled documents
     (``label_col``: 1 = keep-quality, 0 = reject). Returns the weight
     map {feature_idx: weight} (bias under BIAS_IDX) — pass it to
-    ``score_documents``."""
+    ``score_documents``.
+
+    ``round_stats``: diagnostic-only — one shuffle-stats dict per GD
+    iteration (the pagerank ``sweep_stats`` shape incl. the ``live_*``
+    cache-excluded view), measured off each iteration's gradient query;
+    how the one-exchange-per-iteration claim is measured rather than
+    claimed (tests/test_scale_rehearsal_analytics.py)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     from pyspark import StorageLevel
@@ -142,12 +149,23 @@ def train_quality_classifier(
             resid = margins.join(labels, "id").select(
                 "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r")
             )
-            grad_rows = (
+            grad_df = (
                 feats.join(resid, "id")
                 .groupBy("idx")
                 .agg((F.sum(F.col("val") * F.col("r")) / F.lit(float(n_docs))).alias("g"))
-                .collect()
             )
+            grad_rows = grad_df.collect()
+            if round_stats is not None:
+                from hazelcast_jet_contrib_spark.plans.audit import (
+                    executed_shuffle_stats,
+                )
+
+                stats = executed_shuffle_stats(grad_df)
+                live = executed_shuffle_stats(grad_df, include_cached=False)
+                stats["live_shuffle_records"] = live["shuffle_records"]
+                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
+                stats["live_exchanges"] = live["exchanges"]
+                round_stats.append(stats)
             for row in grad_rows:
                 idx, g = row["idx"], row["g"]
                 if l2 and idx != BIAS_IDX:

@@ -509,3 +509,70 @@ def test_kmeans_prepartition_keeps_points_out_of_the_per_round_shuffle(
         f"KMEANS-NOBC points={n} per-round live shuffle={per_round} rec "
         f"({[r['live_shuffle_records'] for r in rounds]})"
     )
+
+
+@pytest.mark.slow
+def test_classifier_iteration_pays_one_live_exchange(spark, tmp_path):
+    """The GD loop's one-exchange-per-iteration claim, measured under
+    the at-scale join shape (broadcast disabled; the weight relation is
+    explicitly broadcast so only the id-keyed joins are at stake): the
+    feature/label relations persist pre-partitioned on id, so each
+    iteration's margins groupBy(id), resid join(id) and gradient
+    join(id) all satisfy their clustering from cache, and the live
+    per-iteration shuffle is ONLY the groupBy(idx) gradient reduce —
+    bounded by partitions x touched vocabulary, far under the
+    |feature-rows| a re-shuffling loop would pay."""
+    from hazelcast_jet_contrib_spark.operators.classifier import (
+        featurize,
+        train_quality_classifier,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id"), p, F.col("label")), F.lit(200)).cast(
+                "string"
+            ),
+        ),
+    )
+    path = str(tmp_path / "clf_nobc")
+    spark.range(4_000).withColumn("label", (F.col("id") % 2).cast("int")).select(
+        F.col("id").alias("doc_id"), "label", F.concat_ws(" ", words).alias("text")
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    n_feat_rows = featurize(docs, "doc_id", "text", 1 << 10).count()
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rounds: list[dict] = []
+        train_quality_classifier(
+            docs, "label", num_features=1 << 10, iterations=3, lr=1.0,
+            round_stats=rounds,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert len(rounds) == 3
+    per_iter = max(r["live_shuffle_records"] for r in rounds)
+    assert per_iter < n_feat_rows // 2, (
+        f"per-iteration live shuffle {per_iter} records vs {n_feat_rows} "
+        f"feature rows: the feature relation is transiting the shuffle "
+        f"every iteration"
+    )
+    print(
+        f"CLF-NOBC feat_rows={n_feat_rows} per-iter live shuffle={per_iter} "
+        f"rec ({[r['live_shuffle_records'] for r in rounds]})"
+    )
