@@ -244,8 +244,16 @@ def minhash_lsh_pairs(
     agg = minhash_signatures(base, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     sig = agg
 
-    # 2. band keys from signature slices (multi-column xxhash64)
-    banded = band_keys(sig, num_hashes, bands)
+    # 2. band keys from signature slices (multi-column xxhash64),
+    # cached PRE-PARTITIONED on the bucket key: the candidate self-join
+    # below then satisfies BOTH sides' clustering from the same cached
+    # relation (and the optional bucket-cap aggregation + join elide
+    # their exchanges too) — ONE build exchange of the (id, band, bh)
+    # relation instead of one per join side per consumer. tracked_persist
+    # so long-lived sessions release it between stages (cache.py).
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    banded = tracked_persist(band_keys(sig, num_hashes, bands).repartition("band", "bh"))
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
     # 3. candidates: ids only through the join

@@ -528,3 +528,74 @@ def test_pq_topk_shuffle_is_corpus_size_independent(spark, tmp_path):
         f"1x shuffle={results['c1']['shuffle']} "
         f"8x shuffle={results['c8']['shuffle']} (ratio {shuffle_ratio:.2f})"
     )
+
+
+@pytest.mark.slow
+def test_lsh_banded_relation_shuffles_once_not_per_join_side(spark, tmp_path):
+    """The LSH candidate self-join reads the (id, band, bh) relation
+    cached PRE-PARTITIONED on the bucket key (dedup.py round 13), so
+    under the at-scale join shape (broadcast disabled) BOTH join sides
+    satisfy their clustering from the same cache: the banded relation
+    transits the shuffle ONCE at build instead of once per join side.
+    Measured live (cache-build exchanges excluded): pre-change this
+    corpus shuffled ~155k records over 5 exchanges per run; the cached
+    layout shuffles ~4k over 3. The bound asserts the banded relation's
+    |id x bands| rows (2 sides' worth) stay out of the live shuffle."""
+    from hazelcast_jet_contrib_spark.operators.dedup import minhash_lsh_pairs
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    n, bands = 2_000, 32
+    path = str(tmp_path / "lsh_nobc_docs")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(30)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id"), p), F.lit(300)).cast("string"),
+        ),
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id")).select(
+        "doc_id", F.concat_ws(" ", words).alias("text")
+    )
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    banded_rows = 2 * n_docs * bands  # what the two join sides would ship
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.6, num_hashes=64, bands=bands
+        )
+        rows = pairs.collect()
+        live = executed_shuffle_stats(pairs, include_cached=False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert len(rows) == n // 5, "planted near-dups must all surface"
+    assert live["shuffle_records"] < banded_rows // 4, (
+        f"live shuffle {live['shuffle_records']} records vs {banded_rows} "
+        f"banded join-side rows: the banded relation is transiting the "
+        f"candidate join's shuffle"
+    )
+    print(
+        f"LSH-NOBC docs={n_docs} banded_side_rows={banded_rows} "
+        f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
+    )
