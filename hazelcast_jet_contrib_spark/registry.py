@@ -211,11 +211,22 @@ _PRIORITY = [
     # re-proven now. Demand: exactly 50 — zero spare slots, zero new
     # registrations (registry at the 100 hard cap; r14 retirement
     # candidates pre-analyzed in ROUND13_PLAN.md). Order preserved
-    # from the round-12 demotion list. No registry query's
-    # implementation or oracle changes this round; the round's
-    # product-code edits (real_clients influx tz fix,
-    # fault_injection bug fixes + test wiring) are adapter/test
-    # boundary code with no registry caller (rule-c exemption,
+    # from the round-12 demotion list. No DEMOTED (r12-green) query's
+    # implementation or oracle changes this round; the round's plan
+    # changes touch ONLY in-window queries, which this rotation
+    # re-proves (the changed-query re-proof allowance, rule d; the
+    # round-12 classifier/salted-join precedent): the pagerank and
+    # connected-components loop-invariant pre-partitioning
+    # (pagerank_event_graph, neardup_clusters, neardup_keep_best),
+    # the LSH banded-relation cache (minhash_lsh_near_dup,
+    # curation_pipeline_end2end), and the classifier round_stats
+    # hook (classifier_holdout_accuracy, quality_ensemble_scores —
+    # default-off, plan-identical). The kmeans prepartition flip is
+    # STAGED for r14 because kmeans_cluster_profile is demoted
+    # (ROUND13_PLAN.md §Round-14). Other product-code edits
+    # (real_clients influx tz fix, fault_injection bug fixes + test
+    # wiring, audit include_cached) are adapter/test/diagnostic
+    # boundary code with no registry-plan effect (rule-c exemption,
     # rationale in ROUND13_PLAN.md).
     "webdataset_roundtrip",
     "neardup_keep_best",
