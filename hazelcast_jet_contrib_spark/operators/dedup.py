@@ -634,8 +634,13 @@ def connected_components(
     round's plan from the materialized label partitions: plan size is
     O(1) per round (asserted by
     tests/test_dedup_similarity.py::test_cc_plan_size_is_iteration_invariant).
-    Edges are checkpointed once too — the pair detector upstream is the
-    expensive part and must not be re-planned (or re-run) per round.
+    Edges are materialized once too — cached PRE-PARTITIONED on the
+    round join key (persist, not checkpoint: InMemoryRelation preserves
+    the hash(v) partitioning a checkpoint would erase), so the
+    expensive upstream pair detector never re-runs per round AND the
+    per-round join satisfies its edge-side clustering from cache once
+    sort-merge join engages at scale (measured,
+    tests/test_scale_rehearsal_analytics.py).
     Swap localCheckpoint for checkpoint() on a reliable FS when
     executor loss must be survivable mid-computation. The convergence
     check is an aggregate over the checkpointed step (no driver-side
@@ -645,9 +650,8 @@ def connected_components(
     checkpoint blocks are freed deterministically (the checkpoint RDD
     handle is taken from the DataFrame's own LogicalRDD, so nothing
     else's cache can be touched) once the next round has materialized —
-    at any moment at most two label snapshots plus the edge relation
-    (checkpoint snapshot + its hash(v)-partitioned cache, the
-    space-for-shuffle trade) occupy executor storage, instead of
+    at any moment at most two label snapshots plus the hash(v)-
+    partitioned edge cache occupy executor storage, instead of
     max_iter snapshots waiting for driver GC (asserted by
     test_cc_frees_superseded_checkpoints).
 
@@ -664,28 +668,29 @@ def connected_components(
     p = pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # ONE materialization for the loop-invariant edge relation, cached
+    # PRE-PARTITIONED on the round join key (the pagerank / classifier
+    # loop-invariant pattern, operators/graph.py): once sort-merge join
+    # engages (at scale, labels past any broadcast threshold) each round
+    # then re-shuffles only the |V|-row label relation and the min-label
+    # partial aggregates, never the 2|E| edge rows — O(1) passes of the
+    # edge relation through the shuffle system instead of O(rounds),
+    # measured under a forced no-broadcast plan in
+    # tests/test_scale_rehearsal_analytics.py. persist (not the label
+    # loop's localCheckpoint) because InMemoryRelation PRESERVES the
+    # hash(v) partitioning a checkpoint would erase, and it equally
+    # stops per-round re-execution of the expensive upstream pair
+    # detector — whose logical plan is loop-INVARIANT, so re-analyzing
+    # it per round is constant planning cost, unlike the label lineage
+    # the loop must checkpoint to stop compounding.
     edges = (
         p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .localCheckpoint(eager=True)
+        .repartition("v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges_h = _checkpoint_rdd_handle(edges)
-    p.unpersist()
-    # The checkpoint cut the lineage but left UnknownPartitioning, so
-    # once sort-merge join engages (at scale, labels past any broadcast
-    # threshold) every round would re-shuffle the 2|E| edge rows. Cache
-    # them pre-partitioned on the round join key instead (the pagerank /
-    # classifier loop-invariant pattern, operators/graph.py): each round
-    # then re-shuffles only the |V|-row label relation and the min-label
-    # partial aggregates — O(1) passes of the edge relation through the
-    # shuffle system instead of O(rounds), measured under a forced
-    # no-broadcast plan in tests/test_scale_rehearsal_analytics.py. The
-    # checkpoint handle stays alive underneath the cache (the cache's
-    # shallow lineage recomputes from it if blocks are evicted); the
-    # extra edge copy is the standard space-for-shuffle trade and both
-    # are freed before return.
-    edges = edges.repartition("v").persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
+    p.unpersist()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("l"))
@@ -737,10 +742,8 @@ def connected_components(
         if changed == 0:
             break
     # the returned relation reads only the final stepped checkpoint;
-    # the edge cache and its backing snapshot are dead weight past here
+    # the edge cache is dead weight past this point
     edges.unpersist()
-    if edges_h is not None:
-        edges_h.unpersist(False)
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
 
 
