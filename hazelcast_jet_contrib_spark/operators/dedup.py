@@ -395,12 +395,21 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    prepartition_bands: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance <= max_hamming. Banding over
     `bands` equal bit-slices guarantees exact recall when
     max_hamming < bands (pigeonhole: some band must match exactly), so
     the cross-corpus join only happens inside identical-band buckets.
-    Output (id_a, id_b, hamming)."""
+    Output (id_a, id_b, hamming).
+
+    ``prepartition_bands=True`` caches the banded relation
+    hash-partitioned on the bucket key so the candidate self-join (and
+    the optional bucket cap) satisfy their clustering from the same
+    cache — one build exchange instead of one per join side, the
+    minhash_lsh_pairs round-13 pattern. Default OFF — STAGED for the
+    round-14 window (the registered simhash queries are r12-green,
+    ROUND13_PLAN.md §Round-14)."""
     if max_hamming >= bands:
         raise ValueError("exact recall requires max_hamming < bands")
     if 64 % bands:
@@ -424,6 +433,10 @@ def simhash_pairs(
     banded = sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs")
     )
+    if prepartition_bands:
+        from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+        banded = tracked_persist(banded.repartition("band", "bs"))
     banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -489,6 +502,7 @@ def simhash128_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    prepartition_bands: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with 128-bit SimHash distance <= max_hamming —
     same pigeonhole-exact banding as `simhash_pairs`, but each band
@@ -497,7 +511,10 @@ def simhash128_pairs(
     form's 4·C(n,2)/2¹⁶ to 4·C(n,2)/2³² — a 65,536× reduction that
     keeps the in-bucket join linear well past 10⁹ documents (measured:
     tests/test_dedup_similarity.py chance-collision comparison).
-    Output (id_a, id_b, hamming)."""
+    Output (id_a, id_b, hamming).
+
+    ``prepartition_bands``: see `simhash_pairs` — the staged round-14
+    cached-clustering flip for the candidate self-join."""
     if max_hamming >= bands:
         raise ValueError("exact recall requires max_hamming < bands")
     if 128 % bands or 64 % (128 // bands):
@@ -525,6 +542,10 @@ def simhash128_pairs(
         "id", "sig0", "sig1",
         F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs"),
     )
+    if prepartition_bands:
+        from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+        banded = tracked_persist(banded.repartition("band", "bs"))
     banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = hamming_distance(F.col("a.sig0"), F.col("b.sig0")) + hamming_distance(

@@ -599,3 +599,81 @@ def test_lsh_banded_relation_shuffles_once_not_per_join_side(spark, tmp_path):
         f"LSH-NOBC docs={n_docs} banded_side_rows={banded_rows} "
         f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
     )
+
+
+@pytest.mark.slow
+def test_simhash128_prepartition_bands_shuffles_once_not_per_join_side(
+    spark, tmp_path
+):
+    """STAGED for round 14 (the registered simhash queries are r12-green
+    and outside the r13 re-prove window): simhash128_pairs(
+    prepartition_bands=True) caches the banded relation hash-partitioned
+    on the bucket key, so under the at-scale join shape (broadcast
+    disabled) the candidate self-join satisfies both sides from the
+    same cache — the banded |id x bands| rows transit the shuffle once
+    at build instead of once per join side. Also pins equality with the
+    default path."""
+    from hazelcast_jet_contrib_spark.operators.dedup import simhash128_pairs
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    n, bands = 2_000, 4
+    path = str(tmp_path / "sh128_nobc_docs")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(30)),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id"), p), F.lit(300)).cast("string"),
+        ),
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id")).select(
+        "doc_id", F.concat_ws(" ", words).alias("text")
+    )
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    banded_rows = 2 * n_docs * bands
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        pre = simhash128_pairs(
+            docs, "doc_id", "text", max_hamming=3, bands=bands,
+            prepartition_bands=True,
+        )
+        pre_rows = pre.collect()
+        live = executed_shuffle_stats(pre, include_cached=False)
+        plain_rows = simhash128_pairs(
+            docs, "doc_id", "text", max_hamming=3, bands=bands
+        ).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    assert sorted(map(key, pre_rows)) == sorted(map(key, plain_rows))
+    assert pre_rows, "planted near-dups must surface"
+    assert live["shuffle_records"] < banded_rows // 4, (
+        f"live shuffle {live['shuffle_records']} records vs {banded_rows} "
+        f"banded join-side rows: the banded relation is transiting the "
+        f"candidate join's shuffle"
+    )
+    print(
+        f"SIMHASH128-NOBC docs={n_docs} banded_side_rows={banded_rows} "
+        f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
+    )
