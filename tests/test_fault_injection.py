@@ -184,6 +184,39 @@ def test_counter_never_reuses_numbers_across_processes(tmp_path):
     assert fi._next_call(d, "op") == 4
 
 
+def test_counter_is_race_free_under_concurrent_claims(tmp_path):
+    """RACING claims (what concurrent Spark tasks actually do — the
+    cross-process test above only proves sequential resumption): 8
+    workers each claim 50 numbers with interleaved timing; every claim
+    must be unique and the union must be exactly 1..400. Each worker
+    clears the shared in-process memo entry before claiming, so the
+    memo fast-path and the O_CREAT|O_EXCL slow path race for real."""
+    import threading
+
+    d = str(tmp_path / "s")
+    claims: list[list[int]] = [[] for _ in range(8)]
+    errors: list[Exception] = []
+
+    def worker(i):
+        try:
+            for _ in range(50):
+                # adversarial: drop the memo so workers re-scan and
+                # collide on the tick files, not just increment memos
+                fi._LAST_CLAIMED.pop((d, "op"), None)
+                claims[i].append(fi._next_call(d, "op"))
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    flat = [n for c in claims for n in c]
+    assert sorted(flat) == list(range(1, 401))
+
+
 # ---------------------------------------------------------------------------
 # the proxies
 # ---------------------------------------------------------------------------
