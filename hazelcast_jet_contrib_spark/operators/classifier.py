@@ -157,15 +157,10 @@ def train_quality_classifier(
             grad_rows = grad_df.collect()
             if round_stats is not None:
                 from hazelcast_jet_contrib_spark.plans.audit import (
-                    executed_shuffle_stats,
+                    executed_shuffle_stats_with_live,
                 )
 
-                stats = executed_shuffle_stats(grad_df)
-                live = executed_shuffle_stats(grad_df, include_cached=False)
-                stats["live_shuffle_records"] = live["shuffle_records"]
-                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
-                stats["live_exchanges"] = live["exchanges"]
-                round_stats.append(stats)
+                round_stats.append(executed_shuffle_stats_with_live(grad_df))
             for row in grad_rows:
                 idx, g = row["idx"], row["g"]
                 if l2 and idx != BIAS_IDX:

@@ -133,8 +133,12 @@ def kmeans_lloyd(
         from pyspark import StorageLevel
 
         points = points.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
-        points.count()
+    # the materializing count sits INSIDE the try: a failure while
+    # building the cache must not orphan the persisted relation
+    # (the pagerank/CC loop-abort discipline, VERDICT r08 item 8)
     try:
+        if prepartition:
+            points.count()
         centroids = (
             points.orderBy("id")
             .limit(k)
@@ -149,15 +153,10 @@ def kmeans_lloyd(
             centroids = recomputed.localCheckpoint(eager=True)
             if round_stats is not None:
                 from hazelcast_jet_contrib_spark.plans.audit import (
-                    executed_shuffle_stats,
+                    executed_shuffle_stats_with_live,
                 )
 
-                stats = executed_shuffle_stats(recomputed)
-                live = executed_shuffle_stats(recomputed, include_cached=False)
-                stats["live_shuffle_records"] = live["shuffle_records"]
-                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
-                stats["live_exchanges"] = live["exchanges"]
-                round_stats.append(stats)
+                round_stats.append(executed_shuffle_stats_with_live(recomputed))
             assign = kmeans_assign(points, centroids)
         if prepartition:
             # materialize the returned assignment before the points

@@ -238,10 +238,12 @@ def minhash_lsh_pairs(
     # → 128-way min aggregation runs ONCE instead of per branch. The
     # cached relation is per-id (128 longs + the hashed shingle set) —
     # orders of magnitude smaller than the corpus text, and it spills to
-    # disk rather than OOMing on wide documents.
-    from pyspark import StorageLevel
+    # disk rather than OOMing on wide documents. tracked_persist (not a
+    # bare persist) so release_tracked() can free it between pipeline
+    # stages in a long-lived session, same as the banded relation below.
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
 
-    agg = minhash_signatures(base, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    agg = tracked_persist(minhash_signatures(base, num_hashes))
     sig = agg
 
     # 2. band keys from signature slices (multi-column xxhash64),
@@ -251,8 +253,6 @@ def minhash_lsh_pairs(
     # their exchanges too) — ONE build exchange of the (id, band, bh)
     # relation instead of one per join side per consumer. tracked_persist
     # so long-lived sessions release it between stages (cache.py).
-    from hazelcast_jet_contrib_spark.cache import tracked_persist
-
     banded = tracked_persist(band_keys(sig, num_hashes, bands).repartition("band", "bh"))
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
 
@@ -313,13 +313,13 @@ def minhash_decontaminate(
     up to the (1-threshold^2)^bands escape probability (4e-13 at the
     defaults) — the verification Jaccard itself is exact.
     """
-    from pyspark import StorageLevel
-
     base_c = _shingle_sets(corpus, id_col, text_col, shingle_words)
     base_p = _shingle_sets(probes, id_col, text_col, shingle_words)
     # corpus aggregate feeds banding + verification: persist like
     # minhash_lsh_pairs so the scan -> explode -> min-agg runs once
-    agg_c = minhash_signatures(base_c, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    agg_c = tracked_persist(minhash_signatures(base_c, num_hashes))
     agg_p = minhash_signatures(base_p, num_hashes)
 
     bands_c = band_keys(agg_c, num_hashes, bands)
@@ -414,15 +414,15 @@ def simhash_pairs(
         raise ValueError("exact recall requires max_hamming < bands")
     if 64 % bands:
         raise ValueError("bands must divide 64")
-    from pyspark import StorageLevel
-
     width = 64 // bands
     mask = (1 << width) - 1
     # persist: both sides of the in-bucket self-join (plus the optional
     # bucket-size cap) read the signature relation — cache the tiny
     # (id, long) result rather than re-running tokenize + 64 vote sums
     # per consumer
-    sig = simhash_signature(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    sig = tracked_persist(simhash_signature(df, id_col, text_col))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -434,8 +434,6 @@ def simhash_pairs(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs")
     )
     if prepartition_bands:
-        from hazelcast_jet_contrib_spark.cache import tracked_persist
-
         banded = tracked_persist(banded.repartition("band", "bs"))
     banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -519,14 +517,12 @@ def simhash128_pairs(
         raise ValueError("exact recall requires max_hamming < bands")
     if 128 % bands or 64 % (128 // bands):
         raise ValueError("bands must divide 128 into word-aligned slices")
-    from pyspark import StorageLevel
-
     width = 128 // bands
     per_word = 64 // width  # band slices per 64-bit word
     mask = (1 << width) - 1 if width < 64 else -1
-    sig = simhash_signature128(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    sig = tracked_persist(simhash_signature128(df, id_col, text_col))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -543,8 +539,6 @@ def simhash128_pairs(
         F.col("bb.band").alias("band"), F.col("bb.bs").alias("bs"),
     )
     if prepartition_bands:
-        from hazelcast_jet_contrib_spark.cache import tracked_persist
-
         banded = tracked_persist(banded.repartition("band", "bs"))
     banded = _cap_buckets(banded, ["band", "bs"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -710,62 +704,70 @@ def connected_components(
         .repartition("v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.count()
-    p.unpersist()
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("l"))
-        .select("u", F.least("u", "l").alias("l"))
-        .localCheckpoint(eager=True)
-    )
-    labels_h = _checkpoint_rdd_handle(labels)
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("lv").alias("nl"))
+    # try/finally from the first action on: a failure in ANY job of the
+    # loop (executor loss, bad input surfacing lazily in edges.count()
+    # or a round's checkpoint) must not orphan the persisted pair/edge
+    # relations in a long-lived session — the same loop-abort
+    # discipline pagerank (graph.py) and the classifier GD loop follow
+    # (VERDICT r08 item 8).
+    try:
+        edges.count()
+        p.unpersist()
+        labels = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("l"))
+            .select("u", F.least("u", "l").alias("l"))
+            .localCheckpoint(eager=True)
         )
-        # one join carries both the new label and the old one, so the
-        # convergence probe below doesn't need a second join per round
-        stepped_plan = labels.join(neighbor_min, "u", "left").select(
-            "u",
-            F.col("l").alias("old"),
-            F.least("l", F.coalesce("nl", "l")).alias("l"),
-        )
-        stepped = stepped_plan.localCheckpoint(eager=True)
-        stepped_h = _checkpoint_rdd_handle(stepped)
-        if round_stats is not None:
-            # diagnostic-only (the pagerank sweep_stats pattern): each
-            # round's executed-plan shuffle metrics, with the live_*
-            # view excluding the cached edge relation's frozen build
-            # exchanges — what THIS round actually shuffled
-            from hazelcast_jet_contrib_spark.plans.audit import (
-                executed_shuffle_stats,
+        labels_h = _checkpoint_rdd_handle(labels)
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("lv").alias("nl"))
             )
+            # one join carries both the new label and the old one, so the
+            # convergence probe below doesn't need a second join per round
+            stepped_plan = labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.col("l").alias("old"),
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+            )
+            stepped = stepped_plan.localCheckpoint(eager=True)
+            stepped_h = _checkpoint_rdd_handle(stepped)
+            if round_stats is not None:
+                # diagnostic-only (the pagerank sweep_stats pattern): each
+                # round's executed-plan shuffle metrics, with the live_*
+                # view excluding the cached edge relation's frozen build
+                # exchanges — what THIS round actually shuffled
+                from hazelcast_jet_contrib_spark.plans.audit import (
+                    executed_shuffle_stats_with_live,
+                )
 
-            stats = executed_shuffle_stats(stepped_plan)
-            live = executed_shuffle_stats(stepped_plan, include_cached=False)
-            stats["live_shuffle_records"] = live["shuffle_records"]
-            stats["live_shuffle_bytes"] = live["shuffle_bytes"]
-            stats["live_exchanges"] = live["exchanges"]
-            round_stats.append(stats)
-        # the count runs against the already-materialized checkpoint
-        # partitions — later rounds and the returned relation never
-        # fall back to recomputing a deep lineage
-        changed = stepped.filter(F.col("l") != F.col("old")).count()
-        # stepped is fully materialized now, so the previous round's
-        # snapshot can never be read again — free its blocks
-        if labels_h is not None:
-            labels_h.unpersist(False)
-        labels, labels_h = stepped.select("u", "l"), stepped_h
-        if changed == 0:
-            break
-    # the returned relation reads only the final stepped checkpoint;
-    # the edge cache is dead weight past this point
-    edges.unpersist()
-    return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+                round_stats.append(executed_shuffle_stats_with_live(stepped_plan))
+            # the count runs against the already-materialized checkpoint
+            # partitions — later rounds and the returned relation never
+            # fall back to recomputing a deep lineage
+            changed = stepped.filter(F.col("l") != F.col("old")).count()
+            # stepped is fully materialized now, so the previous round's
+            # snapshot can never be read again — free its blocks
+            if labels_h is not None:
+                labels_h.unpersist(False)
+            labels, labels_h = stepped.select("u", "l"), stepped_h
+            if changed == 0:
+                break
+        # the returned relation reads only the final stepped checkpoint;
+        # the edge cache is dead weight past this point (released in finally)
+        return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+    finally:
+        for df_ in (edges, p):
+            try:
+                df_.unpersist()
+            except Exception:
+                pass
+
 
 
 

@@ -224,18 +224,10 @@ def pagerank(
             last_cp = checkpoint_rdd_handle(ranks)
             if sweep_stats is not None and not is_init:
                 from hazelcast_jet_contrib_spark.plans.audit import (
-                    executed_shuffle_stats,
+                    executed_shuffle_stats_with_live,
                 )
 
-                stats = executed_shuffle_stats(prev)
-                # the live_* view excludes the cached build plans'
-                # frozen exchange metrics (re-reported by every sweep
-                # that scans the cache): what THIS sweep shuffled
-                live = executed_shuffle_stats(prev, include_cached=False)
-                stats["live_shuffle_records"] = live["shuffle_records"]
-                stats["live_shuffle_bytes"] = live["shuffle_bytes"]
-                stats["live_exchanges"] = live["exchanges"]
-                sweep_stats.append(stats)
+                sweep_stats.append(executed_shuffle_stats_with_live(prev))
             is_init = False
             # Total rank sitting on dangling nodes: a one-row aggregate of
             # the CHECKPOINTED relation, broadcast into the sweep — no
@@ -279,15 +271,10 @@ def pagerank(
             last_cp.unpersist(False)
         if sweep_stats is not None:
             from hazelcast_jet_contrib_spark.plans.audit import (
-                executed_shuffle_stats,
+                executed_shuffle_stats_with_live,
             )
 
-            stats = executed_shuffle_stats(final)
-            live = executed_shuffle_stats(final, include_cached=False)
-            stats["live_shuffle_records"] = live["shuffle_records"]
-            stats["live_shuffle_bytes"] = live["shuffle_bytes"]
-            stats["live_exchanges"] = live["exchanges"]
-            sweep_stats.append(stats)
+            sweep_stats.append(executed_shuffle_stats_with_live(final))
     finally:
         base_df = locals().get("base")
         for df in (e, nodes) + ((base_df,) if base_df is not None else ()):

@@ -160,35 +160,46 @@ def _walk_executed_plan(df: DataFrame, visit, include_cached: bool = True) -> No
     otherwise indistinguishable from this execution's own, so a loop
     that re-reads a cache every iteration sees the same constant build
     contribution in every per-iteration measurement — excluding it
-    isolates the shuffles THIS execution actually performed."""
+    isolates the shuffles THIS execution actually performed.
+
+    ``visit`` may optionally accept a third positional argument: True
+    when the node sits inside a cached relation's build plan (lets one
+    traversal produce both the total and the live view —
+    ``executed_shuffle_stats_with_live``)."""
+    import inspect
+
     jvm = df.sparkSession._jvm
     seen: set[int] = set()
+    wants_cached_flag = len(inspect.signature(visit).parameters) >= 3
 
-    def walk(node) -> None:
+    def walk(node, in_cached: bool) -> None:
         i = jvm.System.identityHashCode(node)
         if i in seen:
             return
         seen.add(i)
         cname = node.getClass().getSimpleName()
         if cname.startswith("AdaptiveSparkPlan"):
-            walk(node.executedPlan())
+            walk(node.executedPlan(), in_cached)
             return
         if "QueryStage" in cname:
-            walk(node.plan())
+            walk(node.plan(), in_cached)
             return
         if "ReusedExchange" in cname:
             return
-        visit(cname, node)
+        if wants_cached_flag:
+            visit(cname, node, in_cached)
+        else:
+            visit(cname, node)
         if "InMemoryTableScan" in cname and include_cached:
             try:
-                walk(node.relation().cachedPlan())
+                walk(node.relation().cachedPlan(), True)
             except Exception:
                 pass
         ch = node.children()
         for k in range(ch.size()):
-            walk(ch.apply(k))
+            walk(ch.apply(k), in_cached)
 
-    walk(df._jdf.queryExecution().executedPlan())
+    walk(df._jdf.queryExecution().executedPlan(), False)
 
 
 def _sql_metrics(node) -> dict[str, int]:
@@ -230,6 +241,40 @@ def executed_shuffle_stats(df: DataFrame, include_cached: bool = True) -> dict[s
             totals["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
 
     _walk_executed_plan(df, visit, include_cached=include_cached)
+    return totals
+
+
+def executed_shuffle_stats_with_live(df: DataFrame) -> dict[str, int]:
+    """Both shuffle views from ONE plan traversal: the
+    ``executed_shuffle_stats`` totals plus ``live_*`` keys that exclude
+    exchanges nested inside cached relations' build plans (frozen at
+    materialization, re-reported verbatim by every later execution that
+    scans the cache). The shape every iterative operator's
+    round/sweep-stats diagnostic appends (pagerank, connected
+    components, kmeans, the classifier GD loop)."""
+    totals = {
+        "shuffle_records": 0,
+        "shuffle_bytes": 0,
+        "exchanges": 0,
+        "live_shuffle_records": 0,
+        "live_shuffle_bytes": 0,
+        "live_exchanges": 0,
+    }
+
+    def visit(cname, node, in_cached):
+        if "ShuffleExchange" in cname:
+            m = _sql_metrics(node)
+            rec = int(m.get("shuffleRecordsWritten", 0))
+            byt = int(m.get("shuffleBytesWritten", 0))
+            totals["exchanges"] += 1
+            totals["shuffle_records"] += rec
+            totals["shuffle_bytes"] += byt
+            if not in_cached:
+                totals["live_exchanges"] += 1
+                totals["live_shuffle_records"] += rec
+                totals["live_shuffle_bytes"] += byt
+
+    _walk_executed_plan(df, visit)
     return totals
 
 

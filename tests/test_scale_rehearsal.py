@@ -588,6 +588,13 @@ def test_lsh_banded_relation_shuffles_once_not_per_join_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     assert len(rows) == n // 5, "planted near-dups must all surface"
     assert live["shuffle_records"] < banded_rows // 4, (
@@ -664,6 +671,13 @@ def test_simhash128_prepartition_bands_shuffles_once_not_per_join_side(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
     assert sorted(map(key, pre_rows)) == sorted(map(key, plain_rows))

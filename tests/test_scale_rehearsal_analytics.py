@@ -381,6 +381,13 @@ def test_pagerank_edges_stay_out_of_the_per_sweep_shuffle(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     per_sweep = max(s["live_shuffle_records"] for s in sweeps)
     assert per_sweep < n_distinct // 2, (
@@ -433,6 +440,13 @@ def test_cc_edges_stay_out_of_the_per_round_shuffle(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     assert rounds, "expected at least one round"
     per_round = max(r["live_shuffle_records"] for r in rounds)
@@ -494,6 +508,13 @@ def test_kmeans_prepartition_keeps_points_out_of_the_per_round_shuffle(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     # value-neutrality: identical assignments either way
     key = lambda r: (r["id"], r["cidx"], round(r["dist"], 6))
@@ -564,6 +585,13 @@ def test_classifier_iteration_pays_one_live_exchange(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        # release what the operator cached: a lingering InMemoryRelation
+        # changes LATER tests' plans in this session-scoped fixture (the
+        # same cross-query nondeterminism plan_report.py had to fix)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
 
     assert len(rounds) == 3
     per_iter = max(r["live_shuffle_records"] for r in rounds)

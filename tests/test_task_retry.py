@@ -11,8 +11,9 @@ partition descriptors are pure filter documents — it does).
 
 That mechanism is invisible at ``local[N]`` (task maxFailures=1: the
 first failure kills the job), so these tests run a subprocess driver on
-``local[4,2]`` — 4 threads, 2 attempts per task, the local-mode spelling
-of the cluster default ``spark.task.maxFailures`` — and schedule faults
+``local[4,2]`` — 4 threads, 2 attempts per task (local mode defaults to
+1 attempt; clusters default to ``spark.task.maxFailures=4`` — 2 is the
+cheapest setting that exercises a retry) — and schedule faults
 into the injected pymongo stub's cursor:
 
 1. **mid-stream cursor death** (action=error: half the response stream
