@@ -116,10 +116,10 @@ def kmeans_lloyd(
     instead of the full |N|-row VECTOR relation twice. Value-neutral by
     construction: kmeans_recompute's 9-dp mean rounding exists exactly
     to erase partition-order accumulation differences (asserted by
-    tests/test_dedup_similarity.py). Default False — STAGED FLIP: the
-    registry query kmeans_cluster_profile is outside the round-13
-    re-prove window, so its plan flips to prepartition=True in round 14
-    (ROUND13_PLAN.md §Round-14), the mmr_rerank_multi precedent.
+    tests/test_dedup_similarity.py). Default False for parameter
+    stability, but the registry query kmeans_cluster_profile runs with
+    it ON since round 14 (staged r13, flipped inside the r14 re-prove
+    window — ROUND14_PLAN.md item 1, the mmr_rerank_multi precedent).
 
     ``round_stats``: diagnostic-only — one shuffle-stats dict per Lloyd
     round (the pagerank ``sweep_stats`` shape incl. the ``live_*``

@@ -228,6 +228,14 @@ def minhash_lsh_pairs(
     other 63 bands unless the cluster floods those too — at which point
     dropping is the sane behavior; dedup the exact-duplicate cluster
     with dedup_exact first).
+
+    Cache lifetime: this operator leaves TWO tracked persisted
+    relations alive after returning (the per-id signature aggregate and
+    the pre-partitioned banded relation) so the returned lazy frame can
+    execute without rebuilding them. Long-lived sessions that run many
+    pipeline stages should call ``cache.release_tracked()`` (or
+    ``spark.catalog.clearCache()``) between stages, or the caches
+    accumulate (ADVICE r13 #4).
     """
     base = _shingle_sets(df, id_col, text_col, shingle_words)
 
@@ -407,9 +415,11 @@ def simhash_pairs(
     hash-partitioned on the bucket key so the candidate self-join (and
     the optional bucket cap) satisfy their clustering from the same
     cache — one build exchange instead of one per join side, the
-    minhash_lsh_pairs round-13 pattern. Default OFF — STAGED for the
-    round-14 window (the registered simhash queries are r12-green,
-    ROUND13_PLAN.md §Round-14)."""
+    minhash_lsh_pairs round-13 pattern (19,200 banded rows → 12 live
+    records under forced SMJ, tests/test_scale_rehearsal.py). Default
+    False for parameter stability, but the registered simhash queries
+    run with it ON since round 14 (staged r13, flipped inside the r14
+    re-prove window — ROUND14_PLAN.md item 1)."""
     if max_hamming >= bands:
         raise ValueError("exact recall requires max_hamming < bands")
     if 64 % bands:
@@ -511,8 +521,9 @@ def simhash128_pairs(
     tests/test_dedup_similarity.py chance-collision comparison).
     Output (id_a, id_b, hamming).
 
-    ``prepartition_bands``: see `simhash_pairs` — the staged round-14
-    cached-clustering flip for the candidate self-join."""
+    ``prepartition_bands``: see `simhash_pairs` — the cached-clustering
+    single-shuffle path for the candidate self-join (registry call
+    sites run it ON since round 14)."""
     if max_hamming >= bands:
         raise ValueError("exact recall requires max_hamming < bands")
     if 128 % bands or 64 % (128 // bands):
@@ -666,9 +677,12 @@ def connected_components(
     handle is taken from the DataFrame's own LogicalRDD, so nothing
     else's cache can be touched) once the next round has materialized —
     at any moment at most two label snapshots plus the hash(v)-
-    partitioned edge cache occupy executor storage, instead of
-    max_iter snapshots waiting for driver GC (asserted by
-    test_cc_frees_superseded_checkpoints).
+    partitioned edge cache and the pinned input pair cache occupy
+    executor storage, instead of max_iter snapshots waiting for driver
+    GC (asserted by test_cc_frees_superseded_checkpoints). The pair
+    cache is held for the loop's whole duration so lost edge blocks
+    recompute from a pinned snapshot, not from a possibly
+    nondeterministic upstream detector (ADVICE r13 #1).
 
     ``round_stats``: diagnostic-only — pass a list to receive one
     shuffle-stats dict per round (the pagerank ``sweep_stats`` shape,
@@ -712,7 +726,13 @@ def connected_components(
     # (VERDICT r08 item 8).
     try:
         edges.count()
-        p.unpersist()
+        # p stays persisted for the WHOLE loop (released in finally), not
+        # unpersisted here: if edge cache blocks are lost mid-loop
+        # (executor loss at cluster scale), rounds recompute edges from
+        # this pinned snapshot instead of silently re-running a possibly
+        # nondeterministic upstream pair detector (ADVICE r13 #1). The
+        # cost is one extra cached copy of the (id_a, id_b) pair
+        # relation — small next to the 2|E| edge cache it backs.
         labels = (
             edges.groupBy("u")
             .agg(F.min("v").alias("l"))

@@ -170,7 +170,13 @@ def _walk_executed_plan(df: DataFrame, visit, include_cached: bool = True) -> No
 
     jvm = df.sparkSession._jvm
     seen: set[int] = set()
-    wants_cached_flag = len(inspect.signature(visit).parameters) >= 3
+    try:
+        wants_cached_flag = len(inspect.signature(visit).parameters) >= 3
+    except (ValueError, TypeError):
+        # some callables (builtins, certain partials) have no
+        # introspectable signature — degrade to the 2-arg protocol
+        # instead of failing inside the walk (ADVICE r13 #2)
+        wants_cached_flag = False
 
     def walk(node, in_cached: bool) -> None:
         i = jvm.System.identityHashCode(node)

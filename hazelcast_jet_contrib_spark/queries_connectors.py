@@ -81,7 +81,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    pairs = simhash_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+    # prepartition_bands=True (flipped r14 with the live simhash128 row;
+    # staged+proven r13): the banded relation is built and shuffled once,
+    # not once per join side (tests/test_scale_rehearsal.py).
+    pairs = simhash_pairs(
+        aug, "doc_id", "text", max_hamming=3, bands=4, prepartition_bands=True
+    )
     planted = pairs.filter(
         (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
     )
@@ -453,7 +458,12 @@ def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    pairs = simhash128_pairs(aug, "doc_id", "text", max_hamming=3, bands=4)
+    # prepartition_bands=True (flipped r14, staged+proven r13): single
+    # banded-relation build + shuffle — 19,200 banded rows → 12 live
+    # records under forced SMJ (tests/test_scale_rehearsal.py).
+    pairs = simhash128_pairs(
+        aug, "doc_id", "text", max_hamming=3, bands=4, prepartition_bands=True
+    )
     planted = pairs.filter(
         (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
     )

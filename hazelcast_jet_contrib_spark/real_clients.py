@@ -891,8 +891,324 @@ def paho_publish_fn(
     return publish
 
 
+def mqtt_topic_matches(topic_filter: str, topic: str) -> bool:
+    """MQTT topic-filter matching (the broker-side rule the source's
+    wildcard subscriptions rely on, MqttSourceBuilder.java:52-60):
+    ``+`` matches exactly one level, ``#`` matches the remainder (and
+    must be the last level), and — per the MQTT 3.1.1 spec §4.7.2 — a
+    filter starting with a wildcard does not match ``$``-prefixed
+    system topics."""
+    flevels = topic_filter.split("/")
+    # structural validation FIRST (not short-circuited by a literal
+    # mismatch): '#' may only be the final level, and wildcards must
+    # occupy a whole level (MQTT 3.1.1 §4.7.1)
+    for i, f in enumerate(flevels):
+        if f == "#" and i != len(flevels) - 1:
+            raise ValueError(f"'#' must be the last level: {topic_filter!r}")
+        if f not in ("+", "#") and ("+" in f or "#" in f):
+            raise ValueError(f"wildcard must occupy a whole level: {topic_filter!r}")
+    if topic.startswith("$") and topic_filter[:1] in ("+", "#"):
+        return False
+    tlevels = topic.split("/")
+    for i, f in enumerate(flevels):
+        if f == "#":
+            return True
+        if i >= len(tlevels):
+            return False
+        if f != "+" and f != tlevels[i]:
+            return False
+    return len(tlevels) == len(flevels)
+
+
+def mqtt_stream_name(topic: str) -> str:
+    """Reversible, filesystem-safe stream-directory name for a concrete
+    topic (topics contain ``/``; message-log streams are directories)."""
+    from urllib.parse import quote
+
+    return quote(topic, safe="")
+
+
+def mqtt_topic_of_stream(stream: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(stream)
+
+
+class PahoSubscribeSource:
+    """Live subscribe-side MQTT source: a real Paho client subscribes to
+    wildcard topic filters with per-topic QoS and spools arriving
+    messages into a message-log directory that Spark then consumes with
+    the acked reader — callback → bounded queue → spool → ``readStream``
+    (the SURVEY §7 push-source pattern, same as the webhook listener).
+
+    Reference parity (MqttSourceBuilder.java:42-180,
+    Subscription.java:85-127, impl/SourceContext.java:58-124):
+
+    - ``subscriptions`` is a list of ``(topic_filter, qos)`` pairs —
+      filters may contain ``+``/``#`` wildcards and each carries its own
+      QoS 0/1/2, the ``Subscription.of(topic, qualityOfService)``
+      surface. All filters subscribe in ONE ``client.subscribe`` call,
+      exactly like SourceContext.connectComplete's topics[]/qos[] arrays.
+    - Re-subscribe happens inside the (re)connect callback, so a broker
+      restart re-establishes every subscription (the autoReconnect
+      contract, AbstractMqttSourceTest.java:73-104); paho's network
+      loop performs the reconnect itself with
+      ``reconnect_delay_set(reconnect_min, reconnect_max)`` backoff.
+    - ``keep_session=True`` connects with ``clean_session=False`` so the
+      broker keeps subscription state and redelivers unacknowledged
+      QoS>=1 messages across disconnects (MqttSources.java:47-52
+      keep-session semantics). At-least-once end-to-end: duplicates are
+      absorbed downstream by the idempotent-sink discipline, as in the
+      reference where Jet replays regardless.
+    - The arrival queue is BOUNDED at ``queue_capacity`` (the
+      reference's ``ArrayBlockingQueue(CAPACITY=1024)``,
+      SourceContext.java:70) and the message callback BLOCKS when it is
+      full (``queue.put``) — backpressure propagates into paho's
+      network thread and from there to the broker's in-flight window,
+      the same stall-the-producer shape as the reference. A stalled
+      network loop also stalls keepalive pings, so size the queue and
+      flusher for the expected burst rate; the flusher drains to disk
+      (append-only jsonl segments), which is orders of magnitude faster
+      than any broker delivers.
+
+    Spool records carry the full message surface: ``key`` = concrete
+    topic, ``value`` = payload (UTF-8, surrogateescape), ``properties``
+    = {qos, retain, dup, topic}, ``event_time`` = arrival epoch millis
+    (MQTT 3.1.1 has no producer timestamp — ingestion-time policy,
+    SURVEY §2.7). One spool stream per concrete topic
+    (:func:`mqtt_stream_name`), so Spark's per-stream partitioning and
+    the acked reader's per-topic QoS map apply directly.
+
+    Scale note: one adapter instance is a single MQTT session — the
+    parallelism-one half of the reference source. Fan out by running
+    one adapter per shared-subscription member ($share/...) or per
+    disjoint filter set, each with its own spool root; the Spark side
+    reads any number of spool roots in parallel.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        spool_root: str,
+        subscriptions: list[tuple[str, int]],
+        port: int = 1883,
+        client_id: str = "sg-source",
+        username: str | None = None,
+        password: str | None = None,
+        tls: MqttTls | None = None,
+        keepalive: int = 60,
+        keep_session: bool = True,
+        queue_capacity: int = 1024,
+        flush_records: int = 256,
+        flush_seconds: float = 0.25,
+        reconnect_min: float = 0.5,
+        reconnect_max: float = 30.0,
+        mqtt_module: Any | None = None,
+    ) -> None:
+        if not subscriptions:
+            raise ValueError("at least one (topic_filter, qos) subscription")
+        for tf, qos in subscriptions:
+            if qos not in (0, 1, 2):
+                raise ValueError(f"QoS must be 0/1/2, got {qos!r} for {tf!r}")
+            # validate the filter eagerly (misplaced '#' raises here,
+            # not in the broker's CONNACK/SUBACK path)
+            mqtt_topic_matches(tf, "probe")
+        self.host, self.port = host, port
+        self.spool_root = spool_root
+        self.subscriptions = list(subscriptions)
+        self.client_id = client_id
+        self.username, self.password = username, password
+        self.tls, self.keepalive = tls, keepalive
+        self.keep_session = keep_session
+        self.flush_records = flush_records
+        self.flush_seconds = flush_seconds
+        self.reconnect_min, self.reconnect_max = reconnect_min, reconnect_max
+        self._mqtt_module = mqtt_module
+        import queue as _queue
+
+        self._queue: Any = _queue.Queue(maxsize=queue_capacity)
+        self._client: Any = None
+        self._flusher: Any = None
+        self._stop: Any = None
+        #: observability counters: connects (incl. reconnects),
+        #: resubscribes attempted/failed, messages received/spooled
+        self.stats = {
+            "connects": 0,
+            "resubscribes": 0,
+            "subscribe_errors": 0,
+            "received": 0,
+            "spooled": 0,
+        }
+
+    # -- callbacks (accept both paho 1.x and 2.x signatures) ----------
+
+    def _on_connect(self, client: Any, *args: Any, **kwargs: Any) -> None:
+        """(Re)connect → re-subscribe EVERY filter with its QoS in one
+        call (SourceContext.connectComplete parity). A failed subscribe
+        drops the connection so paho's reconnect backoff retries it —
+        the source never sits connected-but-unsubscribed."""
+        self.stats["connects"] += 1
+        try:
+            client.subscribe([(tf, qos) for tf, qos in self.subscriptions])
+            self.stats["resubscribes"] += 1
+        except Exception:
+            self.stats["subscribe_errors"] += 1
+            try:
+                client.disconnect()  # let the loop's backoff retry
+            except Exception:
+                pass
+
+    def _on_message(self, client: Any, userdata: Any, msg: Any) -> None:
+        import time
+
+        payload = msg.payload
+        if isinstance(payload, (bytes, bytearray)):
+            payload = bytes(payload).decode("utf-8", "surrogateescape")
+        rec = {
+            "key": msg.topic,
+            "value": payload,
+            "properties": {
+                "qos": str(int(getattr(msg, "qos", 0))),
+                "retain": "1" if getattr(msg, "retain", False) else "0",
+                "dup": "1" if getattr(msg, "dup", False) else "0",
+                "topic": msg.topic,
+            },
+            "event_time": int(time.time() * 1000),
+        }
+        # BLOCKING put — the bounded-queue backpressure contract
+        self._queue.put(rec)
+        self.stats["received"] += 1
+
+    # -- spool flusher ------------------------------------------------
+
+    def _drain_once(self) -> int:
+        """Drain up to flush_records pending messages into per-topic
+        spool segments; returns how many were spooled."""
+        import queue as _queue
+
+        batch: list[dict] = []
+        try:
+            batch.append(self._queue.get(timeout=self.flush_seconds))
+            while len(batch) < self.flush_records:
+                batch.append(self._queue.get_nowait())
+        except _queue.Empty:
+            pass
+        if not batch:
+            return 0
+        from hazelcast_jet_contrib_spark.streaming.message_log import append_segment
+
+        by_topic: dict[str, list[dict]] = {}
+        for r in batch:
+            by_topic.setdefault(r["key"], []).append(r)
+        for topic, recs in by_topic.items():
+            append_segment(self.spool_root, mqtt_stream_name(topic), recs)
+        self.stats["spooled"] += len(batch)
+        return len(batch)
+
+    def _flush_loop(self) -> None:
+        while not self._stop.is_set():
+            self._drain_once()
+        while self._drain_once():  # final drain after stop
+            pass
+
+    # -- lifecycle ----------------------------------------------------
+
+    def start(self) -> "PahoSubscribeSource":
+        import threading
+
+        mqtt = (
+            self._mqtt_module
+            if self._mqtt_module is not None
+            else _require("paho.mqtt.client", "paho-mqtt")
+        )
+        api_version = getattr(mqtt, "CallbackAPIVersion", None)
+        kwargs = {"client_id": self.client_id, "clean_session": not self.keep_session}
+        if api_version is not None:
+            c = mqtt.Client(api_version.VERSION2, **kwargs)
+        else:
+            c = mqtt.Client(**kwargs)
+        if self.username is not None:
+            c.username_pw_set(self.username, self.password)
+        if self.tls is not None:
+            self.tls.apply(c)
+        c.on_connect = self._on_connect
+        c.on_message = self._on_message
+        if hasattr(c, "reconnect_delay_set"):
+            c.reconnect_delay_set(
+                min_delay=self.reconnect_min, max_delay=self.reconnect_max
+            )
+        self._stop = threading.Event()
+        self._flusher = threading.Thread(
+            target=self._flush_loop, name="mqtt-spool-flusher", daemon=True
+        )
+        self._flusher.start()
+        c.connect(self.host, self.port, self.keepalive)
+        c.loop_start()
+        self._client = c
+        return self
+
+    def stop(self) -> None:
+        c, self._client = self._client, None
+        if c is not None:
+            try:
+                c.loop_stop()
+                c.disconnect()
+            except Exception:
+                pass
+        if self._stop is not None:
+            self._stop.set()
+            self._flusher.join(timeout=30)
+
+    # -- Spark side ---------------------------------------------------
+
+    def qos_for_topic(self, topic: str) -> int:
+        """Granted QoS for a concrete topic = max over matching filters
+        (a broker grants per-subscription; when several overlap it may
+        deliver at the highest granted QoS — we classify the stream at
+        that ceiling, the conservative at-least-once choice)."""
+        granted = [q for tf, q in self.subscriptions if mqtt_topic_matches(tf, topic)]
+        if not granted:
+            raise ValueError(f"topic {topic!r} matches no subscription filter")
+        return max(granted)
+
+    def reader_options(self, subscription: str = "spark") -> dict:
+        """Options for the acked message-log reader, ready to splat:
+        ``spark.readStream.format("acked_message_log")
+        .options(**src.reader_options())`` — the spool root, a
+        subscription name, and the per-stream QoS map derived from the
+        filters for every topic spooled SO FAR. Topics that first appear
+        later fall back to ``qos`` = the minimum subscribed QoS — still
+        a granted level, and for QoS>=1 filters it keeps commit-time
+        acking, so the keep-session redelivery contract never silently
+        downgrades to at-most-once."""
+        import glob as _glob
+        import json as _json
+        import os
+
+        topic_qos = {}
+        for d in sorted(_glob.glob(os.path.join(self.spool_root, "*"))):
+            if os.path.isdir(d):
+                stream = os.path.basename(d)
+                try:
+                    topic_qos[stream] = self.qos_for_topic(
+                        mqtt_topic_of_stream(stream)
+                    )
+                except ValueError:
+                    continue
+        return {
+            "path": self.spool_root,
+            "subscription": subscription,
+            "qos": str(min(q for _, q in self.subscriptions)),
+            "topicQos": _json.dumps(topic_qos),
+        }
+
+
 __all__ = [
     "MqttTls",
+    "PahoSubscribeSource",
+    "mqtt_stream_name",
+    "mqtt_topic_matches",
+    "mqtt_topic_of_stream",
     "hash_search_fn",
     "influx_epoch_ns",
     "influx_flux_records",

@@ -202,92 +202,27 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 13
+_ROTATION_ROUND = 14
 _PRIORITY = [
-    # --- round-13 rotation (window = exactly 50; plan in
-    # ROUND13_PLAN.md, written BEFORE the build). CORRECTNESS_r12
-    # proved the round-12 priority set 50/50 hash-green; the 50
-    # r11-green demoted queries age past the 2-round contract unless
+    # --- round-14 rotation (window = exactly 50; plan in
+    # ROUND14_PLAN.md, written BEFORE the build). CORRECTNESS_r13
+    # proved the round-13 priority set 50/50 hash-green; the 50
+    # r12-green demoted queries age past the 2-round contract unless
     # re-proven now. Demand: exactly 50 — zero spare slots, zero new
-    # registrations (registry at the 100 hard cap; r14 retirement
-    # candidates pre-analyzed in ROUND13_PLAN.md). Order preserved
-    # from the round-12 demotion list. No DEMOTED (r12-green) query's
-    # implementation or oracle changes this round; the round's plan
-    # changes touch ONLY in-window queries, which this rotation
-    # re-proves (the changed-query re-proof allowance, rule d; the
-    # round-12 classifier/salted-join precedent): the pagerank and
-    # connected-components loop-invariant pre-partitioning
-    # (pagerank_event_graph, neardup_clusters, neardup_keep_best),
-    # the LSH banded-relation cache (minhash_lsh_near_dup,
-    # curation_pipeline_end2end), and the classifier round_stats
-    # hook (classifier_holdout_accuracy, quality_ensemble_scores —
-    # default-off, plan-identical). The kmeans prepartition flip is
-    # STAGED for r14 because kmeans_cluster_profile is demoted
-    # (ROUND13_PLAN.md §Round-14). Other product-code edits
-    # (real_clients influx tz fix, fault_injection bug fixes + test
-    # wiring, audit include_cached) are adapter/test/diagnostic
-    # boundary code with no registry-plan effect (rule-c exemption,
-    # rationale in ROUND13_PLAN.md).
-    "webdataset_roundtrip",
-    "neardup_keep_best",
-    "pagerank_event_graph",
-    "bpe_encode_pinned",
-    "minhash_index_probe",
-    "classifier_holdout_accuracy",
-    "bm25_topk_multi_docs",
-    "rrf_fusion_hybrid",
-    "quality_ensemble_scores",
-    "leakage_safe_split_census",
-    "cohort_retention_weekly",
-    "corpus_mix_to_target",
-    "bigram_lm_quality",
-    "znorm_subseq_topk",
-    "training_shards_roundtrip",
-    "curation_pipeline_end2end",
-    "minhash_lsh_near_dup",
-    "neardup_clusters",
-    "semantic_dedup_pairs",
-    "decontamination_near_dup",
-    "ivf_recall_at_nprobe",
-    "doc_chunking_overlap",
-    "tfidf_salient_terms",
-    "asof_last_purchase_before_click",
-    "range_join_value_bands",
-    "window_session_30m",
-    "window_sliding_12h",
-    "text_quality_scores",
-    "token_length_profile",
-    "rolling_running_total",
-    "paged_rest_parts",
-    "dedup_exact_keepfirst",
-    "q2_min_cost_supplier",
-    "q4_priority_with_returns",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_concentrated_suppliers",
-    "q21_waiting_suppliers",
-    "service_token_stats",
-    "pack_token_budget_shards",
-    "ngram_vocab_top100",
-    "pii_redaction_stats",
-    "contamination_ngram_overlap",
-    "repetition_dup_ngrams",
-    "snapshot_diff_statuses",
-    "json_props_extraction",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r12 (the full round-12 priority window: the
-    # new salted-join registration, the two plan-flipped queries, and
-    # the 47 then-aging r10-green queries — 3 + 47 = 50; the round-12
-    # comment's "46" was a miscount, ADVICE r12 #3), implementation
-    # and oracle untouched since. 50 entries -> the round-14 window
-    # holds them all exactly (zero spare slots; registry at cap, any
-    # r14 registration needs a retirement first — candidates in
-    # ROUND13_PLAN.md §Round-14).
+    # registrations (cap freed to 99 by the minhash_index_probe
+    # retirement, but a registration would also need a WINDOW slot,
+    # i.e. a retirement from THIS aging set — r15 headroom analysis in
+    # ROUND14_PLAN.md §Round-15). Order preserved from the round-13
+    # demotion list. In-window plan changes this round (re-proven by
+    # this window under rule d, the r12/r13 precedent): the two
+    # round-13 STAGED scale-plan flips — kmeans_cluster_profile now
+    # runs kmeans_lloyd(prepartition=True) (clustering.py) and
+    # simhash128_near_dup runs prepartition_bands=True (dedup.py);
+    # value-neutrality + forced-no-broadcast shuffle laws were pinned
+    # in round 13 (test_scale_rehearsal*.py) before the flip. No
+    # DEMOTED (r13-green) query's implementation or oracle changes
+    # this round; out-of-window perf work (minhash_lsh cache-format
+    # staging) is default-off for r15 (ROUND14_PLAN.md item 4).
     "salted_join_priority_revenue",
     "mmr_rerank_diverse",
     "kmeans_cluster_profile",
@@ -339,6 +274,64 @@ _DEMOTED = [
     "hash64_distinct_customers",
     "hll_customers_accuracy",
 ]
+_DEMOTED = [
+    # green in CORRECTNESS_r13 (the full round-13 priority window)
+    # minus minhash_index_probe, retired this round (reason at its
+    # @retired_query site in queries_dedup.py; pre-analyzed in
+    # ROUND13_PLAN.md §Round-14). 49 entries -> the round-15 window
+    # holds them all with ONE spare slot — the first since round 11 —
+    # matching the one free cap slot (registry at 99); candidate uses
+    # pre-analyzed in ROUND14_PLAN.md §Round-15.
+    "webdataset_roundtrip",
+    "neardup_keep_best",
+    "pagerank_event_graph",
+    "bpe_encode_pinned",
+    "classifier_holdout_accuracy",
+    "bm25_topk_multi_docs",
+    "rrf_fusion_hybrid",
+    "quality_ensemble_scores",
+    "leakage_safe_split_census",
+    "cohort_retention_weekly",
+    "corpus_mix_to_target",
+    "bigram_lm_quality",
+    "znorm_subseq_topk",
+    "training_shards_roundtrip",
+    "curation_pipeline_end2end",
+    "minhash_lsh_near_dup",
+    "neardup_clusters",
+    "semantic_dedup_pairs",
+    "decontamination_near_dup",
+    "ivf_recall_at_nprobe",
+    "doc_chunking_overlap",
+    "tfidf_salient_terms",
+    "asof_last_purchase_before_click",
+    "range_join_value_bands",
+    "window_session_30m",
+    "window_sliding_12h",
+    "text_quality_scores",
+    "token_length_profile",
+    "rolling_running_total",
+    "paged_rest_parts",
+    "dedup_exact_keepfirst",
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    "service_token_stats",
+    "pack_token_budget_shards",
+    "ngram_vocab_top100",
+    "pii_redaction_stats",
+    "contamination_ngram_overlap",
+    "repetition_dup_ngrams",
+    "snapshot_diff_statuses",
+    "json_props_extraction",
+]
 
 # ---------------------------------------------------------------------------
 # EAGER: queries whose registered callable executes work the RETURNED
@@ -375,7 +368,6 @@ _DEMOTED = [
 # collect; this map only makes the audit table honest about WHICH plans
 # are partial views.
 EAGER: dict[str, str] = {
-    "minhash_index_probe": "local-k",
     "minhash_index_lifecycle": "local-k",
     "bm25_topk_multi_docs": "local-k",
     "rrf_fusion_hybrid": "local-k",

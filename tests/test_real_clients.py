@@ -374,9 +374,6 @@ class _Coll:
             if _match(d, query or {})
         ]
         fd = self._client._fault_dir
-        if not fd:
-            yield from docs
-            return
         # READ-side faults carry mid-stream semantics a call-boundary
         # wrapper can't express, so consume the schedule via next_fault
         # instead of apply_fault:
@@ -386,28 +383,39 @@ class _Coll:
         #   latency     -> slow-loris: the whole response is delayed
         #   timeout     -> half-open connection: no documents, then
         #                  TimeoutError
-        from hazelcast_jet_contrib_spark.fault_injection import next_fault
+        # The schedule slot is claimed EAGERLY here at the find() call —
+        # not lazily at first cursor iteration — so call numbering
+        # matches call order even when a caller opens several cursors
+        # before consuming any (ADVICE r13 #3); the returned generator
+        # closes over the claimed spec.
+        f = None
+        if fd:
+            from hazelcast_jet_contrib_spark.fault_injection import next_fault
 
-        f = next_fault(fd, "find")
-        if f is None:
-            yield from docs
-            return
-        import time as _time
+            f = next_fault(fd, "find")
 
-        action = f["action"]
-        if action == "latency":
-            _time.sleep(float(f.get("seconds", 0.05)))
+        def cursor():
+            if f is None:
+                yield from docs
+                return
+            import time as _time
+
+            action = f["action"]
+            if action == "latency":
+                _time.sleep(float(f.get("seconds", 0.05)))
+                yield from docs
+                return
+            if action == "timeout":
+                _time.sleep(float(f.get("seconds", 0.05)))
+                raise TimeoutError("find: half-open connection (injected)")
+            if action == "error":
+                for d in docs[: len(docs) // 2]:
+                    yield d
+                raise ConnectionError("find: cursor died mid-stream (injected)")
             yield from docs
-            return
-        if action == "timeout":
-            _time.sleep(float(f.get("seconds", 0.05)))
-            raise TimeoutError("find: half-open connection (injected)")
-        if action == "error":
-            for d in docs[: len(docs) // 2]:
-                yield d
-            raise ConnectionError("find: cursor died mid-stream (injected)")
-        yield from docs
-        raise ConnectionError("find: cursor close failed (injected)")
+            raise ConnectionError("find: cursor close failed (injected)")
+
+        return cursor()
 
     def _write(self, docs, ordered):
         p = os.path.join(

@@ -44,6 +44,8 @@ EXPECTED_RETIRED = {
     "media_image_features",
     "q14_promo_effect",
     "parts_never_bulk_ordered",
+    # round-14 retirement (ROUND14_PLAN.md / ROUND13_PLAN.md §Round-14)
+    "minhash_index_probe",
 }
 
 
