@@ -612,8 +612,8 @@ def test_lsh_banded_relation_shuffles_once_not_per_join_side(spark, tmp_path):
 def test_simhash128_prepartition_bands_shuffles_once_not_per_join_side(
     spark, tmp_path
 ):
-    """STAGED for round 14 (the registered simhash queries are r12-green
-    and outside the r13 re-prove window): simhash128_pairs(
+    """The shipping default since round 14 (staged r13, flipped at the
+    registry call sites inside the r14 re-prove window): simhash128_pairs(
     prepartition_bands=True) caches the banded relation hash-partitioned
     on the bucket key, so under the at-scale join shape (broadcast
     disabled) the candidate self-join satisfies both sides from the

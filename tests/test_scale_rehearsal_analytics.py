@@ -464,8 +464,9 @@ def test_cc_edges_stay_out_of_the_per_round_shuffle(spark, tmp_path):
 def test_kmeans_prepartition_keeps_points_out_of_the_per_round_shuffle(
     spark, tmp_path
 ):
-    """STAGED for round 14 (kmeans_cluster_profile is outside the r13
-    re-prove window — the mmr_rerank_multi precedent): with
+    """The shipping default since round 14 (staged r13 while
+    kmeans_cluster_profile sat outside the r13 re-prove window — the
+    mmr_rerank_multi precedent; flipped at the registry call site): with
     prepartition=True the Lloyd loop caches the points relation
     hash-partitioned on id, so under the at-scale join shape (broadcast
     disabled) each round's recompute join satisfies both sides from
