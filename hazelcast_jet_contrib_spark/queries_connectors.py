@@ -925,3 +925,151 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("fields")["bin"], "utf-8").alias("text"),
         F.octet_length(F.col("fields")["bin"]).cast("long").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 — live subscribe-side MQTT adapter, driver-proven (round 14)
+# ---------------------------------------------------------------------------
+
+
+class _MqttStubAPIVersion:
+    VERSION2 = "v2"
+
+
+class _MqttStubClient:
+    """In-process broker stand-in for the registry row: drives the REAL
+    adapter callbacks (the same surface a live paho client fires from
+    its network loop). Driver-side only — never pickled."""
+
+    def __init__(self):
+        self.on_connect = None
+        self.on_message = None
+        self.subscribed = None
+
+    def username_pw_set(self, u, p):  # pragma: no cover - unused by the row
+        pass
+
+    def reconnect_delay_set(self, min_delay=1, max_delay=120):
+        pass
+
+    def connect(self, host, port, keepalive):
+        self.on_connect(self, None, {}, 0, None)
+
+    def subscribe(self, pairs):
+        self.subscribed = list(pairs)
+
+    def deliver(self, topic, payload, qos):
+        class _M:
+            pass
+
+        m = _M()
+        m.topic, m.payload, m.qos, m.retain, m.dup = topic, payload, qos, False, False
+        self.on_message(self, None, m)
+
+    def loop_start(self):
+        pass
+
+    def loop_stop(self):
+        pass
+
+    def disconnect(self):
+        pass
+
+
+class _MqttStubModule:
+    CallbackAPIVersion = _MqttStubAPIVersion
+
+    def __init__(self):
+        self.clients = []
+
+    def Client(self, callback_api_version=None, client_id="", clean_session=True):
+        c = _MqttStubClient()
+        self.clients.append(c)
+        return c
+
+
+@query(
+    "mqtt_subscribe_spool_roundtrip",
+    oracle="""
+    SELECT 'events/' || event_type AS topic,
+           COUNT(*) AS n_msgs,
+           ROUND(SUM(value), 3) AS sum_value
+    FROM events
+    WHERE event_id % 97 = 0
+    GROUP BY 1
+    """,
+)
+def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14's subscribe side driver-proven end-to-end through the LIVE
+    adapter's glue (real_clients.PahoSubscribeSource — the exact
+    callback → bounded-queue → flusher → spool code a real paho client
+    drives; MqttSourceBuilder.java:42-180, Subscription.java:85-127,
+    impl/SourceContext.java:58-124): a bounded fixture subset of the
+    events table (event_id % 97 — ~1k messages at sf0.1, the k-bounded
+    collect discipline) publishes through an in-process broker stub
+    into the adapter's real on_message callback, one topic per event
+    type under a wildcard ``events/#`` QoS-1 subscription; the flusher
+    spools per-topic message-log segments; Spark reads the spooled
+    segments back (distributed jsonl scan over the per-topic stream
+    dirs) and aggregates per topic. The aggregate hash-matches the
+    same SQL over events iff no message was lost, duplicated,
+    re-keyed, or mis-topiced anywhere in the callback → queue → spool
+    → read path. Scale: the adapter is the parallelism-one half of the
+    reference source (one MQTT session); the spool read and aggregate
+    are ordinary distributed scans — see real_clients.py's scale note
+    on fanning out via shared subscriptions."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from hazelcast_jet_contrib_spark.real_clients import PahoSubscribeSource
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    spool = tempfile.mkdtemp(prefix="mqtt_spool_q_")
+    try:
+        mod = _MqttStubModule()
+        src = PahoSubscribeSource(
+            "fixture-broker",
+            spool,
+            [("events/#", 1)],
+            client_id="sg-driver-row",
+            flush_seconds=0.02,
+            mqtt_module=mod,
+        ).start()
+        try:
+            c = mod.clients[0]
+            assert c.subscribed == [("events/#", 1)]
+            for r in rows:
+                c.deliver(
+                    f"events/{r['event_type']}",
+                    _json.dumps({"event_id": r["event_id"], "value": r["value"]}),
+                    1,
+                )
+        finally:
+            src.stop()  # final drain flushes every queued message
+        agg = (
+            spark.read.schema("key string, value string")
+            .json(os.path.join(spool, "*", "*.jsonl"))
+            .select(
+                F.col("key").alias("topic"),
+                F.get_json_object("value", "$.value").cast("double").alias("v"),
+            )
+            .groupBy("topic")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.round(F.sum("v"), 3).alias("sum_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["topic"], r["n_msgs"], r["sum_value"]) for r in agg],
+        "topic string, n_msgs long, sum_value double",
+    )

@@ -487,8 +487,17 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "winnowing_shared_overlap",
+    reason=(
+        "r14: the shared-fingerprint self-join over the winnowed relation is "
+        "subsumed by winnowing_fingerprints (same selective-fingerprint "
+        "relation, driver-proven) + crossdoc_dup_blocks (the same "
+        "shared-hash join shape with a stronger block-reconstruction "
+        "oracle); retired to free the r14 window slot for "
+        "mqtt_subscribe_spool_roundtrip (ROUND14_PLAN.md §Mid-round "
+        "amendment, pre-authorized in ROUND13_PLAN.md §Round-14)."
+    ),
     oracle="""
     WITH aug AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 50

@@ -208,11 +208,15 @@ _PRIORITY = [
     # ROUND14_PLAN.md, written BEFORE the build). CORRECTNESS_r13
     # proved the round-13 priority set 50/50 hash-green; the 50
     # r12-green demoted queries age past the 2-round contract unless
-    # re-proven now. Demand: exactly 50 — zero spare slots, zero new
-    # registrations (cap freed to 99 by the minhash_index_probe
-    # retirement, but a registration would also need a WINDOW slot,
-    # i.e. a retirement from THIS aging set — r15 headroom analysis in
-    # ROUND14_PLAN.md §Round-15). Order preserved from the round-13
+    # re-proven now. Demand: 49 of the 50 r12-green (the 50th,
+    # winnowing_shared_overlap, retired this round — reason at its
+    # @retired_query site) + ONE new registration in the freed window
+    # slot: mqtt_subscribe_spool_roundtrip, which drives the round-14
+    # live MQTT subscribe adapter end-to-end in the driver gate
+    # (ROUND14_PLAN.md §Mid-round amendment; the window-slot-via-
+    # retirement move ROUND13_PLAN.md §Round-14 pre-authorized).
+    # minhash_index_probe also retired (r13-green — frees cap only).
+    # Order preserved from the round-13
     # demotion list. In-window plan changes this round (re-proven by
     # this window under rule d, the r12/r13 precedent): the two
     # round-13 STAGED scale-plan flips — kmeans_cluster_profile now
@@ -236,7 +240,7 @@ _PRIORITY = [
     "media_phash_near_dup",
     "simhash128_near_dup",
     "winnowing_fingerprints",
-    "winnowing_shared_overlap",
+    "mqtt_subscribe_spool_roundtrip",
     "crossdoc_dup_blocks",
     "unigram_lm_quality",
     "temperature_resample_by_lang",
@@ -375,6 +379,7 @@ EAGER: dict[str, str] = {
     "ivf_pq_probe_exact_topk": "local-k",
     "training_shards_roundtrip": "eager-export",
     "webdataset_roundtrip": "eager-export",
+    "mqtt_subscribe_spool_roundtrip": "eager-export",
     "kmeans_cluster_profile": "lineage-cut",
     "pagerank_event_graph": "lineage-cut",
     "neardup_clusters": "lineage-cut",

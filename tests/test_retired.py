@@ -44,8 +44,9 @@ EXPECTED_RETIRED = {
     "media_image_features",
     "q14_promo_effect",
     "parts_never_bulk_ordered",
-    # round-14 retirement (ROUND14_PLAN.md / ROUND13_PLAN.md §Round-14)
+    # round-14 retirements (ROUND14_PLAN.md / ROUND13_PLAN.md §Round-14)
     "minhash_index_probe",
+    "winnowing_shared_overlap",
 }
 
 
