@@ -1142,8 +1142,17 @@ class PahoSubscribeSource:
             target=self._flush_loop, name="mqtt-spool-flusher", daemon=True
         )
         self._flusher.start()
-        c.connect(self.host, self.port, self.keepalive)
-        c.loop_start()
+        try:
+            c.connect(self.host, self.port, self.keepalive)
+            c.loop_start()
+        except Exception:
+            # a failed initial connect must not leak the flusher thread:
+            # the caller retries start() (the reference restarts the
+            # processor on a failed SourceContext connect) and each
+            # attempt owns exactly one flusher
+            self._stop.set()
+            self._flusher.join(timeout=30)
+            raise
         self._client = c
         return self
 

@@ -201,6 +201,37 @@ def test_subscribe_source_one_subscribe_call_all_filters_with_qos(tmp_path):
     assert not mod.clients[0].looping
 
 
+def test_failed_initial_connect_does_not_leak_the_flusher(tmp_path):
+    """A broker-down start() raises to the caller (the reference
+    restarts the processor on a failed SourceContext connect) — and
+    must reap its own flusher thread so retrying start() never
+    accumulates one flusher per attempt."""
+
+    class _RefusingModule(_FakeSubModule):
+        def Client(self, callback_api_version=None, client_id="",
+                   clean_session=True):
+            c = super().Client(callback_api_version, client_id, clean_session)
+            def refuse(host, port, keepalive):
+                raise ConnectionRefusedError("broker down (injected)")
+            c.connect = refuse
+            return c
+
+    src = _source(tmp_path, _RefusingModule())
+    with pytest.raises(ConnectionRefusedError):
+        src.start()
+    assert not src._flusher.is_alive()
+    # a later retry owns a fresh flusher and works normally
+    src._mqtt_module = _FakeSubModule()
+    mod = src._mqtt_module
+    src.start()
+    try:
+        assert src._flusher.is_alive()
+        mod.clients[0].deliver("log", b"up", 0)
+    finally:
+        src.stop()
+    assert [r["value"] for r in _spooled(src.spool_root, "log")] == ["up"]
+
+
 def test_invalid_subscription_rejected_eagerly(tmp_path):
     with pytest.raises(ValueError):
         PahoSubscribeSource("h", str(tmp_path), [("a/#/b", 1)], mqtt_module=_FakeSubModule())
