@@ -485,12 +485,16 @@ def test_new_sketch_and_clustering_shuffle_budgets(spark):
         "gopher_quality_flags": 0,
         "hash_split_assignment": 2,
         "winnowing_fingerprints": 1,
+        # retired r14 (window slot for mqtt_subscribe_spool_roundtrip)
+        # but the shuffle-budget pin stays: retirement keeps the
+        # implementation and every proof, it never deletes one
         "winnowing_shared_overlap": 6,
         "curriculum_quality_phases": 2,
         "semantic_dedup_pairs": 8,
     }
     for name, budget in budgets.items():
-        a = audit(QUERIES[name](spark, SF))
+        fn = QUERIES.get(name) or RETIRED_QUERIES[name]
+        a = audit(fn(spark, SF))
         assert a.exchanges() <= budget, (
             f"{name} shuffle count grew: {a.exchanges()} > {budget}"
         )
