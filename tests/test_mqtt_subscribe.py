@@ -31,6 +31,8 @@ import time
 from glob import glob
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hazelcast_jet_contrib_spark.fault_injection import write_schedule
 from hazelcast_jet_contrib_spark.real_clients import (
@@ -170,6 +172,51 @@ def test_mqtt_topic_matcher_semantics():
     assert mqtt_topic_matches("$SYS/#", "$SYS/broker/load")
     with pytest.raises(ValueError):
         mqtt_topic_matches("a/#/b", "a/x/b")
+
+
+def _ref_match(topic_filter: str, topic: str) -> bool:
+    """Independent reference matcher (plain recursion over levels,
+    MQTT 3.1.1 §4.7): the property test checks the production matcher
+    against this on generated inputs."""
+    fl, tl = topic_filter.split("/"), topic.split("/")
+    if topic.startswith("$") and fl[0][:1] in ("+", "#"):
+        return False
+
+    def rec(i: int, j: int) -> bool:
+        if i == len(fl):
+            return j == len(tl)
+        if fl[i] == "#":
+            return True  # matches the parent level and any remainder
+        if j == len(tl):
+            return False
+        if fl[i] == "+" or fl[i] == tl[j]:
+            return rec(i + 1, j + 1)
+        return False
+
+    return rec(0, 0)
+
+
+_LEVEL = st.text(alphabet="abc$", min_size=0, max_size=3)
+_FILTER_LEVEL = st.one_of(st.just("+"), _LEVEL)
+
+
+@st.composite
+def _valid_filter(draw):
+    levels = draw(st.lists(_FILTER_LEVEL, min_size=1, max_size=4))
+    if draw(st.booleans()):
+        levels.append("#")  # '#' only ever the last level
+    return "/".join(levels)
+
+
+@given(
+    topic_filter=_valid_filter(),
+    topic=st.lists(_LEVEL, min_size=1, max_size=5).map("/".join),
+)
+@settings(max_examples=300, deadline=None)
+def test_topic_matcher_agrees_with_reference(topic_filter, topic):
+    assert mqtt_topic_matches(topic_filter, topic) == _ref_match(
+        topic_filter, topic
+    ), (topic_filter, topic)
 
 
 def test_stream_name_roundtrip():
