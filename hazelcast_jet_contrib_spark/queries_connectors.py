@@ -932,62 +932,6 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-class _MqttStubAPIVersion:
-    VERSION2 = "v2"
-
-
-class _MqttStubClient:
-    """In-process broker stand-in for the registry row: drives the REAL
-    adapter callbacks (the same surface a live paho client fires from
-    its network loop). Driver-side only — never pickled."""
-
-    def __init__(self):
-        self.on_connect = None
-        self.on_message = None
-        self.subscribed = None
-
-    def username_pw_set(self, u, p):  # pragma: no cover - unused by the row
-        pass
-
-    def reconnect_delay_set(self, min_delay=1, max_delay=120):
-        pass
-
-    def connect(self, host, port, keepalive):
-        self.on_connect(self, None, {}, 0, None)
-
-    def subscribe(self, pairs):
-        self.subscribed = list(pairs)
-
-    def deliver(self, topic, payload, qos):
-        class _M:
-            pass
-
-        m = _M()
-        m.topic, m.payload, m.qos, m.retain, m.dup = topic, payload, qos, False, False
-        self.on_message(self, None, m)
-
-    def loop_start(self):
-        pass
-
-    def loop_stop(self):
-        pass
-
-    def disconnect(self):
-        pass
-
-
-class _MqttStubModule:
-    CallbackAPIVersion = _MqttStubAPIVersion
-
-    def __init__(self):
-        self.clients = []
-
-    def Client(self, callback_api_version=None, client_id="", clean_session=True):
-        c = _MqttStubClient()
-        self.clients.append(c)
-        return c
-
-
 @query(
     "mqtt_subscribe_spool_roundtrip",
     oracle="""
@@ -1023,7 +967,10 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from hazelcast_jet_contrib_spark.real_clients import PahoSubscribeSource
+    from hazelcast_jet_contrib_spark.real_clients import (
+        MqttStubModule,
+        PahoSubscribeSource,
+    )
 
     rows = (
         table(spark, sf_dir, "events")
@@ -1033,7 +980,7 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
     spool = tempfile.mkdtemp(prefix="mqtt_spool_q_")
     try:
-        mod = _MqttStubModule()
+        mod = MqttStubModule()
         src = PahoSubscribeSource(
             "fixture-broker",
             spool,
@@ -1044,7 +991,7 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         ).start()
         try:
             c = mod.clients[0]
-            assert c.subscribed == [("events/#", 1)]
+            assert c.subscribed == [[("events/#", 1)]]  # one call, one filter
             for r in rows:
                 c.deliver(
                     f"events/{r['event_type']}",

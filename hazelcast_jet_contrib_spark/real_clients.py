@@ -891,6 +891,104 @@ def paho_publish_fn(
     return publish
 
 
+class MqttStubAPIVersion:
+    VERSION1 = "v1"
+    VERSION2 = "v2"
+
+
+class MqttStubMessage:
+    def __init__(self, topic, payload, qos, retain=False, dup=False):
+        self.topic = topic
+        self.payload = payload
+        self.qos = qos
+        self.retain = retain
+        self.dup = dup
+
+
+class MqttStubClient:
+    """In-process paho stand-in with the subscribe-side callback
+    surface — the ONE fake the driver-gate row, the unit tests, and any
+    stub-tier consumer share, so the contract they exercise cannot
+    drift apart (the same single-stub discipline as the other adapter
+    families). The real library fires callbacks from its network-loop
+    thread; the stub fires on_connect synchronously from connect() /
+    simulate_reconnect() and on_message from deliver() — same ordering
+    contract (callbacks are assigned before connect), no thread needed.
+    ``fault_dir`` arms a fault_injection schedule on subscribe()."""
+
+    def __init__(self, client_id="", clean_session=True, api_version=None,
+                 fault_dir=None):
+        self.client_id = client_id
+        self.clean_session = clean_session
+        self.api_version = api_version
+        self.fault_dir = fault_dir
+        self.on_connect = None
+        self.on_message = None
+        self.subscribed: list[list[tuple[str, int]]] = []
+        self.connected = None
+        self.looping = False
+        self.reconnect_delay = None
+        self.auth = None
+
+    def username_pw_set(self, u, p):
+        self.auth = (u, p)
+
+    def reconnect_delay_set(self, min_delay=1, max_delay=120):
+        self.reconnect_delay = (min_delay, max_delay)
+
+    def connect(self, host, port, keepalive):
+        self.connected = (host, port, keepalive)
+        if self.on_connect is not None:
+            self.on_connect(self, None, {}, 0, None)  # v2 signature shape
+
+    def simulate_reconnect(self):
+        """What paho's network loop does after connection loss: backoff,
+        reconnect, fire on_connect with the session-present flag."""
+        self.connected = ("reconnected",)
+        if self.on_connect is not None:
+            self.on_connect(self, None, {"session present": 1}, 0, None)
+
+    def subscribe(self, topic_qos_pairs):
+        if self.fault_dir:
+            from hazelcast_jet_contrib_spark.fault_injection import next_fault
+
+            f = next_fault(self.fault_dir, "subscribe")
+            if f is not None and f["action"] == "error":
+                raise ConnectionError("SUBACK never arrived (injected)")
+        self.subscribed.append(list(topic_qos_pairs))
+        return (0, 1)
+
+    def deliver(self, topic, payload, qos, retain=False, dup=False):
+        self.on_message(
+            self, None, MqttStubMessage(topic, payload, qos, retain, dup)
+        )
+
+    def loop_start(self):
+        self.looping = True
+
+    def loop_stop(self):
+        self.looping = False
+
+    def disconnect(self):
+        self.connected = None
+
+
+class MqttStubModule:
+    CallbackAPIVersion = MqttStubAPIVersion
+
+    def __init__(self, fault_dir=None):
+        self.clients: list[MqttStubClient] = []
+        self.fault_dir = fault_dir
+
+    def Client(self, callback_api_version=None, client_id="", clean_session=True):
+        if callback_api_version is None:
+            raise ValueError("Unsupported callback API version")  # the 2.x error
+        c = MqttStubClient(client_id, clean_session, callback_api_version,
+                           fault_dir=self.fault_dir)
+        self.clients.append(c)
+        return c
+
+
 def mqtt_topic_matches(topic_filter: str, topic: str) -> bool:
     """MQTT topic-filter matching (the broker-side rule the source's
     wildcard subscriptions rely on, MqttSourceBuilder.java:52-60):
@@ -1030,14 +1128,18 @@ class PahoSubscribeSource:
         self._client: Any = None
         self._flusher: Any = None
         self._stop: Any = None
+        self._retry_batch: list[dict] | None = None
+        self.last_spool_error: Exception | None = None
         #: observability counters: connects (incl. reconnects),
-        #: resubscribes attempted/failed, messages received/spooled
+        #: resubscribes attempted/failed, messages received/spooled,
+        #: spool-write failures (each = one held-for-retry batch)
         self.stats = {
             "connects": 0,
             "resubscribes": 0,
             "subscribe_errors": 0,
             "received": 0,
             "spooled": 0,
+            "spool_errors": 0,
         }
 
     # -- callbacks (accept both paho 1.x and 2.x signatures) ----------
@@ -1083,33 +1185,59 @@ class PahoSubscribeSource:
 
     def _drain_once(self) -> int:
         """Drain up to flush_records pending messages into per-topic
-        spool segments; returns how many were spooled."""
+        spool segments; returns how many were spooled. A spool-write
+        failure (disk full, spool dir unwritable) must NOT kill the
+        flusher or drop the dequeued batch — paho has already PUBACKed
+        QoS>=1 messages, so the broker will never redeliver them; the
+        batch is held for retry (duplicates from a PARTIALLY-written
+        batch are fine — the contract is at-least-once and the
+        idempotent-sink discipline absorbs them downstream)."""
         import queue as _queue
 
-        batch: list[dict] = []
-        try:
-            batch.append(self._queue.get(timeout=self.flush_seconds))
-            while len(batch) < self.flush_records:
-                batch.append(self._queue.get_nowait())
-        except _queue.Empty:
-            pass
+        batch: list[dict] = self._retry_batch or []
+        self._retry_batch = None
+        if not batch:
+            try:
+                batch.append(self._queue.get(timeout=self.flush_seconds))
+                while len(batch) < self.flush_records:
+                    batch.append(self._queue.get_nowait())
+            except _queue.Empty:
+                pass
         if not batch:
             return 0
         from hazelcast_jet_contrib_spark.streaming.message_log import append_segment
 
-        by_topic: dict[str, list[dict]] = {}
-        for r in batch:
-            by_topic.setdefault(r["key"], []).append(r)
-        for topic, recs in by_topic.items():
-            append_segment(self.spool_root, mqtt_stream_name(topic), recs)
+        try:
+            by_topic: dict[str, list[dict]] = {}
+            for r in batch:
+                by_topic.setdefault(r["key"], []).append(r)
+            for topic, recs in by_topic.items():
+                append_segment(self.spool_root, mqtt_stream_name(topic), recs)
+        except Exception as ex:
+            self.stats["spool_errors"] += 1
+            self.last_spool_error = ex
+            self._retry_batch = batch
+            # backoff so a persistent failure doesn't spin the thread;
+            # bounded above so recovery (space freed, dir restored) is
+            # picked up within a second
+            self._stop.wait(min(1.0, self.flush_seconds * 4))
+            return 0
         self.stats["spooled"] += len(batch)
         return len(batch)
 
     def _flush_loop(self) -> None:
         while not self._stop.is_set():
             self._drain_once()
-        while self._drain_once():  # final drain after stop
-            pass
+        # final drain after stop: keep retrying a failing spool a
+        # bounded number of times, then give up — stop() raises loudly
+        # if messages were left behind (never a silent drop)
+        failures = 0
+        while self._retry_batch or not self._queue.empty():
+            before = self.stats["spool_errors"]
+            self._drain_once()
+            failures = failures + 1 if self.stats["spool_errors"] > before else 0
+            if failures >= 3:
+                break
 
     # -- lifecycle ----------------------------------------------------
 
@@ -1146,10 +1274,18 @@ class PahoSubscribeSource:
             c.connect(self.host, self.port, self.keepalive)
             c.loop_start()
         except Exception:
-            # a failed initial connect must not leak the flusher thread:
-            # the caller retries start() (the reference restarts the
-            # processor on a failed SourceContext connect) and each
-            # attempt owns exactly one flusher
+            # a failed start must not leak the flusher thread OR a live
+            # broker session (connect may have succeeded before
+            # loop_start failed — with clean_session=False that is a
+            # persistent broker-side session): the caller retries
+            # start() (the reference restarts the processor on a failed
+            # SourceContext connect) and each attempt owns exactly one
+            # flusher and at most zero connections
+            try:
+                c.loop_stop()
+                c.disconnect()
+            except Exception:
+                pass
             self._stop.set()
             self._flusher.join(timeout=30)
             raise
@@ -1167,15 +1303,44 @@ class PahoSubscribeSource:
         if self._stop is not None:
             self._stop.set()
             self._flusher.join(timeout=30)
+            leftover = (len(self._retry_batch) if self._retry_batch else 0) + (
+                self._queue.qsize()
+            )
+            if leftover:
+                # NEVER a silent drop: the broker has already PUBACKed
+                # these (QoS>=1 won't redeliver), so an unspoolable
+                # remainder is data loss the caller must hear about
+                raise RuntimeError(
+                    f"mqtt subscribe source stopped with {leftover} "
+                    f"received-but-unspooled messages (spool_errors="
+                    f"{self.stats['spool_errors']})"
+                ) from self.last_spool_error
 
     # -- Spark side ---------------------------------------------------
+
+    @staticmethod
+    def _concrete_filter(topic_filter: str) -> str:
+        """Strip a shared-subscription prefix for matching: the broker
+        delivers on the CONCRETE topic, so ``$share/<group>/house/#``
+        must match like ``house/#`` (MQTT 5 §4.8.2 — the fan-out shape
+        the class docstring recommends)."""
+        if topic_filter.startswith("$share/"):
+            parts = topic_filter.split("/", 2)
+            if len(parts) == 3:
+                return parts[2]
+        return topic_filter
 
     def qos_for_topic(self, topic: str) -> int:
         """Granted QoS for a concrete topic = max over matching filters
         (a broker grants per-subscription; when several overlap it may
         deliver at the highest granted QoS — we classify the stream at
-        that ceiling, the conservative at-least-once choice)."""
-        granted = [q for tf, q in self.subscriptions if mqtt_topic_matches(tf, topic)]
+        that ceiling, the conservative at-least-once choice).
+        Shared-subscription filters match by their concrete part."""
+        granted = [
+            q
+            for tf, q in self.subscriptions
+            if mqtt_topic_matches(self._concrete_filter(tf), topic)
+        ]
         if not granted:
             raise ValueError(f"topic {topic!r} matches no subscription filter")
         return max(granted)
@@ -1186,10 +1351,12 @@ class PahoSubscribeSource:
         .options(**src.reader_options())`` — the spool root, a
         subscription name, and the per-stream QoS map derived from the
         filters for every topic spooled SO FAR. Topics that first appear
-        later fall back to ``qos`` = the minimum subscribed QoS — still
-        a granted level, and for QoS>=1 filters it keeps commit-time
-        acking, so the keep-session redelivery contract never silently
-        downgrades to at-most-once."""
+        later fall back to ``qos`` = the MAXIMUM subscribed QoS: a
+        too-high default only delays acking to commit time (safe — the
+        idempotent-sink discipline absorbs the extra redelivery), while
+        a too-low default would ack a QoS>=1 topic's messages at
+        delivery and LOSE them on a crash before commit — the silent
+        at-most-once downgrade the keep-session contract forbids."""
         import glob as _glob
         import json as _json
         import os
@@ -1207,12 +1374,15 @@ class PahoSubscribeSource:
         return {
             "path": self.spool_root,
             "subscription": subscription,
-            "qos": str(min(q for _, q in self.subscriptions)),
+            "qos": str(max(q for _, q in self.subscriptions)),
             "topicQos": _json.dumps(topic_qos),
         }
 
 
 __all__ = [
+    "MqttStubClient",
+    "MqttStubMessage",
+    "MqttStubModule",
     "MqttTls",
     "PahoSubscribeSource",
     "mqtt_stream_name",

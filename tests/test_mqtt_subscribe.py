@@ -36,6 +36,9 @@ from hypothesis import strategies as st
 
 from hazelcast_jet_contrib_spark.fault_injection import write_schedule
 from hazelcast_jet_contrib_spark.real_clients import (
+    MqttStubClient,
+    MqttStubMessage,
+    MqttStubModule,
     PahoSubscribeSource,
     mqtt_stream_name,
     mqtt_topic_matches,
@@ -47,95 +50,12 @@ from hazelcast_jet_contrib_spark.real_clients import (
 # ---------------------------------------------------------------------------
 
 
-class _FakeMessage:
-    def __init__(self, topic, payload, qos, retain=False, dup=False):
-        self.topic = topic
-        self.payload = payload
-        self.qos = qos
-        self.retain = retain
-        self.dup = dup
-
-
-class _FakeSubClient:
-    """paho-mqtt client with the subscribe-side callback surface. The
-    real library fires callbacks from its network-loop thread; the fake
-    fires on_connect synchronously from connect()/simulate_reconnect()
-    and on_message from deliver() — same ordering contract (callbacks
-    assigned before connect), no thread needed."""
-
-    def __init__(self, client_id="", clean_session=True, api_version=None,
-                 fault_dir=None):
-        self.client_id = client_id
-        self.clean_session = clean_session
-        self.api_version = api_version
-        self.fault_dir = fault_dir
-        self.on_connect = None
-        self.on_message = None
-        self.subscribed: list[list[tuple[str, int]]] = []
-        self.connected = None
-        self.looping = False
-        self.reconnect_delay = None
-
-    def username_pw_set(self, u, p):
-        self.auth = (u, p)
-
-    def reconnect_delay_set(self, min_delay=1, max_delay=120):
-        self.reconnect_delay = (min_delay, max_delay)
-
-    def connect(self, host, port, keepalive):
-        self.connected = (host, port, keepalive)
-        if self.on_connect is not None:
-            self.on_connect(self, None, {}, 0, None)  # v2 signature shape
-
-    def simulate_reconnect(self):
-        """What paho's network loop does after connection loss: backoff,
-        reconnect, fire on_connect with the session-present flag."""
-        self.connected = ("reconnected",)
-        if self.on_connect is not None:
-            self.on_connect(self, None, {"session present": 1}, 0, None)
-
-    def subscribe(self, topic_qos_pairs):
-        if self.fault_dir:
-            from hazelcast_jet_contrib_spark.fault_injection import next_fault
-
-            f = next_fault(self.fault_dir, "subscribe")
-            if f is not None and f["action"] == "error":
-                raise ConnectionError("SUBACK never arrived (injected)")
-        self.subscribed.append(list(topic_qos_pairs))
-        return (0, 1)
-
-    def deliver(self, topic, payload, qos, retain=False, dup=False):
-        self.on_message(self, None, _FakeMessage(topic, payload, qos, retain, dup))
-
-    def loop_start(self):
-        self.looping = True
-
-    def loop_stop(self):
-        self.looping = False
-
-    def disconnect(self):
-        self.connected = None
-
-
-class _FakeCallbackAPIVersion:
-    VERSION1 = "v1"
-    VERSION2 = "v2"
-
-
-class _FakeSubModule:
-    CallbackAPIVersion = _FakeCallbackAPIVersion
-
-    def __init__(self, fault_dir=None):
-        self.clients: list[_FakeSubClient] = []
-        self.fault_dir = fault_dir
-
-    def Client(self, callback_api_version=None, client_id="", clean_session=True):
-        if callback_api_version is None:
-            raise ValueError("Unsupported callback API version")
-        c = _FakeSubClient(client_id, clean_session, callback_api_version,
-                           fault_dir=self.fault_dir)
-        self.clients.append(c)
-        return c
+# The fake paho module is the SHARED in-process stub the driver-gate
+# row also uses (real_clients.MqttStub*): one stand-in, one contract —
+# the two can never drift apart (review r14 finding #5).
+_FakeMessage = MqttStubMessage
+_FakeSubClient = MqttStubClient
+_FakeSubModule = MqttStubModule
 
 
 SUBS = [("house/#", 2), ("sensors/+/temp", 1), ("log", 0)]
@@ -333,7 +253,11 @@ def test_reader_options_derive_per_topic_qos_from_filters(tmp_path):
         src.stop()
     opts = src.reader_options(subscription="s1")
     assert opts["path"] == src.spool_root and opts["subscription"] == "s1"
-    assert opts["qos"] == "0"  # min granted level for late-appearing topics
+    # MAX subscribed QoS for late-appearing topics: a too-high default
+    # only delays acks to commit (extra redelivery, absorbed by the
+    # idempotent sink); a min() default would ack a late QoS>=1 topic
+    # at delivery and lose it on a crash before commit (review r14 #2)
+    assert opts["qos"] == "2"
     assert json.loads(opts["topicQos"]) == {
         mqtt_stream_name("house/kitchen"): 2,
         mqtt_stream_name("sensors/a/temp"): 1,
@@ -520,3 +444,74 @@ def test_live_mqtt_subscribe_roundtrip(tmp_path):  # pragma: no cover - live onl
         src.stop()
     got = [r["value"] for r in _spooled(src.spool_root, "sg/live/sub/a")]
     assert sorted(got) == [f"m{i}" for i in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# review r14 fixes: shared-subscription matching, spool-failure retry,
+# loud stop on unspoolable leftovers
+# ---------------------------------------------------------------------------
+
+
+def test_shared_subscription_filters_match_concrete_topics(tmp_path):
+    """$share/<group>/<filter> subscriptions (the fan-out shape the
+    adapter docstring recommends) deliver on the CONCRETE topic — QoS
+    classification must strip the share prefix before matching
+    (review r14 #3)."""
+    src = PahoSubscribeSource(
+        "h", str(tmp_path / "spool"),
+        [("$share/g1/house/#", 2), ("$share/g1/log", 0)],
+        mqtt_module=_FakeSubModule(),
+    )
+    assert src.qos_for_topic("house/kitchen/temp") == 2
+    assert src.qos_for_topic("log") == 0
+    with pytest.raises(ValueError):
+        src.qos_for_topic("other")
+
+
+def test_spool_write_failure_holds_batch_and_retries(tmp_path, monkeypatch):
+    """A spool-write failure must not kill the flusher or drop the
+    dequeued batch (the broker has already PUBACKed QoS>=1 — no
+    redelivery is coming): the batch is held, the error counted, and
+    the next drain retries it successfully (review r14 #1)."""
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    mod = _FakeSubModule()
+    src = _source(tmp_path, mod)
+    c = _FakeSubClient()
+    src._on_message(c, None, _FakeMessage("log", b"precious", 1))
+    src._stop = __import__("threading").Event()  # drain uses its wait()
+
+    real_append = ml.append_segment
+    calls = {"n": 0}
+
+    def flaky_append(root, stream, records, seq=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError(28, "No space left on device (injected)")
+        return real_append(root, stream, records, seq)
+
+    monkeypatch.setattr(ml, "append_segment", flaky_append)
+    assert src._drain_once() == 0  # write failed, batch held
+    assert src.stats["spool_errors"] == 1
+    assert src._retry_batch and src._retry_batch[0]["value"] == "precious"
+    assert src._drain_once() == 1  # retry drains the held batch
+    assert src._retry_batch is None
+    assert [r["value"] for r in _spooled(src.spool_root, "log")] == ["precious"]
+
+
+def test_stop_raises_on_unspoolable_leftovers(tmp_path, monkeypatch):
+    """If the spool stays unwritable through the final-drain retries,
+    stop() must raise — received-but-unspooled messages are data loss
+    the caller must hear about, never a silent drop (review r14 #1)."""
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    mod = _FakeSubModule()
+    src = _source(tmp_path, mod).start()
+    monkeypatch.setattr(
+        ml, "append_segment",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(28, "disk full (injected)")),
+    )
+    mod.clients[0].deliver("log", b"doomed", 1)
+    with pytest.raises(RuntimeError, match="unspooled"):
+        src.stop()
+    assert src.stats["spool_errors"] >= 3  # bounded final-drain retries
