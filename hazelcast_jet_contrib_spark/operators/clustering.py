@@ -175,6 +175,7 @@ def semantic_dedup_pairs(
     vec_col: str,
     k: int = 16,
     min_cosine: float = 0.999,
+    prepartition_cells: bool = False,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via k-means-cell bucketing — the
     IVF-style companion to MinHash-LSH: instead of joining all pairs,
@@ -189,6 +190,24 @@ def semantic_dedup_pairs(
     keeps the bucketing engine-portable — the registry query mirrors it
     exactly in SQL. Scale: the join is Σ C(|cell|, 2) over cells of
     ~n/k vectors, not C(n, 2); the centroid relation broadcasts.
+
+    ``prepartition_cells=True`` caches the assigned-cell relation
+    hash-partitioned on cidx (the LSH/simhash banded-relation pattern,
+    operators/dedup.py round 13/14): without it, BOTH sides of the
+    in-cell pair join recompute the whole upstream — scan → broadcast
+    argmin assignment → assign⋈points join → norm fold — and, once
+    sort-merge join engages past any broadcast threshold, each side
+    also transits the shuffle separately (exchange-reuse does not
+    engage under AQE, measured — SCALE.md §MinHash). With the cache
+    the upstream runs ONCE and the join satisfies both sides'
+    clustering from it. Value-neutral by the same argument as the
+    default path: assignments are argmins over 6-dp-rounded distances
+    with index tie-break and cos is rounded to 6 dp (equality with the
+    default path pinned in tests/test_scale_rehearsal.py). Default
+    False — STAGED for round 15: the registry query
+    semantic_dedup_pairs is r13-green and outside the round-14
+    re-prove window (ROUND14_PLAN.md §Round-15), the
+    kmeans/simhash staged-flip precedent.
 
     Output: (id_a, id_b, cos) with cos rounded to 6 dp.
     """
@@ -213,6 +232,10 @@ def semantic_dedup_pairs(
         )
     )
     cells = assign.join(points, "id").withColumn("nrm", nrm)
+    if prepartition_cells:
+        from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+        cells = tracked_persist(cells.repartition("cidx"))
     a = cells.select(
         F.col("cidx"), F.col("id").alias("id_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),

@@ -691,3 +691,67 @@ def test_simhash128_prepartition_bands_shuffles_once_not_per_join_side(
         f"SIMHASH128-NOBC docs={n_docs} banded_side_rows={banded_rows} "
         f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
     )
+
+
+@pytest.mark.slow
+def test_semantic_dedup_prepartition_cells_shuffles_once_not_per_join_side(
+    spark, tmp_path
+):
+    """STAGED for round 15 (semantic_dedup_pairs is r13-green and
+    outside the round-14 re-prove window — ROUND14_PLAN.md §Round-15;
+    the kmeans/simhash staged-flip precedent):
+    semantic_dedup_pairs(prepartition_cells=True) caches the
+    assigned-cell relation hash-partitioned on cidx, so under the
+    at-scale join shape (broadcast disabled) the in-cell pair join
+    satisfies BOTH sides from the same cache — the |N|-row vector
+    relation (plus the argmin assignment that produced it) runs and
+    transits the shuffle ONCE at build instead of once per join side.
+    Also pins equality with the default path."""
+    from hazelcast_jet_contrib_spark.operators.clustering import semantic_dedup_pairs
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    n, k = 2_000, 16
+    path = str(tmp_path / "semdedup_nobc")
+    _write_embeddings(spark, path, n)
+    df = spark.read.parquet(path)
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(kk, None) for kk in keys]
+    try:
+        for kk in keys:
+            spark.conf.set(kk, "-1")
+        pre = semantic_dedup_pairs(
+            df, "vec_id", "embedding", k=k, min_cosine=0.999,
+            prepartition_cells=True,
+        )
+        pre_rows = pre.collect()
+        live = executed_shuffle_stats(pre, include_cached=False)
+        plain_rows = semantic_dedup_pairs(
+            df, "vec_id", "embedding", k=k, min_cosine=0.999
+        ).collect()
+    finally:
+        for kk, v in zip(keys, saved):
+            spark.conf.set(kk, v) if v is not None else spark.conf.unset(kk)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
+
+    key = lambda r: (r["id_a"], r["id_b"], r["cos"])
+    assert sorted(map(key, pre_rows)) == sorted(map(key, plain_rows))
+    assert pre_rows, "planted exact-dup pairs must surface"
+    # the two join sides would ship 2n (cidx, id, v, nrm) rows; live
+    # (cache-build-excluded) shuffle must stay well under that — only
+    # the found pairs and bounded aggregates may transit
+    assert live["shuffle_records"] < n // 2, (
+        f"live shuffle {live['shuffle_records']} records vs {2 * n} "
+        f"cell join-side rows: the cell relation is transiting the "
+        f"pair join's shuffle"
+    )
+    print(
+        f"SEMDEDUP-NOBC n={n} cell_side_rows={2 * n} "
+        f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
+    )
