@@ -638,6 +638,7 @@ def crossdoc_duplicate_blocks(
     id_col: str,
     text_col: str,
     block_tokens: int = 20,
+    prepartition_blocks: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-block detection — the distributed
     approximation of exact-substring dedup (Lee et al., "Deduplicating
@@ -648,20 +649,40 @@ def crossdoc_duplicate_blocks(
     the boilerplate signature (shared headers/footers/license blocks)
     that document-level dedup cannot see.
 
-    Scale shape: blocks reuse ``chunk_documents`` (pure Catalyst, no
-    shuffle); only 8-byte block fingerprints shuffle — once to count
-    distinct docs per block (map-side partials), once joined back, once
-    for the per-doc rollup. All linear; no strings cross the wire after
-    fingerprinting. A 64-bit fingerprint collision merges two blocks
-    with probability ~(#blocks)²/2⁶⁴ — negligible below ~10¹² blocks;
-    at true 100 TB block counts, widen to two seeded xxhash64 columns.
+    Scale shape (round 14): the block fingerprint relation feeds TWO
+    consumers — the distinct-doc count and the join back — so it is
+    CACHED: the tokenize/chunk/fingerprint kernel runs ONCE, not once
+    per consumer (a strict win at every scale — measured interleaved
+    at sf0.1: kernel dedup alone beats the recompute shape). Only
+    8-byte fingerprints shuffle after that. ``prepartition_blocks=True``
+    additionally lays the cache out hash-partitioned on bh (the LSH
+    banded-relation pattern) so the count, the join, and both sides'
+    clustering satisfy from one build exchange — the block relation
+    then transits the shuffle ONCE instead of once per consumer
+    (measured under forced no-broadcast: live shuffle = the per-doc
+    rollup only, tests/test_scale_rehearsal.py). It stays opt-in
+    because the extra cache-materialization exchange costs ~0.3 s at
+    local scale where AQE broadcasts the count side anyway — turn it
+    on for corpus-scale runs where the join stops broadcasting
+    (exchange-reuse does not engage under AQE — measured, SCALE.md
+    §MinHash — so the laid-out cache is the only single-shuffle
+    mechanism). The cache stays alive for the returned lazy plan —
+    long-lived sessions call ``cache.release_tracked()`` between
+    stages. A 64-bit fingerprint collision merges two blocks with
+    probability ~(#blocks)²/2⁶⁴ — negligible below ~10¹² blocks; at
+    true 100 TB block counts, widen to two seeded xxhash64 columns.
 
     Output: (id, n_blocks int, dup_blocks int, dup_ratio double) —
     dup_ratio = fraction of the doc's blocks found in ≥2 distinct docs.
     """
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
     blocks = chunk_documents(
         df, id_col, text_col, chunk_tokens=block_tokens, stride=block_tokens
     ).select("id", F.xxhash64("chunk_text").alias("bh"))
+    if prepartition_blocks:
+        blocks = blocks.repartition("bh")
+    blocks = tracked_persist(blocks)
     counts = blocks.groupBy("bh").agg(
         F.count_distinct("id").alias("nd")
     )

@@ -755,3 +755,68 @@ def test_semantic_dedup_prepartition_cells_shuffles_once_not_per_join_side(
         f"SEMDEDUP-NOBC n={n} cell_side_rows={2 * n} "
         f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
     )
+
+
+@pytest.mark.slow
+def test_crossdoc_blocks_relation_shuffles_once_not_per_consumer(spark, tmp_path):
+    """The block-fingerprint relation feeds two consumers (per-block
+    distinct-doc count + the join back); round 14 caches it (kernel
+    runs once — the default) and, with ``prepartition_blocks=True``
+    (the documented corpus-scale knob), lays the cache out on bh so
+    under the at-scale join shape (broadcast disabled) the (id, bh)
+    relation transits the shuffle once at build — the live
+    (cache-excluded) view then carries only the per-doc rollup rows,
+    never the block relation again. Also pins equality with the
+    default layout."""
+    from hazelcast_jet_contrib_spark.operators.curation import (
+        crossdoc_duplicate_blocks,
+    )
+    from hazelcast_jet_contrib_spark.plans.audit import executed_shuffle_stats
+
+    n = 2_000
+    path = str(tmp_path / "xdoc_nobc")
+    _write_corpus(spark, path, n)
+    df = spark.read.parquet(path)
+    n_blocks = 2 * n  # 30-word docs / 20-token blocks -> 2 blocks per doc
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = [spark.conf.get(kk, None) for kk in keys]
+    try:
+        for kk in keys:
+            spark.conf.set(kk, "-1")
+        prof = crossdoc_duplicate_blocks(
+            df, "id", "text", block_tokens=20, prepartition_blocks=True
+        )
+        rows = prof.collect()
+        live = executed_shuffle_stats(prof, include_cached=False)
+        plain = crossdoc_duplicate_blocks(
+            df, "id", "text", block_tokens=20
+        ).collect()
+    finally:
+        for kk, v in zip(keys, saved):
+            spark.conf.set(kk, v) if v is not None else spark.conf.unset(kk)
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
+
+    assert len(rows) == n
+    key = lambda r: (r["id"], r["n_blocks"], r["dup_blocks"], r["dup_ratio"])
+    assert sorted(map(key, rows)) == sorted(map(key, plain))
+    # planted near-dups (every 10th doc repeats its predecessor) share
+    # their FIRST 20-token block verbatim -> dup_ratio > 0 for both
+    dup_docs = {r["id"] for r in rows if r["dup_blocks"] > 0}
+    assert {8, 9} <= {d % 10 for d in dup_docs}
+    # live shuffle: the rollup's (id, flag) rows + bounded aggregates —
+    # if the block relation transits per consumer this doubles past 2x
+    assert live["shuffle_records"] <= 2 * n_blocks + n, (
+        f"live shuffle {live['shuffle_records']} vs {n_blocks} block rows: "
+        f"the block relation is transiting the shuffle per consumer"
+    )
+    print(
+        f"XDOC-NOBC docs={n} block_rows={n_blocks} "
+        f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
+    )
