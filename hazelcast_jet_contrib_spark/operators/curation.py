@@ -182,12 +182,17 @@ def contamination_overlap(
     benchmark corpus. Emits (id, hits, doc_ngrams, overlap_ratio) for
     contaminated docs only (hits > 0).
 
-    Scale shape: the benchmark n-gram set is tiny by definition (eval
-    sets are thousands of rows, the corpus is the 100 TB side), so it is
-    DISTINCT-aggregated and broadcast — the corpus side streams through
-    explode → broadcast-semi-hash-join → per-doc count with NO shuffle
-    of corpus n-grams; the only exchange is the final per-doc-id
-    aggregation, keyed by the 8-byte id."""
+    Scale shape (tightened round 14): the benchmark n-gram set is tiny
+    by definition (eval sets are thousands of rows, the corpus is the
+    100 TB side), so it is DISTINCT-aggregated and broadcast; the
+    corpus side streams through explode → broadcast LEFT join (a
+    distinct bench set makes the join multiplicity exactly 1, so the
+    per-doc total and the hit count both fall out of ONE aggregation)
+    → per-doc count. The tokenize/explode kernel — the dominant linear
+    cost — runs ONCE, the corpus n-grams never shuffle, and the only
+    exchange in the whole plan is the final per-doc-id aggregation,
+    keyed by the 8-byte id (previously: two kernel passes, two
+    aggregations, and an aggregate-join)."""
     from hazelcast_jet_contrib_spark.functions.text import shingles_of_tokens, tokens
 
     def doc_ngrams(df: DataFrame, with_id: bool) -> DataFrame:
@@ -199,16 +204,18 @@ def contamination_overlap(
         )
         return sh
 
-    bench_set = doc_ngrams(benchmark, with_id=False).distinct()
-    d = doc_ngrams(docs, with_id=True)
-    per_doc = d.groupBy("id").agg(F.count(F.lit(1)).alias("doc_ngrams"))
-    hits = (
-        d.join(F.broadcast(bench_set), "s")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    bench_set = doc_ngrams(benchmark, with_id=False).distinct().withColumn(
+        "__hit__", F.lit(1)
     )
+    d = doc_ngrams(docs, with_id=True)
     return (
-        hits.join(per_doc, "id")
+        d.join(F.broadcast(bench_set), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("doc_ngrams"),
+        )
+        .filter(F.col("hits") > 0)
         .select(
             "id",
             "hits",
@@ -376,7 +383,16 @@ def unigram_lm_score(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # counts is VOCABULARY-sized (tiny next to the corpus) and feeds
+    # both the scalar totals action below and the broadcast model in
+    # the returned plan — cached, the corpus tokenize+explode kernel
+    # runs twice total (counts build + per-doc scoring) instead of
+    # three times (round 14; released via cache.release_tracked())
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    counts = tracked_persist(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     mc = 0 if min_count is None else min_count
     tot = counts.agg(
         F.sum("c").alias("n"),
@@ -856,6 +872,7 @@ def rarity_weighted_terms(
     id_col: str,
     text_col: str,
     top_k: int = 5,
+    cache_tf: bool = False,
 ) -> DataFrame:
     """Per-document top-k salient terms by tf x corpus-rarity — the
     tf-idf-style keyword extraction used for corpus exploration and
@@ -871,6 +888,15 @@ def rarity_weighted_terms(
     the corpus), broadcast-join the term weights back, per-doc top-k via
     window. Ties break by term for determinism.
 
+    ``cache_tf=True`` persists the (id, term, tf) relation, which feeds
+    BOTH the document-frequency aggregate and the scoring join —
+    without it the tokenize → explode → count lineage (the dominant
+    linear kernel) runs once per consumer. Value-neutral (same plan
+    below the cache); default False — STAGED for round 15: the
+    registry query tfidf_salient_terms is r13-green and outside the
+    round-14 re-prove window (ROUND14_PLAN.md §Round-15), the
+    semantic_dedup_pairs staging precedent.
+
     Output: (id, term, tf bigint, score double, rank int).
     """
     terms = df.select(
@@ -878,6 +904,10 @@ def rarity_weighted_terms(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if cache_tf:
+        from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+        tf = tracked_persist(tf)
     n_docs = df.select(F.col(id_col)).distinct().count()
     # tf rows are unique per (id, term) by construction, so document
     # frequency is a plain count — no distinct-aggregate expansion

@@ -820,3 +820,36 @@ def test_crossdoc_blocks_relation_shuffles_once_not_per_consumer(spark, tmp_path
         f"XDOC-NOBC docs={n} block_rows={n_blocks} "
         f"live={live['shuffle_records']} rec/{live['exchanges']} exch"
     )
+
+
+@pytest.mark.slow
+def test_tfidf_cache_tf_runs_kernel_once_with_equal_values(spark, tmp_path):
+    """STAGED for round 15 (tfidf_salient_terms is r13-green, outside
+    the round-14 re-prove window): rarity_weighted_terms(cache_tf=True)
+    persists the (id, term, tf) relation that feeds BOTH the
+    document-frequency aggregate and the scoring join — the tokenize →
+    explode → count kernel then runs once, not once per consumer. Pins
+    value equality with the default path and that the cached plan
+    carries the in-memory scan on both consumers."""
+    from hazelcast_jet_contrib_spark.operators.curation import rarity_weighted_terms
+
+    n = 2_000
+    path = str(tmp_path / "tfidf_corpus")
+    _write_corpus(spark, path, n)
+    df = spark.read.parquet(path)
+
+    try:
+        cached = rarity_weighted_terms(df, "id", "text", top_k=5, cache_tf=True)
+        cached_rows = cached.collect()
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        plain_rows = rarity_weighted_terms(df, "id", "text", top_k=5).collect()
+    finally:
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
+
+    key = lambda r: (r["id"], r["term"], r["tf"], r["score"], r["rank"])
+    assert sorted(map(key, cached_rows)) == sorted(map(key, plain_rows))
+    assert cached_rows
+    assert "InMemoryTableScan" in plan, "tf cache must serve the returned plan"
