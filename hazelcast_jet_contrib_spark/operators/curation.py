@@ -500,6 +500,7 @@ def bigram_lm_score(
     text_col: str,
     alpha: float = 0.5,
     interp: float = 0.7,
+    cache_counts: bool = False,
 ) -> DataFrame:
     """Interpolated bigram-LM quality scoring — the context-aware step
     up from ``unigram_lm_score`` toward the n-gram-KenLM filters CCNet
@@ -549,6 +550,19 @@ def bigram_lm_score(
 
     ucounts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
     bcounts = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    if cache_counts:
+        # the unigram count relation is VOCABULARY-sized and feeds FOUR
+        # consumers (the scalar totals action + three scoring joins);
+        # the bigram counts feed one join but their build is its own
+        # corpus pass. Cached, the corpus tokenize kernel runs ~3x per
+        # run instead of ~6x. Default OFF — STAGED for round 15
+        # (bigram_lm_quality is r13-green, outside the r14 re-prove
+        # window; ROUND14_PLAN.md §Round-15), the tfidf/semantic
+        # staging precedent. Released via cache.release_tracked().
+        from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+        ucounts = tracked_persist(ucounts)
+        bcounts = tracked_persist(bcounts)
     tot = ucounts.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
     n_total, vocab = int(tot["n"] or 0), int(tot["v"] or 0)
     udenom = float(n_total) + alpha * vocab or 1.0

@@ -853,3 +853,39 @@ def test_tfidf_cache_tf_runs_kernel_once_with_equal_values(spark, tmp_path):
     assert sorted(map(key, cached_rows)) == sorted(map(key, plain_rows))
     assert cached_rows
     assert "InMemoryTableScan" in plan, "tf cache must serve the returned plan"
+
+
+@pytest.mark.slow
+def test_bigram_lm_cache_counts_equal_values(spark, tmp_path):
+    """STAGED for round 15 (bigram_lm_quality is r13-green, outside the
+    round-14 re-prove window): bigram_lm_score(cache_counts=True)
+    persists the vocabulary-sized unigram/bigram count relations that
+    feed the scalar-totals action and the three scoring joins — the
+    corpus tokenize kernel then runs ~3x per run instead of ~6x. Pins
+    value equality with the default path and that the cached plan
+    serves the scoring joins from memory."""
+    from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
+
+    n = 1_000
+    path = str(tmp_path / "bigram_corpus")
+    _write_corpus(spark, path, n)
+    df = spark.read.parquet(path)
+
+    try:
+        cached = bigram_lm_score(df, "id", "text", cache_counts=True)
+        cached_rows = cached.collect()
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        plain_rows = bigram_lm_score(df, "id", "text").collect()
+    finally:
+        from hazelcast_jet_contrib_spark.cache import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
+
+    key = lambda r: (
+        r["id"], r["n_tokens"], round(r["bits_per_token"], 9),
+        round(r["mean_inv_p"], 9),
+    )
+    assert sorted(map(key, cached_rows)) == sorted(map(key, plain_rows))
+    assert cached_rows
+    assert "InMemoryTableScan" in plan, "count caches must serve the plan"
