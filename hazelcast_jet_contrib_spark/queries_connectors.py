@@ -937,7 +937,7 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'events/' || event_type AS topic,
            COUNT(*) AS n_msgs,
-           ROUND(SUM(value), 3) AS sum_value
+           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli
     FROM events
     WHERE event_id % 97 = 0
     GROUP BY 1
@@ -1010,13 +1010,160 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("topic")
             .agg(
                 F.count(F.lit(1)).alias("n_msgs"),
-                F.round(F.sum("v"), 3).alias("sum_value"),
+                # per-message milli-scaled integer, THEN sum: bigint
+                # addition is associative/commutative, so the hash is
+                # immune to partition summation order (ADVICE r14 #4 —
+                # the discipline the money-summing oracles use)
+                F.sum(F.round(F.col("v") * 1000).cast("long")).alias("sum_milli"),
             )
             .collect()
         )
     finally:
         shutil.rmtree(spool, ignore_errors=True)
     return spark.createDataFrame(
-        [(r["topic"], r["n_msgs"], r["sum_value"]) for r in agg],
-        "topic string, n_msgs long, sum_value double",
+        [(r["topic"], r["n_msgs"], r["sum_milli"]) for r in agg],
+        "topic string, n_msgs long, sum_milli long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15 — live HTTP(S) listener source, driver-proven (round 15)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "http_listener_spool_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    GROUP BY 1
+    """,
+)
+def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15's listener source driver-proven end-to-end through the LIVE
+    embedded server over REAL sockets (sources/http_listener.py;
+    HttpListenerSourceBuilder.java:36-254): a bounded fixture subset of
+    orders (o_orderkey % 101 — ~1.5k rows at sf0.1, the k-bounded
+    collect discipline) is POSTed as JSON webhook bodies, most over
+    eight keep-alive HTTP/1.1 connections in parallel (exercising the
+    durable-ack group-commit path), a deterministic 1-in-10 slice over
+    ONE multiplexed h2c prior-knowledge HTTP/2 connection
+    (http2.post_h2c — the embedded RFC 7540 path, ENABLE_HTTP2 parity,
+    HttpListenerSourceContext.java:80), plus one malformed-JSON POST
+    asserted 400-and-not-spooled (Undertow 400 parity,
+    HttpListenerSourceContext.java:103-107). The listener spools
+    accepted bodies into message-log segments BEFORE each 200
+    (durable_ack); Spark reads the spool back (distributed jsonl scan),
+    parses the bodies, and aggregates per priority with integer-cents
+    sums (bigint addition commutes — hash immune to summation order).
+    The aggregate hash-matches the same SQL over orders iff no body was
+    lost, duplicated, truncated, or corrupted anywhere in the
+    socket → handler → spool → read path, on either protocol. Scale:
+    the listener is the parallelism-one half of the reference source
+    (one ingest endpoint, HttpListenerSinkBuilder.java:253-263); the
+    spool read and aggregate are ordinary distributed scans."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import threading
+    from http.client import HTTPConnection
+
+    from hazelcast_jet_contrib_spark.sources import http2
+    from hazelcast_jet_contrib_spark.sources.http_listener import HttpListenerSource
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    bodies = [
+        _json.dumps(
+            {"k": r["o_orderkey"], "p": r["o_orderpriority"], "t": r["o_totalprice"]}
+        ).encode()
+        for r in rows
+    ]
+    h2_bodies = bodies[::10]
+    h11_bodies = [b for i, b in enumerate(bodies) if i % 10 != 0]
+    spool = tempfile.mkdtemp(prefix="http_spool_q_")
+    try:
+        src = HttpListenerSource(
+            spool, require_json=True, durable_ack=True
+        ).start()
+        try:
+            host, port = src._server.server_address[:2]
+            # malformed JSON → 400, and the body must NOT reach the spool
+            c = HTTPConnection(host, port, timeout=30)
+            c.request("POST", "/", b'{"k": not json')
+            resp = c.getresponse()
+            assert resp.status == 400, resp.status
+            resp.read()
+            c.close()
+            # HTTP/1.1 slice: eight keep-alive producer connections
+            it = iter(h11_bodies)
+            lock = threading.Lock()
+            failures: list[str] = []
+
+            def producer() -> None:
+                conn = HTTPConnection(host, port, timeout=30)
+                try:
+                    while True:
+                        with lock:
+                            body = next(it, None)
+                        if body is None:
+                            return
+                        conn.request(
+                            "POST", "/", body,
+                            {"Content-Type": "application/json"},
+                        )
+                        r = conn.getresponse()
+                        r.read()
+                        if r.status != 200:
+                            failures.append(f"HTTP {r.status}")
+                            return
+                finally:
+                    conn.close()
+
+            workers = [threading.Thread(target=producer) for _ in range(8)]
+            for w in workers:
+                w.start()
+            for w in workers:
+                w.join(timeout=120)
+            assert not failures, failures
+            # HTTP/2 slice: one multiplexed h2c connection
+            statuses = http2.post_h2c(host, port, h2_bodies)
+            assert statuses == ["200"] * len(h2_bodies), statuses
+        finally:
+            src.stop()
+        agg = (
+            spark.read.schema("key string, value string")
+            .json(os.path.join(spool, "http", "*.jsonl"))
+            .select(
+                F.get_json_object("value", "$.p").alias("priority"),
+                F.get_json_object("value", "$.k").cast("long").alias("k"),
+                F.get_json_object("value", "$.t").cast("double").alias("t"),
+            )
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("t") * 100).cast("long")).alias("cents"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["priority"], r["n_orders"], r["cents"], r["min_key"], r["max_key"])
+            for r in agg
+        ],
+        "priority string, n_orders long, cents long, min_key long, max_key long",
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hazelcast_jet_contrib_spark.registry import query, table
+from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 # Three fixed term-set queries over the documents table; terms chosen
 # from the corpus vocabulary so every query has matches at every SF.
@@ -64,7 +64,18 @@ def _bm25_multi_oracle(k: int) -> str:
     """
 
 
-@query("bm25_topk_multi_docs", oracle=_bm25_multi_oracle(10))
+@retired_query(
+    "bm25_topk_multi_docs",
+    reason="r15: batched multi-query BM25 subsumed by bm25_topk_docs (the"
+    " SAME scorer implementation; per-query value-equivalence of the"
+    " batched path to the single-query path is pinned in"
+    " tests/test_analytics.py, and the one-corpus-pass property is a"
+    " structural pass-count check pytest makes, not a value property the"
+    " driver hash adds information about) — freed the r15 window slot for"
+    " the mqtt oracle re-proof (ADVICE r14 #4) + the new S15 row"
+    " (ROUND15_PLAN.md §Window)",
+    oracle=_bm25_multi_oracle(10),
+)
 def bm25_topk_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BM25: three queries scored in ONE corpus pass (per-term
     df and corpus stats computed once and shared — IDF identical to

@@ -917,11 +917,15 @@ class MqttStubClient:
     ``fault_dir`` arms a fault_injection schedule on subscribe()."""
 
     def __init__(self, client_id="", clean_session=True, api_version=None,
-                 fault_dir=None):
+                 fault_dir=None, subscribe_rcs=None):
         self.client_id = client_id
         self.clean_session = clean_session
         self.api_version = api_version
         self.fault_dir = fault_dir
+        # real paho reports most subscribe failures via the returned
+        # (rc, mid) tuple without raising; this list (shared with the
+        # module) yields one rc per subscribe() call, default success
+        self.subscribe_rcs = subscribe_rcs if subscribe_rcs is not None else []
         self.on_connect = None
         self.on_message = None
         self.subscribed: list[list[tuple[str, int]]] = []
@@ -955,6 +959,12 @@ class MqttStubClient:
             f = next_fault(self.fault_dir, "subscribe")
             if f is not None and f["action"] == "error":
                 raise ConnectionError("SUBACK never arrived (injected)")
+        if self.subscribe_rcs:
+            rc = self.subscribe_rcs.pop(0)
+            if rc != 0:
+                # MQTT_ERR_NO_CONN shape: no exception, no subscription
+                # recorded broker-side, just a non-zero return code
+                return (rc, None)
         self.subscribed.append(list(topic_qos_pairs))
         return (0, 1)
 
@@ -976,15 +986,17 @@ class MqttStubClient:
 class MqttStubModule:
     CallbackAPIVersion = MqttStubAPIVersion
 
-    def __init__(self, fault_dir=None):
+    def __init__(self, fault_dir=None, subscribe_rcs=None):
         self.clients: list[MqttStubClient] = []
         self.fault_dir = fault_dir
+        self.subscribe_rcs = subscribe_rcs
 
     def Client(self, callback_api_version=None, client_id="", clean_session=True):
         if callback_api_version is None:
             raise ValueError("Unsupported callback API version")  # the 2.x error
         c = MqttStubClient(client_id, clean_session, callback_api_version,
-                           fault_dir=self.fault_dir)
+                           fault_dir=self.fault_dir,
+                           subscribe_rcs=self.subscribe_rcs)
         self.clients.append(c)
         return c
 
@@ -1148,10 +1160,18 @@ class PahoSubscribeSource:
         """(Re)connect → re-subscribe EVERY filter with its QoS in one
         call (SourceContext.connectComplete parity). A failed subscribe
         drops the connection so paho's reconnect backoff retries it —
-        the source never sits connected-but-unsubscribed."""
+        the source never sits connected-but-unsubscribed. Real paho
+        reports most subscribe failures via the returned ``(rc, mid)``
+        tuple WITHOUT raising (e.g. MQTT_ERR_NO_CONN), so a non-zero
+        return code is treated exactly like the exception path
+        (ADVICE r14 #2)."""
         self.stats["connects"] += 1
         try:
-            client.subscribe([(tf, qos) for tf, qos in self.subscriptions])
+            rc = client.subscribe([(tf, qos) for tf, qos in self.subscriptions])
+            # paho returns (rc, mid); rc == 0 (MQTT_ERR_SUCCESS) is the
+            # only success. Tolerate clients returning None (older fakes).
+            if rc is not None and rc[0] != 0:
+                raise ConnectionError(f"subscribe failed rc={rc[0]}")
             self.stats["resubscribes"] += 1
         except Exception:
             self.stats["subscribe_errors"] += 1
@@ -1189,9 +1209,13 @@ class PahoSubscribeSource:
         failure (disk full, spool dir unwritable) must NOT kill the
         flusher or drop the dequeued batch — paho has already PUBACKed
         QoS>=1 messages, so the broker will never redeliver them; the
-        batch is held for retry (duplicates from a PARTIALLY-written
-        batch are fine — the contract is at-least-once and the
-        idempotent-sink discipline absorbs them downstream)."""
+        batch is held for retry. Topics whose append_segment already
+        succeeded are DROPPED from the held batch, so a retry after a
+        partial per-topic failure is duplicate-free (ADVICE r14 #3) —
+        the at-least-once contract still holds (a topic's segment could
+        in principle land durably yet raise, and the idempotent-sink
+        discipline absorbs that), but the common partial-failure shape
+        no longer manufactures duplicates."""
         import queue as _queue
 
         batch: list[dict] = self._retry_batch or []
@@ -1207,23 +1231,33 @@ class PahoSubscribeSource:
             return 0
         from hazelcast_jet_contrib_spark.streaming.message_log import append_segment
 
-        try:
-            by_topic: dict[str, list[dict]] = {}
-            for r in batch:
-                by_topic.setdefault(r["key"], []).append(r)
-            for topic, recs in by_topic.items():
-                append_segment(self.spool_root, mqtt_stream_name(topic), recs)
-        except Exception as ex:
-            self.stats["spool_errors"] += 1
-            self.last_spool_error = ex
-            self._retry_batch = batch
-            # backoff so a persistent failure doesn't spin the thread;
-            # bounded above so recovery (space freed, dir restored) is
-            # picked up within a second
-            self._stop.wait(min(1.0, self.flush_seconds * 4))
-            return 0
-        self.stats["spooled"] += len(batch)
-        return len(batch)
+        by_topic: dict[str, list[dict]] = {}
+        for r in batch:
+            by_topic.setdefault(r["key"], []).append(r)
+        spooled = 0
+        for topic in list(by_topic):
+            try:
+                append_segment(
+                    self.spool_root, mqtt_stream_name(topic), by_topic[topic]
+                )
+            except Exception as ex:
+                self.stats["spool_errors"] += 1
+                self.last_spool_error = ex
+                # hold ONLY the not-yet-written topics for retry — the
+                # topics already popped below wrote durably and must not
+                # be re-appended (duplicate-free partial-failure retry)
+                self._retry_batch = [
+                    r for recs in by_topic.values() for r in recs
+                ]
+                # backoff so a persistent failure doesn't spin the
+                # thread; bounded above so recovery (space freed, dir
+                # restored) is picked up within a second
+                self._stop.wait(min(1.0, self.flush_seconds * 4))
+                return spooled
+            recs = by_topic.pop(topic)
+            self.stats["spooled"] += len(recs)
+            spooled += len(recs)
+        return spooled
 
     def _flush_loop(self) -> None:
         while not self._stop.is_set():

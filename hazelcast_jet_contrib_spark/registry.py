@@ -202,96 +202,43 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 14
+_ROTATION_ROUND = 15
 _PRIORITY = [
-    # --- round-14 rotation (window = exactly 50; plan in
-    # ROUND14_PLAN.md, written BEFORE the build). CORRECTNESS_r13
-    # proved the round-13 priority set 50/50 hash-green; the 50
-    # r12-green demoted queries age past the 2-round contract unless
-    # re-proven now. Demand: 49 of the 50 r12-green (the 50th,
-    # winnowing_shared_overlap, retired this round — reason at its
-    # @retired_query site) + ONE new registration in the freed window
-    # slot: mqtt_subscribe_spool_roundtrip, which drives the round-14
-    # live MQTT subscribe adapter end-to-end in the driver gate
-    # (ROUND14_PLAN.md §Mid-round amendment; the window-slot-via-
-    # retirement move ROUND13_PLAN.md §Round-14 pre-authorized).
-    # minhash_index_probe also retired (r13-green — frees cap only).
-    # Order preserved from the round-13
-    # demotion list. In-window plan changes this round (re-proven by
-    # this window under rule d, the r12/r13 precedent): the two
-    # round-13 STAGED scale-plan flips — kmeans_cluster_profile now
-    # runs kmeans_lloyd(prepartition=True) (clustering.py) and
-    # simhash128_near_dup runs prepartition_bands=True (dedup.py);
-    # value-neutrality + forced-no-broadcast shuffle laws were pinned
-    # in round 13 (test_scale_rehearsal*.py) before the flip. No
-    # DEMOTED (r13-green) query's implementation or oracle changes
-    # this round; out-of-window perf work (minhash_lsh cache-format
-    # staging) is default-off for r15 (ROUND14_PLAN.md item 4).
-    "salted_join_priority_revenue",
-    "mmr_rerank_diverse",
-    "kmeans_cluster_profile",
-    "minhash_index_lifecycle",
-    "video_near_dup_frames",
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "winnowing_fingerprints",
+    # --- round-15 rotation (window = exactly 50; plan in
+    # ROUND15_PLAN.md, written BEFORE the build). CORRECTNESS_r14
+    # proved the round-14 priority set 50/50 hash-green; the 49
+    # r13-green demoted queries age past the 2-round contract unless
+    # re-proven now. Window: 48 of those 49 (the 49th,
+    # bm25_topk_multi_docs, retired this round — reason at its
+    # @retired_query site in queries_retrieval.py) + TWO entrants in
+    # the freed slots:
+    #   - mqtt_subscribe_spool_roundtrip (r14-green, pulled forward):
+    #     its oracle changed to an order-insensitive integer-milli sum
+    #     (ADVICE r14 #4), so re-proof rule c applies;
+    #   - http_listener_spool_roundtrip (NEW): the S15 listener source
+    #     driven live in the driver gate over real HTTP/1.1 + h2c
+    #     sockets (VERDICT r14 "What's missing" #3).
+    # Order otherwise preserved from the round-14 demotion list.
+    # In-window plan changes this round (re-proven by this window
+    # under rule d, the r12/r13/r14 precedent): the three round-14
+    # STAGED scale-plan flips — semantic_dedup_pairs now runs
+    # prepartition_cells=True (clustering.py), tfidf_salient_terms
+    # runs rarity_weighted_terms(cache_tf=True) and bigram_lm_quality
+    # runs bigram_lm_score(cache_counts=True) (curation.py);
+    # value-neutrality + shuffle/pass-count laws were pinned in round
+    # 14 (test_scale_rehearsal.py) before the flips. Also in-window:
+    # contamination_ngram_overlap — its one-pass rewrite landed in r14
+    # while the query sat demoted (the r14 rotation comment wrongly
+    # claimed no demoted query changed; ADVICE r14 #1): this window
+    # row is the driver re-proof of the rewritten plan, on top of the
+    # r14 final-tree full driver_sim MATCH recorded in ROUND14_PLAN.md.
     "mqtt_subscribe_spool_roundtrip",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
-]
-_DEMOTED = [
-    # green in CORRECTNESS_r13 (the full round-13 priority window)
-    # minus minhash_index_probe, retired this round (reason at its
-    # @retired_query site in queries_dedup.py; pre-analyzed in
-    # ROUND13_PLAN.md §Round-14). 49 entries -> the round-15 window
-    # holds them all with ONE spare slot — the first since round 11 —
-    # matching the one free cap slot (registry at 99); candidate uses
-    # pre-analyzed in ROUND14_PLAN.md §Round-15.
+    "http_listener_spool_roundtrip",
     "webdataset_roundtrip",
     "neardup_keep_best",
     "pagerank_event_graph",
     "bpe_encode_pinned",
     "classifier_holdout_accuracy",
-    "bm25_topk_multi_docs",
     "rrf_fusion_hybrid",
     "quality_ensemble_scores",
     "leakage_safe_split_census",
@@ -336,6 +283,63 @@ _DEMOTED = [
     "snapshot_diff_statuses",
     "json_props_extraction",
 ]
+_DEMOTED = [
+    # green in CORRECTNESS_r14 (the full round-14 priority window)
+    # minus mqtt_subscribe_spool_roundtrip, pulled forward into the
+    # r15 window for its oracle re-proof (ADVICE r14 #4). 49 entries ->
+    # the round-16 window holds them all with ONE spare slot, matching
+    # the one free cap slot (registry at 99) — the same sustainable
+    # pairing round 15 inherited.
+    "salted_join_priority_revenue",
+    "mmr_rerank_diverse",
+    "kmeans_cluster_profile",
+    "minhash_index_lifecycle",
+    "video_near_dup_frames",
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "winnowing_fingerprints",
+    "crossdoc_dup_blocks",
+    "unigram_lm_quality",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hash64_distinct_customers",
+    "hll_customers_accuracy",
+]
 
 # ---------------------------------------------------------------------------
 # EAGER: queries whose registered callable executes work the RETURNED
@@ -373,13 +377,13 @@ _DEMOTED = [
 # are partial views.
 EAGER: dict[str, str] = {
     "minhash_index_lifecycle": "local-k",
-    "bm25_topk_multi_docs": "local-k",
     "rrf_fusion_hybrid": "local-k",
     "mmr_rerank_diverse": "local-k",
     "ivf_pq_probe_exact_topk": "local-k",
     "training_shards_roundtrip": "eager-export",
     "webdataset_roundtrip": "eager-export",
     "mqtt_subscribe_spool_roundtrip": "eager-export",
+    "http_listener_spool_roundtrip": "eager-export",
     "kmeans_cluster_profile": "lineage-cut",
     "pagerank_event_graph": "lineage-cut",
     "neardup_clusters": "lineage-cut",

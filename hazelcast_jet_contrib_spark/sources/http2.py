@@ -550,3 +550,63 @@ def serve_connection(
             _apply_window_update(sid, payload)
         # PRIORITY / PUSH_PROMISE (never from clients) / unknown
         # extension frames: consumed and ignored
+
+
+def post_h2c(
+    host: str,
+    port: int,
+    bodies: list[bytes],
+    path: str = "/",
+    authority: str = "localhost",
+    timeout: float = 30.0,
+) -> list[str]:
+    """Minimal h2c prior-knowledge client: POST every body as its own
+    stream on ONE cleartext HTTP/2 connection (streams 1, 3, 5, ...),
+    sequentially awaiting each response, and return the ``:status`` of
+    each. Exists for the test tier and the driver-gate row — a
+    dependency-free counterpart of ``curl --http2-prior-knowledge``
+    that can REUSE the connection across transfers (curl 7.88 cannot,
+    see tests/test_http_listener.py). Request headers are the
+    static-table trio (:method POST, :scheme http, :path /) plus
+    ``:authority`` as a literal; bodies must fit one DATA frame
+    (< 16384 bytes, the default SETTINGS_MAX_FRAME_SIZE)."""
+    import socket
+
+    if path != "/":
+        raise ValueError("static-table client only speaks path '/'")
+    auth = authority.encode()
+    if len(auth) > 126:
+        raise ValueError("authority too long for 1-byte HPACK length")
+    req_headers = bytes([0x83, 0x86, 0x84, 0x41, len(auth)]) + auth
+    statuses: list[str] = []
+    s = socket.create_connection((host, port), timeout=timeout)
+    try:
+        s.settimeout(timeout)
+        f = s.makefile("rwb")
+        f.write(PREFACE)
+        f.write(_frame(_SETTINGS, 0, 0))
+        for i, body in enumerate(bodies):
+            if len(body) >= 16384:
+                raise ValueError("body exceeds one DATA frame")
+            sid = 2 * i + 1
+            f.write(_frame(_HEADERS, _FLAG_END_HEADERS, sid, req_headers))
+            f.write(_frame(_DATA, _FLAG_END_STREAM, sid, body))
+            f.flush()
+            got_headers = ended = False
+            dec = HpackDecoder()
+            while not (got_headers and ended):
+                head = _read_exact(f, 9)
+                ln = int.from_bytes(head[:3], "big")
+                ftype, flags = head[3], head[4]
+                fsid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+                payload = _read_exact(f, ln) if ln else b""
+                if fsid == sid and ftype == _HEADERS:
+                    got_headers = True
+                    statuses.append(dict(dec.decode(payload))[":status"])
+                if fsid == sid and flags & _FLAG_END_STREAM:
+                    ended = True
+        f.write(_frame(_GOAWAY, 0, 0, struct.pack("!II", 2 * len(bodies) - 1, 0)))
+        f.flush()
+    finally:
+        s.close()
+    return statuses

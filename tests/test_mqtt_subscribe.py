@@ -515,3 +515,68 @@ def test_stop_raises_on_unspoolable_leftovers(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="unspooled"):
         src.stop()
     assert src.stats["spool_errors"] >= 3  # bounded final-drain retries
+
+
+def test_subscribe_return_code_failure_treated_like_exception(tmp_path):
+    """ADVICE r14 #2: real paho reports most subscribe failures via the
+    returned (rc, mid) tuple WITHOUT raising (e.g. MQTT_ERR_NO_CONN).
+    A non-zero rc must take the same path as a raised subscribe: count
+    the error, drop the connection so the reconnect backoff retries,
+    and re-subscribe successfully on reconnect — never sit
+    connected-but-unsubscribed."""
+    mod = _FakeSubModule(subscribe_rcs=[4, 0])  # MQTT_ERR_NO_CONN, then ok
+    src = _source(tmp_path, mod).start()
+    try:
+        c = mod.clients[0]
+        assert src.stats["subscribe_errors"] == 1
+        assert c.connected is None, "rc failure must drop the connection"
+        assert c.subscribed == [], "a failed rc records no subscription"
+        c.simulate_reconnect()
+        assert src.stats["resubscribes"] == 1
+        assert c.subscribed == [SUBS]
+        c.deliver("log", b"after-rc-recovery", 0)
+    finally:
+        src.stop()
+    assert [r["value"] for r in _spooled(src.spool_root, "log")] == [
+        "after-rc-recovery"
+    ]
+
+
+def test_partial_spool_failure_retry_is_duplicate_free(tmp_path, monkeypatch):
+    """ADVICE r14 #3: when a multi-topic batch fails PARTWAY through the
+    per-topic appends, the retry must re-append ONLY the topics that
+    did not write — already-written topics are dropped from the held
+    batch, so the spool ends duplicate-free."""
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    mod = _FakeSubModule()
+    src = _source(tmp_path, mod)
+    c = _FakeSubClient()
+    src._on_message(c, None, _FakeMessage("house/kitchen", b"k1", 1))
+    src._on_message(c, None, _FakeMessage("house/hall", b"h1", 1))
+    src._on_message(c, None, _FakeMessage("log", b"l1", 0))
+    src._stop = threading.Event()  # drain uses its wait()
+
+    real_append = ml.append_segment
+    state = {"failed": False}
+
+    def fail_second_topic(root, stream, records, seq=None):
+        if not state["failed"] and len(glob(os.path.join(root, "*"))) == 1:
+            state["failed"] = True  # exactly one topic dir written so far
+            raise OSError(28, "No space left on device (injected)")
+        return real_append(root, stream, records, seq)
+
+    monkeypatch.setattr(ml, "append_segment", fail_second_topic)
+    first = src._drain_once()  # one topic lands, the second fails
+    assert first == 1 and src.stats["spool_errors"] == 1
+    held_topics = {r["key"] for r in src._retry_batch}
+    assert len(held_topics) == 2, "written topic must leave the retry batch"
+    assert src._drain_once() == 2  # retry writes ONLY the held topics
+    assert src._retry_batch is None
+    spooled = [
+        r["value"]
+        for t in ("house/kitchen", "house/hall", "log")
+        for r in _spooled(src.spool_root, t)
+    ]
+    assert sorted(spooled) == ["h1", "k1", "l1"], "no duplicates after retry"
+    assert src.stats["spooled"] == 3

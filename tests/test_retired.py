@@ -47,6 +47,8 @@ EXPECTED_RETIRED = {
     # round-14 retirements (ROUND14_PLAN.md / ROUND13_PLAN.md §Round-14)
     "minhash_index_probe",
     "winnowing_shared_overlap",
+    # round-15 retirement (ROUND15_PLAN.md §Window)
+    "bm25_topk_multi_docs",
 }
 
 
