@@ -733,7 +733,11 @@ def tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.curation import rarity_weighted_terms
 
     docs = table(spark, sf_dir, "documents")
-    return rarity_weighted_terms(docs, "doc_id", "text", top_k=5)
+    # cache_tf=True (flipped r15; staged+proven r14): the (id, term, tf)
+    # relation feeds both the document-frequency aggregate and the
+    # scoring join; cached, the tokenize kernel runs once per run
+    # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
+    return rarity_weighted_terms(docs, "doc_id", "text", top_k=5, cache_tf=True)
 
 
 @query(

@@ -635,7 +635,14 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 100000).alias("id"), "embedding"
         )
     )
-    return semantic_dedup_pairs(aug, "id", "embedding", k=16, min_cosine=0.999)
+    # prepartition_cells=True (flipped r15; staged+proven r14): the
+    # assigned-cell relation is cached hash-partitioned on cidx, so the
+    # in-cell pair join satisfies both sides from one cache instead of
+    # recomputing scan -> argmin -> join -> norm fold per side
+    # (tests/test_scale_rehearsal.py NOBC law + equality pin).
+    return semantic_dedup_pairs(
+        aug, "id", "embedding", k=16, min_cosine=0.999, prepartition_cells=True
+    )
 
 
 @query(

@@ -189,9 +189,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
 
     docs = table(spark, sf_dir, "documents")
-    return bigram_lm_score(docs, "doc_id", "text", alpha=0.5, interp=0.7).select(
-        "id", "n_tokens", F.round("mean_inv_p", 4).alias("mean_inv_p")
-    )
+    # cache_counts=True (flipped r15; staged+proven r14): the
+    # vocabulary-sized count relations are cached, cutting the corpus
+    # tokenize kernel from ~6 to ~3 executions per run
+    # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
+    return bigram_lm_score(
+        docs, "doc_id", "text", alpha=0.5, interp=0.7, cache_counts=True
+    ).select("id", "n_tokens", F.round("mean_inv_p", 4).alias("mean_inv_p"))
 
 
 _PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0]
