@@ -697,9 +697,9 @@ def test_simhash128_prepartition_bands_shuffles_once_not_per_join_side(
 def test_semantic_dedup_prepartition_cells_shuffles_once_not_per_join_side(
     spark, tmp_path
 ):
-    """STAGED for round 15 (semantic_dedup_pairs is r13-green and
-    outside the round-14 re-prove window — ROUND14_PLAN.md §Round-15;
-    the kmeans/simhash staged-flip precedent):
+    """SHIPPING DEFAULT since round 15 (staged r14, flipped inside the
+    r15 re-prove window — ROUND15_PLAN.md; the kmeans/simhash
+    staged-flip precedent):
     semantic_dedup_pairs(prepartition_cells=True) caches the
     assigned-cell relation hash-partitioned on cidx, so under the
     at-scale join shape (broadcast disabled) the in-cell pair join
@@ -824,8 +824,8 @@ def test_crossdoc_blocks_relation_shuffles_once_not_per_consumer(spark, tmp_path
 
 @pytest.mark.slow
 def test_tfidf_cache_tf_runs_kernel_once_with_equal_values(spark, tmp_path):
-    """STAGED for round 15 (tfidf_salient_terms is r13-green, outside
-    the round-14 re-prove window): rarity_weighted_terms(cache_tf=True)
+    """SHIPPING DEFAULT since round 15 (staged r14, flipped inside the
+    r15 re-prove window): rarity_weighted_terms(cache_tf=True)
     persists the (id, term, tf) relation that feeds BOTH the
     document-frequency aggregate and the scoring join — the tokenize →
     explode → count kernel then runs once, not once per consumer. Pins
@@ -857,8 +857,8 @@ def test_tfidf_cache_tf_runs_kernel_once_with_equal_values(spark, tmp_path):
 
 @pytest.mark.slow
 def test_bigram_lm_cache_counts_equal_values(spark, tmp_path):
-    """STAGED for round 15 (bigram_lm_quality is r13-green, outside the
-    round-14 re-prove window): bigram_lm_score(cache_counts=True)
+    """SHIPPING DEFAULT since round 15 (staged r14, flipped inside the
+    r15 re-prove window): bigram_lm_score(cache_counts=True)
     persists the vocabulary-sized unigram/bigram count relations that
     feed the scalar-totals action and the three scoring joins — the
     corpus tokenize kernel then runs ~3x per run instead of ~6x. Pins
