@@ -1111,7 +1111,16 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             failures: list[str] = []
 
             def producer() -> None:
+                import socket as _socket
+
                 conn = HTTPConnection(host, port, timeout=30)
+                conn.connect()
+                # http.client writes headers and body separately; with
+                # Nagle on, the body write stalls behind the server's
+                # delayed ACK (~18ms/request measured; <1ms without)
+                conn.sock.setsockopt(
+                    _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                )
                 try:
                     while True:
                         with lock:
@@ -1141,9 +1150,14 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             assert statuses == ["200"] * len(h2_bodies), statuses
         finally:
             src.stop()
+        # read the stream DIRECTORY, not a segment glob: a glob
+        # expanding past parallelPartitionDiscovery.threshold (32
+        # paths) makes Spark launch a distributed LISTING job with one
+        # task per segment file (measured: a 600-task stage before the
+        # 32-task scan); one root path lists driver-side in one call
         agg = (
             spark.read.schema("key string, value string")
-            .json(os.path.join(spool, "http", "*.jsonl"))
+            .json(os.path.join(spool, "http"))
             .select(
                 F.get_json_object("value", "$.p").alias("priority"),
                 F.get_json_object("value", "$.k").cast("long").alias("k"),

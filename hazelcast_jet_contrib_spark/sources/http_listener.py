@@ -84,6 +84,11 @@ class _H2SniffingHandler(BaseHTTPRequestHandler):
     (headers, body) -> (status, body|chunk-iter) for the h2 path and the
     usual do_* methods for 1.1."""
 
+    # TCP_NODELAY: h2 responses are multiple small frames (HEADERS +
+    # DATA) written back-to-back; Nagle + the client's delayed ACK
+    # would stall each request ~40ms (same fix as http2.post_h2c)
+    disable_nagle_algorithm = True
+
     def _h2_request(self, headers, body):  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -116,8 +121,14 @@ class HttpListenerSource:
 
     Durability vs throughput: with ``durable_ack=True`` (default) every
     request's body is appended to the spool BEFORE the HTTP 200 goes out
-    — an acknowledged webhook is never lost to a crash. Requests racing
-    on the lock group-commit into one segment. ``durable_ack=False``
+    — an acknowledged webhook is never lost to a crash. Concurrent
+    requests GROUP-COMMIT (WAL-style, round 15): one leader writes every
+    body buffered for the current generation as a single segment while
+    the followers wait on its durability, so N racing producers cost
+    ~N/batch segment files and fsync-path writes instead of N — without
+    weakening the contract (a 200 still never precedes the write, and a
+    failed write errors EVERY request of that generation so producers
+    retry). ``durable_ack=False``
     buffers up to `batch_size` bodies and a background thread flushes
     every `flush_interval` seconds; an acknowledged payload can then be
     lost in that window — choose it only when the producer retries.
@@ -152,6 +163,14 @@ class HttpListenerSource:
         self.flush_interval = flush_interval
         self._buf: list[dict] = []
         self._lock = threading.Lock()
+        # group-commit state (durable_ack mode): generation g = the set
+        # of bodies buffered between two leader claims; a request's 200
+        # may only follow _flushed_gen >= its generation
+        self._cv = threading.Condition(self._lock)
+        self._gen = 0
+        self._flushed_gen = -1
+        self._flushing = False
+        self._flush_errors: dict[int, Exception] = {}
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
         self._tls = tls is not None
         if tls is not None:
@@ -220,10 +239,64 @@ class HttpListenerSource:
         return Handler
 
     def _enqueue(self, body: str) -> None:
-        with self._lock:
-            self._buf.append({"key": None, "value": body})
-            if self.durable_ack or len(self._buf) >= self.batch_size:
-                self._flush_locked()
+        rec = {"key": None, "value": body}
+        if not self.durable_ack:
+            with self._lock:
+                self._buf.append(rec)
+                if len(self._buf) >= self.batch_size:
+                    self._flush_locked()
+            return
+        # durable-ack group commit: append, then either become the
+        # leader that writes the whole buffered generation or wait for
+        # that leader's durability verdict
+        with self._cv:
+            self._buf.append(rec)
+            my_gen = self._gen
+            batch = self._claim_or_wait_locked(my_gen)
+            if batch is None:
+                return  # flushed durably by another leader
+        self._lead_flush(batch, my_gen)
+
+    def _claim_or_wait_locked(self, my_gen: int) -> list[dict] | None:
+        """Group-commit arbitration (call with the lock held): returns
+        the batch to write if this thread becomes generation
+        ``my_gen``'s flush leader, or None once the generation is
+        durable — re-raising the leader's write error so a failed
+        flush errors EVERY request it covered (no 200 without a
+        write)."""
+        while True:
+            if self._flushed_gen >= my_gen:
+                err = self._flush_errors.get(my_gen)
+                if err is not None:
+                    raise err
+                return None
+            if not self._flushing:
+                self._flushing = True
+                batch, self._buf = self._buf, []
+                self._gen += 1
+                return batch
+            self._cv.wait()
+
+    def _lead_flush(self, batch: list[dict], my_gen: int) -> None:
+        """Write one generation as ONE segment, publish the verdict,
+        wake the followers. Leaders serialize on _flushing, so
+        _flushed_gen advances monotonically and segment order follows
+        generation order."""
+        err: Exception | None = None
+        try:
+            message_log.append_segment(self.spool_dir, self.stream_name, batch)
+        except Exception as ex:  # durable-ack: the error must reach
+            err = ex  # every covered request, not kill this thread only
+        with self._cv:
+            self._flushing = False
+            self._flushed_gen = my_gen
+            if err is not None:
+                self._flush_errors[my_gen] = err
+            for g in [g for g in self._flush_errors if g < my_gen - 64]:
+                del self._flush_errors[g]
+            self._cv.notify_all()
+        if err is not None:
+            raise err
 
     def _flush_locked(self) -> None:
         if self._buf:
@@ -231,8 +304,21 @@ class HttpListenerSource:
             self._buf = []
 
     def flush(self) -> None:
-        with self._lock:
-            self._flush_locked()
+        if not self.durable_ack:
+            with self._lock:
+                self._flush_locked()
+            return
+        # durable mode: any buffered bodies belong to a generation with
+        # waiting requesters — drain through the group-commit protocol
+        # so their durability signal still fires (never steal the buf)
+        with self._cv:
+            if not self._buf:
+                return
+            my_gen = self._gen
+            batch = self._claim_or_wait_locked(my_gen)
+            if batch is None:
+                return
+        self._lead_flush(batch, my_gen)
 
     def _schedule_flush(self) -> None:
         if self._stopping:

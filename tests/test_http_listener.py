@@ -922,3 +922,77 @@ def test_h2_settings_initial_window_above_2_31_goaway_flow_control_error():
     assert goaway is not None, "no GOAWAY before teardown"
     _last_sid, err = struct.unpack("!II", goaway[:8])
     assert err == 0x3  # FLOW_CONTROL_ERROR
+
+
+def test_durable_ack_group_commit_coalesces_concurrent_posts(tmp_path):
+    """Round 15: concurrent durable-ack requests GROUP-COMMIT — one
+    leader writes every body buffered for the generation as a single
+    segment while followers await its durability, so N racing
+    producers land in far fewer than N segments with no body lost,
+    duplicated, or acknowledged-before-durable."""
+    import threading
+
+    spool = str(tmp_path / "spool")
+    src = HttpListenerSource(spool).start()
+    n, workers = 200, 8
+    ids = iter(range(n))
+    lock = threading.Lock()
+
+    def producer():
+        while True:
+            with lock:
+                i = next(ids, None)
+            if i is None:
+                return
+            assert _post(src.address, json.dumps({"i": i})).status == 200
+
+    try:
+        ts = [threading.Thread(target=producer) for _ in range(workers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+    finally:
+        src.stop()
+    segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+    bodies = [json.loads(line)["value"] for s in segs for line in open(s)]
+    assert sorted(json.loads(b)["i"] for b in bodies) == list(range(n))
+    # coalescing must be REAL: with 8 concurrent producers the leader
+    # absorbs followers' bodies — far fewer segments than requests
+    # (sequential worst case would be n; require at least 25% saved)
+    assert len(segs) <= 3 * n // 4, (n, len(segs))
+
+
+def test_durable_ack_flush_failure_errors_every_covered_request(
+    tmp_path, monkeypatch
+):
+    """A failed group-commit write must error EVERY request of that
+    generation (no 200 without a durable body) and leave later
+    generations working."""
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    spool = str(tmp_path / "spool")
+    src = HttpListenerSource(spool).start()
+    real_append = ml.append_segment
+    state = {"fail": 1}
+
+    def flaky(root, stream, records, seq=None):
+        if state["fail"]:
+            state["fail"] -= 1
+            raise OSError(28, "No space left on device (injected)")
+        return real_append(root, stream, records, seq)
+
+    monkeypatch.setattr(ml, "append_segment", flaky)
+    try:
+        failed = False
+        try:
+            _post(src.address, json.dumps({"i": 0}))
+        except Exception:
+            failed = True
+        assert failed, "a lost write must never be acknowledged with 200"
+        assert _post(src.address, json.dumps({"i": 1})).status == 200
+    finally:
+        src.stop()
+    segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+    bodies = [json.loads(line)["value"] for s in segs for line in open(s)]
+    assert bodies == ['{"i": 1}'], bodies
