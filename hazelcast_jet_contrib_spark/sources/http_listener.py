@@ -516,6 +516,10 @@ class WebSocketPushSink(_PushSinkBase):
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"  # 101 upgrade needs keep-alive
+            # push frames are small and latency-bound: don't let Nagle
+            # hold one behind the client's delayed ACK (same fix as
+            # _H2SniffingHandler.disable_nagle_algorithm)
+            disable_nagle_algorithm = True
 
             def do_GET(self):
                 key = self.headers.get("Sec-WebSocket-Key")
