@@ -996,3 +996,67 @@ def test_durable_ack_flush_failure_errors_every_covered_request(
     segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
     bodies = [json.loads(line)["value"] for s in segs for line in open(s)]
     assert bodies == ['{"i": 1}'], bodies
+
+
+def _collect_sse(url, out, stop_token):
+    """Minimal SSE client: append each event's data payload to `out`
+    until the stop token arrives."""
+    req = urllib.request.Request(url)
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        while True:
+            line = resp.readline()
+            if not line:
+                return
+            text = line.decode().strip()
+            if text.startswith("data: "):
+                payload = text[len("data: "):]
+                if payload == stop_token:
+                    return
+                out.append(payload)
+
+
+def test_sse_roundtrip_driver_row_shape(spark):
+    """Round-15 prep for the round-16 spare-slot candidate
+    (ROUND15_PLAN.md §Round-16): the K8 sink driven in the full
+    driver-row shape — a bounded events fixture pushed through the
+    REAL foreachBatch adapter (toJSON -> toLocalIterator -> publish)
+    to TWO concurrently-connected live SSE clients, each collecting
+    until a sentinel. Every row must reach EVERY client exactly once
+    (live-delivery contract: retention policy is not delivery policy),
+    bodies intact — the r16 registry row adds the DuckDB oracle on
+    top of exactly this pipeline."""
+    import threading
+    import time
+
+    from hazelcast_jet_contrib_spark.registry import table
+    from tests.conftest import SMOKE_SF
+
+    src = (
+        table(spark, SMOKE_SF, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    expected = {(r["event_id"], r["event_type"]) for r in src.collect()}
+    assert len(expected) > 50, "fixture must be non-trivial"
+    sentinel = '{"_eof": 1}'
+    sink = SsePushSink(max_buffer=50_000).start()
+    outs: list[list[str]] = [[], []]
+    try:
+        clients = [
+            threading.Thread(target=_collect_sse, args=(sink.address, o, sentinel))
+            for o in outs
+        ]
+        for c in clients:
+            c.start()
+        time.sleep(0.2)  # both clients live before the batch lands
+        sink.foreach_batch()(src, 0)
+        sink.publish(sentinel)
+        for c in clients:
+            c.join(timeout=30)
+            assert not c.is_alive(), "SSE client hung before the sentinel"
+    finally:
+        sink.stop()
+    for out in outs:
+        got = [(json.loads(p)["event_id"], json.loads(p)["event_type"]) for p in out]
+        assert len(got) == len(expected), "duplicate or lost push"
+        assert set(got) == expected
