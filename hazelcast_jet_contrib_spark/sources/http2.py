@@ -615,3 +615,57 @@ def post_h2c(
     finally:
         s.close()
     return statuses
+
+
+def get_h2c_stream(
+    host: str,
+    port: int,
+    authority: str = "localhost",
+    timeout: float = 30.0,
+    stop=None,
+) -> tuple[str, list[bytes]]:
+    """Minimal h2c prior-knowledge streaming GET (the client-side
+    complement of ``post_h2c``, for the push-sink surfaces): opens ONE
+    stream, returns ``(status, chunks)`` where chunks are the DATA
+    frames as the server flushed them — each SSE event arrives as its
+    own frame. Reads until END_STREAM, or early-exits when
+    ``stop(chunk)`` returns True (how a client leaves an
+    otherwise-idle event stream without waiting out the server's idle
+    timeout)."""
+    import socket
+
+    auth = authority.encode()
+    if len(auth) > 126:
+        raise ValueError("authority too long for 1-byte HPACK length")
+    # static-table GET /: :method GET (2), :scheme http (6), :path / (4)
+    req_headers = bytes([0x82, 0x86, 0x84, 0x41, len(auth)]) + auth
+    s = socket.create_connection((host, port), timeout=timeout)
+    try:
+        s.settimeout(timeout)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        f = s.makefile("rwb")
+        f.write(PREFACE)
+        f.write(_frame(_SETTINGS, 0, 0))
+        f.write(
+            _frame(_HEADERS, _FLAG_END_HEADERS | _FLAG_END_STREAM, 1, req_headers)
+        )
+        f.flush()
+        status = ""
+        chunks: list[bytes] = []
+        while True:
+            head = _read_exact(f, 9)
+            ln = int.from_bytes(head[:3], "big")
+            ftype, flags = head[3], head[4]
+            sid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            payload = _read_exact(f, ln) if ln else b""
+            if sid == 1 and ftype == _HEADERS:
+                status = dict(HpackDecoder().decode(payload))[":status"]
+            elif sid == 1 and ftype == _DATA and payload:
+                chunks.append(payload)
+                if stop is not None and stop(payload):
+                    break
+            if sid == 1 and flags & _FLAG_END_STREAM:
+                break
+        return status, chunks
+    finally:
+        s.close()

@@ -1060,3 +1060,31 @@ def test_sse_roundtrip_driver_row_shape(spark):
         got = [(json.loads(p)["event_id"], json.loads(p)["event_type"]) for p in out]
         assert len(got) == len(expected), "duplicate or lost push"
         assert set(got) == expected
+
+
+def test_sse_push_sink_h2_streaming_client_stops_at_sentinel():
+    """get_h2c_stream (the post_h2c complement) consumes the sink's h2
+    event stream frame-by-frame and early-exits on a sentinel without
+    waiting out the server's idle timeout — the client shape the r16
+    SSE driver row's h2 leg uses."""
+    import time
+
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    sink = SsePushSink().start()
+    try:
+        for i in range(5):
+            sink.publish(json.dumps({"n": i}))
+        sink.publish('{"_eof": 1}')
+        host, port = sink._server.server_address[:2]
+        t = time.perf_counter()
+        status, chunks = http2.get_h2c_stream(
+            host, port, stop=lambda c: b"_eof" in c
+        )
+        took = time.perf_counter() - t
+    finally:
+        sink.stop()
+    assert status == "200"
+    events = [json.loads(c.decode().strip()[len("data: "):]) for c in chunks[:-1]]
+    assert [e["n"] for e in events] == [0, 1, 2, 3, 4]
+    assert took < 4, f"sentinel exit must beat the 5s idle close ({took:.1f}s)"
