@@ -1144,6 +1144,10 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 w.start()
             for w in workers:
                 w.join(timeout=120)
+                # a hung worker would otherwise surface only as an
+                # opaque oracle hash mismatch much later (review r15 #6)
+                if w.is_alive():
+                    raise RuntimeError("HTTP producer hung past 120s")
             assert not failures, failures
             # HTTP/2 slice: one multiplexed h2c connection
             statuses = http2.post_h2c(host, port, h2_bodies)

@@ -552,6 +552,38 @@ def serve_connection(
         # extension frames: consumed and ignored
 
 
+def _open_h2c(host: str, port: int, timeout: float):
+    """Shared client bring-up for the h2c helpers: TCP connect with
+    TCP_NODELAY (frames are tiny and request/response alternates —
+    without it Nagle x delayed-ACK stalls each exchange ~40ms, measured
+    48ms -> <1ms locally), then the connection preface + an empty client
+    SETTINGS frame. Returns (socket, buffered file)."""
+    import socket
+
+    s = socket.create_connection((host, port), timeout=timeout)
+    s.settimeout(timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    f = s.makefile("rwb")
+    f.write(PREFACE)
+    f.write(_frame(_SETTINGS, 0, 0))
+    return s, f
+
+
+def _read_frame(f) -> tuple[int, int, int, bytes]:
+    """Read one frame head + payload: (ftype, flags, stream id, payload)."""
+    head = _read_exact(f, 9)
+    ln = int.from_bytes(head[:3], "big")
+    payload = _read_exact(f, ln) if ln else b""
+    return head[3], head[4], int.from_bytes(head[5:9], "big") & 0x7FFFFFFF, payload
+
+
+def _authority_literal(authority: str) -> bytes:
+    auth = authority.encode()
+    if len(auth) > 126:
+        raise ValueError("authority too long for 1-byte HPACK length")
+    return bytes([0x41, len(auth)]) + auth
+
+
 def post_h2c(
     host: str,
     port: int,
@@ -570,26 +602,14 @@ def post_h2c(
     static-table trio (:method POST, :scheme http, :path /) plus
     ``:authority`` as a literal; bodies must fit one DATA frame
     (< 16384 bytes, the default SETTINGS_MAX_FRAME_SIZE)."""
-    import socket
-
     if path != "/":
         raise ValueError("static-table client only speaks path '/'")
-    auth = authority.encode()
-    if len(auth) > 126:
-        raise ValueError("authority too long for 1-byte HPACK length")
-    req_headers = bytes([0x83, 0x86, 0x84, 0x41, len(auth)]) + auth
+    if not bodies:
+        return []  # nothing to send; GOAWAY below would need stream -1
+    req_headers = bytes([0x83, 0x86, 0x84]) + _authority_literal(authority)
     statuses: list[str] = []
-    s = socket.create_connection((host, port), timeout=timeout)
+    s, f = _open_h2c(host, port, timeout)
     try:
-        s.settimeout(timeout)
-        # frames are tiny and each request awaits its response: without
-        # TCP_NODELAY, Nagle queues the DATA frame behind the un-ACKed
-        # HEADERS frame and the peer's delayed ACK adds ~40ms per
-        # request (measured 48ms -> <1ms per roundtrip locally)
-        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        f = s.makefile("rwb")
-        f.write(PREFACE)
-        f.write(_frame(_SETTINGS, 0, 0))
         for i, body in enumerate(bodies):
             if len(body) >= 16384:
                 raise ValueError("body exceeds one DATA frame")
@@ -600,11 +620,7 @@ def post_h2c(
             got_headers = ended = False
             dec = HpackDecoder()
             while not (got_headers and ended):
-                head = _read_exact(f, 9)
-                ln = int.from_bytes(head[:3], "big")
-                ftype, flags = head[3], head[4]
-                fsid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
-                payload = _read_exact(f, ln) if ln else b""
+                ftype, flags, fsid, payload = _read_frame(f)
                 if fsid == sid and ftype == _HEADERS:
                     got_headers = True
                     statuses.append(dict(dec.decode(payload))[":status"])
@@ -631,21 +647,13 @@ def get_h2c_stream(
     own frame. Reads until END_STREAM, or early-exits when
     ``stop(chunk)`` returns True (how a client leaves an
     otherwise-idle event stream without waiting out the server's idle
-    timeout)."""
-    import socket
-
-    auth = authority.encode()
-    if len(auth) > 126:
-        raise ValueError("authority too long for 1-byte HPACK length")
-    # static-table GET /: :method GET (2), :scheme http (6), :path / (4)
-    req_headers = bytes([0x82, 0x86, 0x84, 0x41, len(auth)]) + auth
-    s = socket.create_connection((host, port), timeout=timeout)
+    timeout). Flow control: every DATA frame is replenished with
+    connection- and stream-level WINDOW_UPDATEs (the server's own
+    strategy), so streams larger than the 64 KiB default window drain
+    instead of deadlocking the sender."""
+    req_headers = bytes([0x82, 0x86, 0x84]) + _authority_literal(authority)
+    s, f = _open_h2c(host, port, timeout)
     try:
-        s.settimeout(timeout)
-        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        f = s.makefile("rwb")
-        f.write(PREFACE)
-        f.write(_frame(_SETTINGS, 0, 0))
         f.write(
             _frame(_HEADERS, _FLAG_END_HEADERS | _FLAG_END_STREAM, 1, req_headers)
         )
@@ -653,14 +661,17 @@ def get_h2c_stream(
         status = ""
         chunks: list[bytes] = []
         while True:
-            head = _read_exact(f, 9)
-            ln = int.from_bytes(head[:3], "big")
-            ftype, flags = head[3], head[4]
-            sid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
-            payload = _read_exact(f, ln) if ln else b""
+            ftype, flags, sid, payload = _read_frame(f)
             if sid == 1 and ftype == _HEADERS:
                 status = dict(HpackDecoder().decode(payload))[":status"]
             elif sid == 1 and ftype == _DATA and payload:
+                # replenish BOTH windows before anything else so the
+                # server never stalls at the 65535-byte initial window
+                inc = struct.pack("!I", len(payload))
+                f.write(_frame(_WINUP, 0, 0, inc))
+                if not flags & _FLAG_END_STREAM:
+                    f.write(_frame(_WINUP, 0, sid, inc))
+                f.flush()
                 chunks.append(payload)
                 if stop is not None and stop(payload):
                     break

@@ -88,6 +88,13 @@ class _H2SniffingHandler(BaseHTTPRequestHandler):
     # DATA) written back-to-back; Nagle + the client's delayed ACK
     # would stall each request ~40ms (same fix as http2.post_h2c)
     disable_nagle_algorithm = True
+    # HTTP/1.1, not the stdlib's 1.0 default: a webhook producer's
+    # keep-alive connection must actually be kept alive — under 1.0
+    # every request paid a fresh TCP connect (and lost the socket
+    # options the client set, review r15 #2). Every non-streaming 1.1
+    # response below must therefore carry Content-Length; streaming
+    # responses (SSE) are close-delimited and set close_connection.
+    protocol_version = "HTTP/1.1"
 
     def _h2_request(self, headers, body):  # pragma: no cover - abstract
         raise NotImplementedError
@@ -171,6 +178,12 @@ class HttpListenerSource:
         self._flushed_gen = -1
         self._flushing = False
         self._flush_errors: dict[int, Exception] = {}
+        # per-generation count of threads that may still need that
+        # generation's error verdict: an error entry is dropped only
+        # when its last reader leaves, never by age (review r15 #3 — a
+        # descheduled follower must not lose a failure verdict and 200
+        # an unwritten body, no matter how long it slept)
+        self._gen_readers: dict[int, int] = {}
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
         self._tls = tls is not None
         if tls is not None:
@@ -207,14 +220,17 @@ class HttpListenerSource:
                     try:
                         json.loads(body)
                     except json.JSONDecodeError:
+                        msg = b"malformed JSON"
                         self.send_response(400)
+                        self.send_header("Content-Length", str(len(msg)))
                         self.end_headers()
-                        self.wfile.write(b"malformed JSON")
+                        self.wfile.write(msg)
                         return
                 # durable_ack: the spool append happens inside _enqueue,
                 # so the 200 below is only ever sent for a durable payload
                 source._enqueue(body)
                 self.send_response(200)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
 
             do_POST = _accept
@@ -252,7 +268,11 @@ class HttpListenerSource:
         with self._cv:
             self._buf.append(rec)
             my_gen = self._gen
-            batch = self._claim_or_wait_locked(my_gen)
+            self._gen_readers[my_gen] = self._gen_readers.get(my_gen, 0) + 1
+            try:
+                batch = self._claim_or_wait_locked(my_gen)
+            finally:
+                self._release_reader_locked(my_gen)
             if batch is None:
                 return  # flushed durably by another leader
         self._lead_flush(batch, my_gen)
@@ -277,6 +297,17 @@ class HttpListenerSource:
                 return batch
             self._cv.wait()
 
+    def _release_reader_locked(self, gen: int) -> None:
+        """Drop one reader reference for ``gen``; the last one out
+        deletes the generation's error entry (if any) — exact-lifetime
+        cleanup instead of age-based pruning."""
+        left = self._gen_readers.get(gen, 1) - 1
+        if left > 0:
+            self._gen_readers[gen] = left
+        else:
+            self._gen_readers.pop(gen, None)
+            self._flush_errors.pop(gen, None)
+
     def _lead_flush(self, batch: list[dict], my_gen: int) -> None:
         """Write one generation as ONE segment, publish the verdict,
         wake the followers. Leaders serialize on _flushing, so
@@ -290,10 +321,11 @@ class HttpListenerSource:
         with self._cv:
             self._flushing = False
             self._flushed_gen = my_gen
-            if err is not None:
+            # store the verdict only if a follower may still read it
+            # (the leader re-raises directly below); the last reader
+            # out pops it — no age-based pruning, no verdict loss
+            if err is not None and self._gen_readers.get(my_gen):
                 self._flush_errors[my_gen] = err
-            for g in [g for g in self._flush_errors if g < my_gen - 64]:
-                del self._flush_errors[g]
             self._cv.notify_all()
         if err is not None:
             raise err
@@ -315,7 +347,11 @@ class HttpListenerSource:
             if not self._buf:
                 return
             my_gen = self._gen
-            batch = self._claim_or_wait_locked(my_gen)
+            self._gen_readers[my_gen] = self._gen_readers.get(my_gen, 0) + 1
+            try:
+                batch = self._claim_or_wait_locked(my_gen)
+            finally:
+                self._release_reader_locked(my_gen)
             if batch is None:
                 return
         self._lead_flush(batch, my_gen)
@@ -342,9 +378,16 @@ class HttpListenerSource:
         self._stopping = True
         if self._flusher is not None:
             self._flusher.cancel()
-        self.flush()
-        self._server.shutdown()
-        self._server.server_close()
+        try:
+            # may re-raise a group-commit write error (callers must
+            # hear about unspooled bodies) — but the server must come
+            # down either way: without the finally, a full disk at
+            # stop() leaked the accept thread and the bound port
+            # (review r15 #5)
+            self.flush()
+        finally:
+            self._server.shutdown()
+            self._server.server_close()
 
 
 class _PushBuffer:
@@ -463,6 +506,10 @@ class SsePushSink(_PushSinkBase):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
+                # close-delimited stream under HTTP/1.1 (no
+                # Content-Length): the connection must close when the
+                # event stream ends, never be reused
+                self.close_connection = True
                 try:
                     for chunk in _events():
                         self.wfile.write(chunk)

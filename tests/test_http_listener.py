@@ -1088,3 +1088,81 @@ def test_sse_push_sink_h2_streaming_client_stops_at_sentinel():
     events = [json.loads(c.decode().strip()[len("data: "):]) for c in chunks[:-1]]
     assert [e["n"] for e in events] == [0, 1, 2, 3, 4]
     assert took < 4, f"sentinel exit must beat the 5s idle close ({took:.1f}s)"
+
+
+def test_h2_stream_larger_than_default_window_drains(spark):
+    """Review r15 #1 (reproduced): without client WINDOW_UPDATEs any h2
+    response stream past the 65535-byte initial window deadlocked the
+    server's _send_data. get_h2c_stream now replenishes both windows
+    per DATA frame, so a ~200KiB event stream drains completely."""
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    sink = SsePushSink(max_buffer=5000).start()
+    try:
+        payload = "x" * 1000
+        for i in range(200):  # ~200KiB of events, >3 windows
+            sink.publish(json.dumps({"n": i, "pad": payload}))
+        sink.publish('{"_eof": 1}')
+        host, port = sink._server.server_address[:2]
+        status, chunks = http2.get_h2c_stream(
+            host, port, timeout=20, stop=lambda c: b"_eof" in c
+        )
+    finally:
+        sink.stop()
+    assert status == "200"
+    # frames split at window/max-frame boundaries, not event boundaries:
+    # reassemble the byte stream, then parse SSE events
+    text = b"".join(chunks).decode()
+    events = [
+        json.loads(block[len("data: "):])
+        for block in text.split("\n\n")
+        if block.startswith("data: ")
+    ]
+    ns = [e["n"] for e in events if "n" in e]
+    assert ns == list(range(200)), f"lost frames past the 64KiB window: {len(ns)}"
+
+
+def test_listener_keeps_http11_connection_alive_across_requests(tmp_path):
+    """Review r15 #2 (reproduced): the stdlib handler's HTTP/1.0
+    default closed the connection after every request, silently
+    reconnecting 'keep-alive' producers (and dropping their socket
+    options). The listener must answer HTTP/1.1 with Content-Length on
+    every non-streaming response and reuse the connection."""
+    from http.client import HTTPConnection
+
+    spool = str(tmp_path / "spool")
+    src = HttpListenerSource(spool, require_json=True).start()
+    try:
+        host, port = src._server.server_address[:2]
+        conn = HTTPConnection(host, port, timeout=10)
+        conn.request("POST", "/", b'{"i": 1}')
+        r1 = conn.getresponse()
+        r1.read()
+        assert r1.version == 11 and not r1.will_close
+        sock1 = conn.sock
+        # a 400 must also be framed (Content-Length) and keep the
+        # connection usable
+        conn.request("POST", "/", b"{not json")
+        r2 = conn.getresponse()
+        body = r2.read()
+        assert r2.status == 400 and body == b"malformed JSON"
+        assert not r2.will_close
+        conn.request("POST", "/", b'{"i": 2}')
+        r3 = conn.getresponse()
+        r3.read()
+        assert r3.status == 200
+        assert conn.sock is sock1, "keep-alive connection was not reused"
+        conn.close()
+    finally:
+        src.stop()
+    segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+    bodies = [json.loads(line)["value"] for s in segs for line in open(s)]
+    assert bodies == ['{"i": 1}', '{"i": 2}']
+
+
+def test_post_h2c_empty_bodies_returns_empty():
+    """Review r15 #4: post_h2c([]) crashed encoding GOAWAY stream -1;
+    an empty slice (tiny SF fixtures) must be a no-op."""
+    from hazelcast_jet_contrib_spark.sources import http2
+
+    assert http2.post_h2c("127.0.0.1", 1, []) == []  # no connection made
