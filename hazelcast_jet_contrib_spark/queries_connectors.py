@@ -1185,3 +1185,146 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "priority string, n_orders long, cents long, min_key long, max_key long",
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 — SSE push sink, STAGED for the round-16 driver window
+# ---------------------------------------------------------------------------
+#
+# NOT registered: the round-15 window and the 2-round cadence arithmetic
+# are full (ROUND15_PLAN.md §Round-16 names this the leading spare-slot
+# candidate). The query + oracle below run the EXACT driver comparison
+# every pytest via tests/test_http_listener.py; round 16 promotes them
+# with @query + a rotation slot, changing nothing else.
+
+SSE_PUSH_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    WHERE event_id % 89 = 0
+    GROUP BY 1
+"""
+
+
+def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8's SSE push sink driver-proven end-to-end (the first SINK
+    driver row; HttpListenerSinks.java:41-146, accumulation contract
+    HttpListenerSinkContext.java:128-152): a bounded events fixture
+    (event_id % 89 — ~1.7k rows at sf0.1) flows through the sink's REAL
+    foreachBatch adapter (toJSON → toLocalIterator → publish) to TWO
+    live clients reading the SAME endpoint concurrently — one HTTP/1.1
+    SSE client, one multiplexed h2c client (http2.get_h2c_stream, each
+    event its own DATA frame, flow-control replenished) — each
+    collecting until a sentinel. Both clients must receive the full
+    row set identically (fan-out is broadcast, not round-robin); the
+    received rows are aggregated with order-insensitive integer-milli
+    sums and hash-match the same SQL over events iff no row was lost,
+    duplicated, re-encoded wrong, or mis-framed on either protocol.
+    Scale: the sink is the parallelism-one serving point of the
+    reference (forceTotalParallelismOne,
+    HttpListenerSinkBuilder.java:253-263); rows stream through the
+    driver partition-at-a-time (bounded memory), and the aggregate is
+    an ordinary distributed job."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from hazelcast_jet_contrib_spark.sources import http2
+    from hazelcast_jet_contrib_spark.sources.http_listener import SsePushSink
+
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 89 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    sentinel = '{"_eof": 1}'
+    sink = SsePushSink(max_buffer=500_000).start()
+    results: dict[str, list[str]] = {}
+    errors: list[str] = []
+    try:
+        host, port = sink._server.server_address[:2]
+
+        def h11_client() -> None:
+            try:
+                out: list[str] = []
+                req = urllib.request.Request(sink.address)
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    while True:
+                        line = resp.readline()
+                        if not line:
+                            break
+                        text = line.decode().strip()
+                        if text.startswith("data: "):
+                            payload = text[len("data: "):]
+                            if payload == sentinel:
+                                break
+                            out.append(payload)
+                results["h11"] = out
+            except Exception as ex:  # surfaced after join
+                errors.append(f"h11: {ex!r}")
+
+        def h2_client() -> None:
+            try:
+                _, chunks = http2.get_h2c_stream(
+                    host, port, timeout=120, stop=lambda c: b'"_eof"' in c
+                )
+                text = b"".join(chunks).decode()
+                results["h2"] = [
+                    block[len("data: "):]
+                    for block in text.split("\n\n")
+                    if block.startswith("data: ")
+                    and block[len("data: "):] != sentinel
+                ]
+            except Exception as ex:
+                errors.append(f"h2: {ex!r}")
+
+        clients = [
+            threading.Thread(target=h11_client),
+            threading.Thread(target=h2_client),
+        ]
+        for c in clients:
+            c.start()
+        # live clients receive as rows stream; a late joiner is served
+        # from the buffer (max_buffer > fixture) — content identical
+        sink.foreach_batch()(src, 0)
+        sink.publish(sentinel)
+        for c in clients:
+            c.join(timeout=120)
+            if c.is_alive():
+                raise RuntimeError("SSE client hung past 120s")
+        if errors:
+            raise RuntimeError(f"SSE clients failed: {errors}")
+    finally:
+        sink.stop()
+    h11, h2 = results["h11"], results["h2"]
+    if sorted(h11) != sorted(h2):
+        raise ValueError(
+            f"fan-out diverged: h11 {len(h11)} rows vs h2 {len(h2)} rows"
+        )
+    received = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in map(_json.loads, h11)
+    ]
+    frame = spark.createDataFrame(
+        received, "event_id long, event_type string, value double"
+    )
+    agg = (
+        frame.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_milli"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (r["event_type"], r["n_events"], r["sum_milli"], r["min_id"], r["max_id"])
+            for r in agg
+        ],
+        "event_type string, n_events long, sum_milli long, min_id long, max_id long",
+    )

@@ -1166,3 +1166,23 @@ def test_post_h2c_empty_bodies_returns_empty():
     from hazelcast_jet_contrib_spark.sources import http2
 
     assert http2.post_h2c("127.0.0.1", 1, []) == []  # no connection made
+
+
+def test_sse_push_roundtrip_staged_r16_driver_comparison(spark):
+    """The STAGED round-16 K8 driver row run through the EXACT driver
+    comparison (row count + columns + normalized value multiset vs its
+    DuckDB oracle) — the retired-query discipline applied forward:
+    round 16 promotes the pair with @query and changes nothing else."""
+    from hazelcast_jet_contrib_spark.queries_connectors import (
+        SSE_PUSH_ROUNDTRIP_ORACLE,
+        sse_push_roundtrip,
+    )
+    from tests.conftest import CORRECTNESS_SF, compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        "sse_push_roundtrip",
+        CORRECTNESS_SF,
+        queries={"sse_push_roundtrip": sse_push_roundtrip},
+        oracles={"sse_push_roundtrip": SSE_PUSH_ROUNDTRIP_ORACLE},
+    )
