@@ -1268,8 +1268,18 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def h2_client() -> None:
             try:
+                # frames split at 16KB boundaries, not event boundaries:
+                # match the sentinel on a rolling tail so a split
+                # sentinel still stops the client immediately instead
+                # of waiting out the server's idle close
+                tail = {"b": b""}
+
+                def _stop(c: bytes) -> bool:
+                    tail["b"] = (tail["b"] + c)[-64:]
+                    return b'"_eof"' in tail["b"]
+
                 _, chunks = http2.get_h2c_stream(
-                    host, port, timeout=120, stop=lambda c: b'"_eof"' in c
+                    host, port, timeout=120, stop=_stop
                 )
                 text = b"".join(chunks).decode()
                 results["h2"] = [
