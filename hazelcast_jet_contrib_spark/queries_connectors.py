@@ -927,6 +927,39 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audit_message_keys(
+    posted: dict, got: list, what: str
+) -> None:
+    """Per-message sequence audit for the live-adapter roundtrip rows
+    (VERDICT r15 what's-wrong #1): compare the readback (key, payload)
+    multiset against the posted set so a red row NAMES its lost,
+    duplicated, or corrupted messages instead of presenting as an
+    opaque oracle hash mismatch downstream. ``posted`` maps a unique
+    message key (event_id / o_orderkey) to its payload tuple; ``got``
+    is the readback as (key, payload) pairs. Payloads are compared by
+    exact equality — both sides come from the same JSON serialization,
+    no arithmetic — and everything here is fixture-bounded (the rows'
+    k-bounded collect discipline)."""
+    from collections import Counter
+
+    counts = Counter(k for k, _ in got)
+    missing = sorted(k for k in posted if counts[k] == 0)
+    duplicated = sorted(k for k, c in counts.items() if c > 1 and k in posted)
+    unknown = sorted(k for k in counts if k not in posted)
+    corrupted = sorted(
+        {k for k, v in got if k in posted and posted[k] != v}
+    )
+    if missing or duplicated or unknown or corrupted:
+        raise RuntimeError(
+            f"{what}: spool readback diverged from the posted message set "
+            f"({len(posted)} posted, {len(got)} read): "
+            f"{len(missing)} missing {missing[:20]}, "
+            f"{len(duplicated)} duplicated {duplicated[:20]}, "
+            f"{len(unknown)} unknown-key {unknown[:20]}, "
+            f"{len(corrupted)} corrupted {corrupted[:20]}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # S14 — live subscribe-side MQTT adapter, driver-proven (round 14)
 # ---------------------------------------------------------------------------
@@ -1000,13 +1033,42 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
                 )
         finally:
             src.stop()  # final drain flushes every queued message
-        agg = (
+        # read the per-topic stream DIRECTORIES, not a per-segment
+        # glob: a glob expanding past
+        # parallelPartitionDiscovery.threshold launches a distributed
+        # LISTING job with one task per segment file (VERDICT r15
+        # what's-wrong #2 — the trap the HTTP row's fix measured as a
+        # 600-task stage); a handful of dir paths list driver-side
+        from hazelcast_jet_contrib_spark.real_clients import mqtt_stream_name
+
+        topic_dirs = sorted(
+            {
+                os.path.join(spool, mqtt_stream_name(f"events/{r['event_type']}"))
+                for r in rows
+            }
+        )
+        readback = (
             spark.read.schema("key string, value string")
-            .json(os.path.join(spool, "*", "*.jsonl"))
+            .json(topic_dirs)
             .select(
                 F.col("key").alias("topic"),
+                F.get_json_object("value", "$.event_id").cast("long").alias(
+                    "event_id"
+                ),
                 F.get_json_object("value", "$.value").cast("double").alias("v"),
             )
+        )
+        # per-message sequence audit (VERDICT r15 #1): a lost,
+        # duplicated, or corrupted message is named HERE, with its
+        # event_id, instead of surfacing rounds later as an opaque
+        # driver hash mismatch. Fixture-bounded collect (~1k msgs).
+        posted = {r["event_id"]: (f"events/{r['event_type']}", r["value"]) for r in rows}
+        got = [
+            (m["event_id"], (m["topic"], m["v"])) for m in readback.collect()
+        ]
+        _audit_message_keys(posted, got, "mqtt_subscribe_spool_roundtrip")
+        agg = (
+            readback
             .groupBy("topic")
             .agg(
                 F.count(F.lit(1)).alias("n_msgs"),
@@ -1159,7 +1221,7 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         # paths) makes Spark launch a distributed LISTING job with one
         # task per segment file (measured: a 600-task stage before the
         # 32-task scan); one root path lists driver-side in one call
-        agg = (
+        readback = (
             spark.read.schema("key string, value string")
             .json(os.path.join(spool, "http"))
             .select(
@@ -1167,6 +1229,21 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.get_json_object("value", "$.k").cast("long").alias("k"),
                 F.get_json_object("value", "$.t").cast("double").alias("t"),
             )
+        )
+        # per-message sequence audit (VERDICT r15 #1): a lost,
+        # duplicated, or corrupted body is named HERE, with its
+        # o_orderkey, instead of surfacing as an opaque driver hash
+        # mismatch. Fixture-bounded collect (~1.5k rows at sf0.1).
+        posted = {
+            r["o_orderkey"]: (r["o_orderpriority"], r["o_totalprice"])
+            for r in rows
+        }
+        got = [
+            (m["k"], (m["priority"], m["t"])) for m in readback.collect()
+        ]
+        _audit_message_keys(posted, got, "http_listener_spool_roundtrip")
+        agg = (
+            readback
             .groupBy("priority")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
@@ -1188,14 +1265,15 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# K8 — SSE push sink, STAGED for the round-16 driver window
+# K8 — SSE push sink, driver-registered round 16 (the first SINK row)
 # ---------------------------------------------------------------------------
 #
-# NOT registered: the round-15 window and the 2-round cadence arithmetic
-# are full (ROUND15_PLAN.md §Round-16 names this the leading spare-slot
-# candidate). The query + oracle below run the EXACT driver comparison
-# every pytest via tests/test_http_listener.py; round 16 promotes them
-# with @query + a rotation slot, changing nothing else.
+# Staged unregistered in round 15 (window/cap arithmetic was full);
+# promoted exactly as ROUND15_PLAN §Round-16 planned: @query + a
+# rotation slot, nothing else changed except the two r16 hardening
+# edits (sentinel-by-parsed-payload, ADVICE r15 #3; the per-message
+# audit, VERDICT r15 #1). tests/test_http_listener.py keeps running the
+# EXACT driver comparison every pytest.
 
 SSE_PUSH_ROUNDTRIP_ORACLE = """
     SELECT event_type,
@@ -1209,6 +1287,7 @@ SSE_PUSH_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("sse_push_roundtrip", oracle=SSE_PUSH_ROUNDTRIP_ORACLE)
 def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8's SSE push sink driver-proven end-to-end (the first SINK
     driver row; HttpListenerSinks.java:41-146, accumulation contract
@@ -1240,6 +1319,9 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 89 == 0)
         .select("event_id", "event_type", "value")
     )
+    # fixture snapshot for the per-message audit (bounded, ~1.7k rows
+    # at sf0.1 — the k-bounded collect discipline)
+    fixture = src.collect()
     sentinel = '{"_eof": 1}'
     sink = SsePushSink(max_buffer=500_000).start()
     results: dict[str, list[str]] = {}
@@ -1282,12 +1364,25 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     host, port, timeout=120, stop=_stop
                 )
                 text = b"".join(chunks).decode()
-                results["h2"] = [
-                    block[len("data: "):]
-                    for block in text.split("\n\n")
-                    if block.startswith("data: ")
-                    and block[len("data: "):] != sentinel
-                ]
+                # frames split at 16KB boundaries, not event
+                # boundaries: when the sentinel's trailing \n\n lands
+                # in a frame the client never reads, the final block
+                # is 'data: {"_eof": 1}\n' — not string-equal to the
+                # sentinel. Filter by PARSED payload (ADVICE r15 #3)
+                # so any _eof-bearing block is excluded, however the
+                # frames happened to split.
+                out: list[str] = []
+                for block in text.split("\n\n"):
+                    if not block.startswith("data: "):
+                        continue
+                    payload = block[len("data: "):].strip()
+                    try:
+                        if "_eof" in _json.loads(payload):
+                            continue
+                    except ValueError:
+                        pass
+                    out.append(payload)
+                results["h2"] = out
             except Exception as ex:
                 errors.append(f"h2: {ex!r}")
 
@@ -1318,6 +1413,15 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["event_id"], r["event_type"], r["value"])
         for r in map(_json.loads, h11)
     ]
+    # per-message sequence audit (VERDICT r15 #1, applied to the sink
+    # row from day one): a lost, duplicated, or corrupted pushed event
+    # is named HERE, with its event_id, instead of surfacing as an
+    # opaque driver hash mismatch.
+    _audit_message_keys(
+        {r["event_id"]: (r["event_type"], r["value"]) for r in fixture},
+        [(eid, (etype, val)) for eid, etype, val in received],
+        "sse_push_roundtrip",
+    )
     frame = spark.createDataFrame(
         received, "event_id long, event_type string, value double"
     )

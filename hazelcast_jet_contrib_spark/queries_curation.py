@@ -653,8 +653,20 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("id", "scale", F.array_join("q", ",").alias("q"))
 
 
-@query(
+@retired_query(
     "unigram_lm_quality",
+    reason=(
+        "Retired round 16 (cap slot for the r16 window: 49 aging "
+        "r14-greens + the two red-row re-proofs + the staged SSE sink "
+        "row = 52 > 50). Subsumed by bigram_lm_quality: the live row's "
+        "interpolated score p = 0.7*p_bigram + 0.3*p_unigram embeds the "
+        "ENTIRE smoothed-unigram model (same tokenize → count → "
+        "additive-smooth → broadcast-score path, operators/curation.py "
+        "bigram_lm_score), and each document's first token scores with "
+        "the unigram ALONE — so any unigram-model defect shifts the "
+        "live row's hashed values. The exact pure-unigram driver "
+        "comparison below still runs every pytest (test_retired.py)."
+    ),
     oracle="""
     WITH toks AS (
         SELECT doc_id AS id,
@@ -737,6 +749,10 @@ def tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation feeds both the document-frequency aggregate and the
     # scoring join; cached, the tokenize kernel runs once per run
     # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
+    # REVERT STAGED for round 17: the round-16 measured 1×/8× law
+    # refutes the flip on both the corpus-count and document-length
+    # axes (SCALE.md §Salient terms) — flip to cache_tf=False when
+    # this query re-enters the r17 window.
     return rarity_weighted_terms(docs, "doc_id", "text", top_k=5, cache_tf=True)
 
 

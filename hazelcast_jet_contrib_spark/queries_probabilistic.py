@@ -20,8 +20,20 @@ from hazelcast_jet_contrib_spark.functions.probabilistic import hash64, hyper_lo
 from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
-@query(
+@retired_query(
     "hash64_distinct_customers",
+    reason=(
+        "Retired round 16 (cap slot for the r16 window: 49 aging "
+        "r14-greens + the two red-row re-proofs + the staged SSE sink "
+        "row = 52 > 50). Subsumed by hll_customers_accuracy: the live "
+        "row feeds the SAME hash64 column expression "
+        "(functions/probabilistic.py:70) into the HLL ±5% gate, and "
+        "the failure modes this row existed to catch surface there — "
+        "a nondeterministic hash inflates the distinct-hash estimate "
+        "toward row count (gate trips), a catastrophic collision rate "
+        "deflates it (gate trips). The exact injectivity comparison "
+        "below still runs every pytest (test_retired.py)."
+    ),
     oracle="""
     SELECT COUNT(DISTINCT c_name) AS n_distinct_hashes
     FROM customer

@@ -193,6 +193,10 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary-sized count relations are cached, cutting the corpus
     # tokenize kernel from ~6 to ~3 executions per run
     # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
+    # REVERT STAGED for round 17: the round-16 measured 1×/8× law
+    # refutes the flip — +60% on 8×-longer documents, never a win on
+    # the corpus-count axis (SCALE.md §Bigram-LM) — flip to
+    # cache_counts=False when this query re-enters the r17 window.
     return bigram_lm_score(
         docs, "doc_id", "text", alpha=0.5, interp=0.7, cache_counts=True
     ).select("id", "n_tokens", F.round("mean_inv_p", 4).alias("mean_inv_p"))

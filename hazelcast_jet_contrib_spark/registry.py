@@ -202,38 +202,94 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      allowance) — shipping without rotating fails pytest BEFORE the
 #      driver runs, not one round later (VERDICT r06 item 8).
 # ---------------------------------------------------------------------------
-_ROTATION_ROUND = 15
+_ROTATION_ROUND = 16
 _PRIORITY = [
-    # --- round-15 rotation (window = exactly 50; plan in
-    # ROUND15_PLAN.md, written BEFORE the build). CORRECTNESS_r14
-    # proved the round-14 priority set 50/50 hash-green; the 49
-    # r13-green demoted queries age past the 2-round contract unless
-    # re-proven now. Window: 48 of those 49 (the 49th,
-    # bm25_topk_multi_docs, retired this round — reason at its
-    # @retired_query site in queries_retrieval.py) + TWO entrants in
-    # the freed slots:
-    #   - mqtt_subscribe_spool_roundtrip (r14-green, pulled forward):
-    #     its oracle changed to an order-insensitive integer-milli sum
-    #     (ADVICE r14 #4), so re-proof rule c applies;
-    #   - http_listener_spool_roundtrip (NEW): the S15 listener source
-    #     driven live in the driver gate over real HTTP/1.1 + h2c
-    #     sockets (VERDICT r14 "What's missing" #3).
-    # Order otherwise preserved from the round-14 demotion list.
-    # In-window plan changes this round (re-proven by this window
-    # under rule d, the r12/r13/r14 precedent): the three round-14
-    # STAGED scale-plan flips — semantic_dedup_pairs now runs
-    # prepartition_cells=True (clustering.py), tfidf_salient_terms
-    # runs rarity_weighted_terms(cache_tf=True) and bigram_lm_quality
-    # runs bigram_lm_score(cache_counts=True) (curation.py);
-    # value-neutrality + shuffle/pass-count laws were pinned in round
-    # 14 (test_scale_rehearsal.py) before the flips. Also in-window:
-    # contamination_ngram_overlap — its one-pass rewrite landed in r14
-    # while the query sat demoted (the r14 rotation comment wrongly
-    # claimed no demoted query changed; ADVICE r14 #1): this window
-    # row is the driver re-proof of the rewritten plan, on top of the
-    # r14 final-tree full driver_sim MATCH recorded in ROUND14_PLAN.md.
+    # --- round-16 rotation (window = exactly 50; pre-analyzed in
+    # ROUND15_PLAN.md §Round-16, finalized in ROUND16_PLAN.md).
+    # CORRECTNESS_r15 proved 48/50 hash-green; demand for this window:
+    #   - the TWO r15 hash-RED rows (mqtt_subscribe_spool_roundtrip,
+    #     http_listener_spool_roundtrip) — a value-mismatched row is
+    #     not a driver proof (_green now enforces this, ADVICE r15
+    #     #2), so both MUST re-earn green; they now carry per-message
+    #     sequence audits (VERDICT r15 #1) so a future flake names its
+    #     lost/duplicated message keys instead of an opaque hash;
+    #   - sse_push_roundtrip (NEW): the staged K8 SSE push-sink row —
+    #     the first SINK driver row — promoted exactly as planned;
+    #   - the 49 r14-green `_DEMOTED` queries, which age past the
+    #     2-round contract after this round.
+    # 49 + 3 = 52 > 50: TWO retirements close the arithmetic (reasons
+    # at their @retired_query sites, both from the r14-green set):
+    #   unigram_lm_quality       ⊂ bigram_lm_quality (the interpolated
+    #                              score embeds the whole smoothed-
+    #                              unigram model as backoff; first
+    #                              tokens score unigram-only)
+    #   hash64_distinct_customers ⊂ hll_customers_accuracy (same
+    #                              hash64 expr feeds the live ±5%
+    #                              gate; nondeterminism/collision
+    #                              regressions trip it)
+    # Window = the 2 re-proofs + sse + the remaining 47 aging
+    # r14-greens; registry lands at 98 (50 window + 48 demoted), so
+    # round 17's demand is 48 + two spare slots.
+    # In-window plan changes this round (re-proof rule c): the mqtt
+    # row reads per-topic stream DIRECTORIES instead of a per-segment
+    # glob (VERDICT r15 #2) and both live-adapter rows add the
+    # fixture-bounded audit collect before the unchanged aggregate.
     "mqtt_subscribe_spool_roundtrip",
     "http_listener_spool_roundtrip",
+    "sse_push_roundtrip",
+    "salted_join_priority_revenue",
+    "mmr_rerank_diverse",
+    "kmeans_cluster_profile",
+    "minhash_index_lifecycle",
+    "video_near_dup_frames",
+    "bm25_topk_docs",
+    "rolling_zscore_anomaly",
+    "funnel_conversion_steps",
+    "ivf_pq_probe_exact_topk",
+    "dup_span_extraction",
+    "media_phash_near_dup",
+    "simhash128_near_dup",
+    "winnowing_fingerprints",
+    "crossdoc_dup_blocks",
+    "temperature_resample_by_lang",
+    "curriculum_quality_phases",
+    "hash_split_assignment",
+    "gopher_quality_flags",
+    "embedding_quantization",
+    "docstore_catalyst_pushdown",
+    "kv_hash_catalyst_pushdown",
+    "timeseries_catalyst_pushdown",
+    "zset_range_catalyst_pushdown",
+    "bloom_membership_filter",
+    "cms_user_frequency",
+    "lang_id_distribution",
+    "media_audio_frames",
+    "media_video_frame_sample",
+    "media_metadata_sniff",
+    "sketch_hll_rollup_union",
+    "sketch_theta_retention_overlap",
+    "sketch_kll_price_quantiles",
+    "sketch_topk_event_types",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_classes",
+    "q19_discounted_revenue",
+    "q22_dormant_wealthy_customers",
+    "topk_customers_per_nation",
+    "cube_status_priority",
+    "setop_building_urgent_customers",
+    "hll_customers_accuracy",
+]
+_DEMOTED = [
+    # green in CORRECTNESS_r15 (the 48 hash-green rows of the round-15
+    # window; the two hash-RED rows re-enter the r16 window above).
+    # 48 entries -> the round-17 window holds them all with TWO spare
+    # slots, matching the two free cap slots (registry at 98).
     "webdataset_roundtrip",
     "neardup_keep_best",
     "pagerank_event_graph",
@@ -283,63 +339,6 @@ _PRIORITY = [
     "snapshot_diff_statuses",
     "json_props_extraction",
 ]
-_DEMOTED = [
-    # green in CORRECTNESS_r14 (the full round-14 priority window)
-    # minus mqtt_subscribe_spool_roundtrip, pulled forward into the
-    # r15 window for its oracle re-proof (ADVICE r14 #4). 49 entries ->
-    # the round-16 window holds them all with ONE spare slot, matching
-    # the one free cap slot (registry at 99) — the same sustainable
-    # pairing round 15 inherited.
-    "salted_join_priority_revenue",
-    "mmr_rerank_diverse",
-    "kmeans_cluster_profile",
-    "minhash_index_lifecycle",
-    "video_near_dup_frames",
-    "bm25_topk_docs",
-    "rolling_zscore_anomaly",
-    "funnel_conversion_steps",
-    "ivf_pq_probe_exact_topk",
-    "dup_span_extraction",
-    "media_phash_near_dup",
-    "simhash128_near_dup",
-    "winnowing_fingerprints",
-    "crossdoc_dup_blocks",
-    "unigram_lm_quality",
-    "temperature_resample_by_lang",
-    "curriculum_quality_phases",
-    "hash_split_assignment",
-    "gopher_quality_flags",
-    "embedding_quantization",
-    "docstore_catalyst_pushdown",
-    "kv_hash_catalyst_pushdown",
-    "timeseries_catalyst_pushdown",
-    "zset_range_catalyst_pushdown",
-    "bloom_membership_filter",
-    "cms_user_frequency",
-    "lang_id_distribution",
-    "media_audio_frames",
-    "media_video_frame_sample",
-    "media_metadata_sniff",
-    "sketch_hll_rollup_union",
-    "sketch_theta_retention_overlap",
-    "sketch_kll_price_quantiles",
-    "sketch_topk_event_types",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_classes",
-    "q19_discounted_revenue",
-    "q22_dormant_wealthy_customers",
-    "topk_customers_per_nation",
-    "cube_status_priority",
-    "setop_building_urgent_customers",
-    "hash64_distinct_customers",
-    "hll_customers_accuracy",
-]
 
 # ---------------------------------------------------------------------------
 # EAGER: queries whose registered callable executes work the RETURNED
@@ -383,6 +382,7 @@ EAGER: dict[str, str] = {
     "training_shards_roundtrip": "eager-export",
     "webdataset_roundtrip": "eager-export",
     "mqtt_subscribe_spool_roundtrip": "eager-export",
+    "sse_push_roundtrip": "eager-export",
     "http_listener_spool_roundtrip": "eager-export",
     "kmeans_cluster_profile": "lineage-cut",
     "pagerank_event_graph": "lineage-cut",
@@ -390,7 +390,6 @@ EAGER: dict[str, str] = {
     "neardup_keep_best": "lineage-cut",
     "leakage_safe_split_census": "lineage-cut",
     "classifier_holdout_accuracy": "eager-loop",
-    "unigram_lm_quality": "scalar-build",
     "bigram_lm_quality": "scalar-build",
     "corpus_mix_to_target": "scalar-build",
     "temperature_resample_by_lang": "scalar-build",

@@ -214,6 +214,20 @@ class HttpListenerSource:
 
         class Handler(_H2SniffingHandler):
             def _accept(self):
+                # the handler frames bodies by Content-Length only; a
+                # chunked body would stay unread in the keep-alive
+                # buffer and desync the connection — its bytes parsed
+                # as the next request (ADVICE r15 #5). RFC 7230 §3.3.1:
+                # 501 for an unsupported transfer-coding; close so the
+                # unread body can't poison a reused connection.
+                if self.headers.get("Transfer-Encoding"):
+                    msg = b"Transfer-Encoding not supported; use Content-Length"
+                    self.send_response(501)
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                    self.close_connection = True
+                    return
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode("utf-8", errors="replace")
                 if source.require_json:
@@ -574,9 +588,15 @@ class WebSocketPushSink(_PushSinkBase):
                     self.headers.get("Upgrade", "").lower() != "websocket"
                     or key is None
                 ):
+                    # HTTP/1.1 keep-alive: an unframed body would leave
+                    # the client reading forever (ADVICE r15 #4 — same
+                    # class as the listener's review-r15 fix)
+                    msg = b"websocket upgrade required"
                     self.send_response(400)
+                    self.send_header("Content-Length", str(len(msg)))
                     self.end_headers()
-                    self.wfile.write(b"websocket upgrade required")
+                    self.wfile.write(msg)
+                    self.close_connection = True
                     return
                 self.send_response(101, "Switching Protocols")
                 self.send_header("Upgrade", "websocket")

@@ -81,7 +81,13 @@ def _green(path: str) -> set[str]:
     return {
         name
         for name, row in rows.items()
-        if row.get("err") is None and row.get("rows_match")
+        if row.get("err") is None
+        and row.get("rows_match")
+        # a value-mismatched row is NOT a driver proof (ADVICE r15 #2:
+        # the two hash-red r15 rows must not satisfy the staleness
+        # invariant). `is not False` keeps rows-only checks (no oracle
+        # → no hash recorded) counting as the weaker green they are.
+        and row.get("hash_match") is not False
     }
 
 

@@ -388,7 +388,9 @@ def test_unigram_lm_quality_broadcasts_model_two_shuffles(spark):
     NODES, so the cached build's exchange appears alongside the
     per-doc aggregation's: <= 3 nodes, strictly fewer executions than
     the old <= 2-node plan."""
-    a = audit(QUERIES["unigram_lm_quality"](spark, SF))
+    # retired round 16 (⊂ bigram_lm_quality) — the plan contract still
+    # holds and still runs here, off the RETIRED surface
+    a = audit(RETIRED_QUERIES["unigram_lm_quality"](spark, SF))
     assert a.exchanges() <= 3, f"LM scoring shuffle count grew:\n{a.plan}"
     assert a.broadcast_joins() >= 1, "vocabulary model must broadcast"
     assert a.shuffle_joins() == 0, "corpus-side shuffle join crept in"

@@ -49,6 +49,10 @@ EXPECTED_RETIRED = {
     "winnowing_shared_overlap",
     # round-15 retirement (ROUND15_PLAN.md §Window)
     "bm25_topk_multi_docs",
+    # round-16 retirements (ROUND16_PLAN.md: cap slots for the two
+    # red-row re-proofs + the SSE sink row)
+    "unigram_lm_quality",
+    "hash64_distinct_customers",
 }
 
 
