@@ -1186,3 +1186,24 @@ def test_sse_push_roundtrip_staged_r16_driver_comparison(spark):
         queries={"sse_push_roundtrip": sse_push_roundtrip},
         oracles={"sse_push_roundtrip": SSE_PUSH_ROUNDTRIP_ORACLE},
     )
+
+
+def test_ws_push_roundtrip_staged_r17_driver_comparison(spark):
+    """The STAGED round-17 K8 websocket driver row run through the
+    EXACT driver comparison (row count + columns + normalized value
+    multiset vs its DuckDB oracle) — the same forward-staging
+    discipline the SSE row followed from round 15 to 16: round 17
+    promotes the pair with @query and changes nothing else."""
+    from hazelcast_jet_contrib_spark.queries_connectors import (
+        WS_PUSH_ROUNDTRIP_ORACLE,
+        ws_push_roundtrip,
+    )
+    from tests.conftest import CORRECTNESS_SF, compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        "ws_push_roundtrip",
+        CORRECTNESS_SF,
+        queries={"ws_push_roundtrip": ws_push_roundtrip},
+        oracles={"ws_push_roundtrip": WS_PUSH_ROUNDTRIP_ORACLE},
+    )
