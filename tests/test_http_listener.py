@@ -1207,3 +1207,87 @@ def test_ws_push_roundtrip_staged_r17_driver_comparison(spark):
         queries={"ws_push_roundtrip": ws_push_roundtrip},
         oracles={"ws_push_roundtrip": WS_PUSH_ROUNDTRIP_ORACLE},
     )
+
+
+def test_durable_ack_group_commit_exact_under_injected_scheduling_jitter(
+    tmp_path, monkeypatch
+):
+    """The round-15 driver gate's failure class — '200-acked but
+    absent/duplicated at read' under HOST load no local rerun
+    reproduces (VERDICT r15 #1) — hammered deterministically: every
+    spool append is delayed by a seeded pseudo-random 0-8 ms, holding
+    each group-commit leader in its write long enough that followers
+    pile up across MANY generations and every leader hand-off window
+    (claim → write → verdict → next leader) is exercised under real
+    thread preemption. 400 bodies over 12 keep-alive producers must
+    land exactly once each — the audit is the per-key set comparison
+    the driver rows now run inline."""
+    import random
+    import threading
+    import time as _time
+    from http.client import HTTPConnection
+
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    spool = str(tmp_path / "spool")
+    real_append = ml.append_segment
+    rng = random.Random(0xC0FFEE)
+    delay_lock = threading.Lock()
+
+    def slow_append(root, stream, records, seq=None):
+        with delay_lock:
+            d = rng.uniform(0, 0.008)
+        _time.sleep(d)
+        return real_append(root, stream, records, seq)
+
+    monkeypatch.setattr(ml, "append_segment", slow_append)
+    src = HttpListenerSource(spool, durable_ack=True).start()
+    n, workers = 400, 12
+    ids = iter(range(n))
+    lock = threading.Lock()
+    failures: list[str] = []
+
+    def producer():
+        host, port = src._server.server_address[:2]
+        conn = HTTPConnection(host, port, timeout=30)
+        try:
+            while True:
+                with lock:
+                    i = next(ids, None)
+                if i is None:
+                    return
+                conn.request(
+                    "POST", "/", json.dumps({"i": i}),
+                    {"Content-Type": "application/json"},
+                )
+                r = conn.getresponse()
+                r.read()
+                if r.status != 200:
+                    failures.append(f"i={i}: HTTP {r.status}")
+                    return
+        except Exception as ex:
+            failures.append(repr(ex))
+        finally:
+            conn.close()
+
+    try:
+        ts = [threading.Thread(target=producer) for _ in range(workers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+            assert not t.is_alive(), "producer hung past 120s"
+    finally:
+        src.stop()
+    assert not failures, failures
+    segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+    got = sorted(
+        json.loads(json.loads(line)["value"])["i"]
+        for s in segs
+        for line in open(s)
+    )
+    missing = sorted(set(range(n)) - set(got))
+    dup = sorted(i for i in set(got) if got.count(i) > 1)
+    assert got == list(range(n)), (
+        f"missing={missing[:20]} duplicated={dup[:20]} total={len(got)}"
+    )

@@ -580,3 +580,56 @@ def test_partial_spool_failure_retry_is_duplicate_free(tmp_path, monkeypatch):
     ]
     assert sorted(spooled) == ["h1", "k1", "l1"], "no duplicates after retry"
     assert src.stats["spooled"] == 3
+
+
+def test_spool_exact_under_injected_scheduling_jitter(tmp_path, monkeypatch):
+    """The MQTT half of the round-15 driver-gate failure class
+    (VERDICT r15 #1): every spool append delayed by a seeded
+    pseudo-random 0-8 ms while a delivery thread races the flusher
+    across 600 messages on 5 topics and stop() lands mid-drain — the
+    callback → bounded-queue → flusher → per-topic spool path must
+    land every message exactly once (the per-key audit the driver row
+    now runs inline)."""
+    import json
+    import random
+    import threading
+    import time as _time
+
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+    from hazelcast_jet_contrib_spark import real_clients
+
+    real_append = ml.append_segment
+    rng = random.Random(0xBEEF)
+    delay_lock = threading.Lock()
+
+    def slow_append(root, stream, records, seq=None):
+        with delay_lock:
+            d = rng.uniform(0, 0.008)
+        _time.sleep(d)
+        return real_append(root, stream, records, seq)
+
+    # the flusher imports append_segment INSIDE _drain_once, so patch
+    # the module attribute it resolves at call time
+    monkeypatch.setattr(ml, "append_segment", slow_append)
+    mod = _FakeSubModule()
+    src = _source(tmp_path, mod, flush_records=16)
+    src.start()
+    n = 600
+    try:
+        c = mod.clients[0]
+        for i in range(n):
+            c.deliver(f"house/{i % 5}/temp", json.dumps({"i": i}), 1)
+    finally:
+        src.stop()  # final drain must flush every queued message
+    spool = tmp_path / "spool"
+    got = sorted(
+        json.loads(json.loads(line)["value"])["i"]
+        for d in spool.iterdir() if d.is_dir()
+        for seg in d.glob("*.jsonl")
+        for line in open(seg)
+    )
+    missing = sorted(set(range(n)) - set(got))
+    dup = sorted(i for i in set(got) if got.count(i) > 1)
+    assert got == list(range(n)), (
+        f"missing={missing[:20]} duplicated={dup[:20]} total={len(got)}"
+    )
