@@ -1630,3 +1630,151 @@ def ws_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, n_events long, sum_milli long, min_id long, max_id long",
     )
+
+
+# ---------------------------------------------------------------------------
+# K4 + S8 — Redis-stream sink's 2PC epoch-committed writer, STAGED for
+# the round-17 driver window (second spare slot candidate)
+# ---------------------------------------------------------------------------
+#
+# NOT registered: the round-16 window is full (ROUND16_PLAN.md
+# §Rotation). The query + oracle below run the EXACT driver comparison
+# every pytest via tests/test_stream_writer.py; round 17 may promote
+# them with @query in its second spare slot.
+
+STREAM_SINK_2PC_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_msgs,
+           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    WHERE event_id % 79 = 0
+    GROUP BY 1
+"""
+
+
+def stream_sink_2pc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's stream sink driver-proven through the FULL streaming loop
+    the reference closes between RedisSources.stream and
+    RedisSinks.stream (RedisSinks.java:269-349; exactly-once offsets
+    RedisSources.java:273-395): a bounded events fixture (event_id %
+    79) is produced into a source message-log stream; a REAL Structured
+    Streaming query reads it with the DSv2 message_log source
+    (offset-tracked segments), routes every record to a per-event-type
+    output stream via the writer's row-routed ``stream`` column, and
+    lands it through the per-epoch two-phase writer
+    (streaming/message_log.py MessageLogStreamWriter — invisible
+    staged dotfiles, deterministic segment numbers, idempotent
+    os.link promotion; the XA prepared-transaction analog,
+    JdbcXaTest.java:62-97). Spark then batch-reads the output streams
+    back, audits the per-message key set (VERDICT r15 #1 discipline),
+    and aggregates with order-insensitive integer-milli sums that
+    hash-match the same SQL over events iff no record was lost,
+    duplicated, corrupted, or mis-routed anywhere in the
+    produce → stream-read → 2PC-write → read path. Scale: segments are
+    the parallelism unit on both sides; the 2PC writer's staged-file
+    protocol is per-partition with a driver-side O(files) commit."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from hazelcast_jet_contrib_spark.streaming.message_log import (
+        append_segment,
+        register,
+    )
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 79 == 0)
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    register(spark)
+    root = tempfile.mkdtemp(prefix="stream2pc_q_")
+    src_root, dst_root, ckpt = f"{root}/src", f"{root}/dst", f"{root}/ckpt"
+    try:
+        # producer side: fixture → source stream in bounded segments
+        # (k-bounded collect discipline; 8 segments = 8 read tasks)
+        chunk = max(1, (len(rows) + 7) // 8)
+        for i in range(0, len(rows), chunk):
+            append_segment(
+                src_root,
+                "events_src",
+                [
+                    {
+                        "key": str(r["event_id"]),
+                        "value": _json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "event_type": r["event_type"],
+                                "value": r["value"],
+                            }
+                        ),
+                    }
+                    for r in rows[i : i + chunk]
+                ],
+            )
+        stream = (
+            spark.readStream.format("message_log")
+            .option("path", src_root)
+            .load()
+            .select(
+                F.concat(
+                    F.lit("out_"),
+                    F.get_json_object("value", "$.event_type"),
+                ).alias("stream"),
+                "key",
+                "value",
+            )
+        )
+        q = (
+            stream.writeStream.format("message_log")
+            .option("path", dst_root)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        out_dirs = sorted(
+            {f"{dst_root}/out_{r['event_type']}" for r in rows}
+        )
+        readback = (
+            spark.read.schema("key string, value string")
+            .json(out_dirs)
+            .select(
+                F.get_json_object("value", "$.event_id").cast("long").alias(
+                    "event_id"
+                ),
+                F.get_json_object("value", "$.event_type").alias("event_type"),
+                F.get_json_object("value", "$.value").cast("double").alias("v"),
+            )
+        )
+        posted = {
+            r["event_id"]: (r["event_type"], r["value"]) for r in rows
+        }
+        got = [
+            (m["event_id"], (m["event_type"], m["v"]))
+            for m in readback.collect()
+        ]
+        _audit_message_keys(posted, got, "stream_sink_2pc_roundtrip")
+        agg = (
+            readback.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.sum(F.round(F.col("v") * 1000).cast("long")).alias("sum_milli"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], r["n_msgs"], r["sum_milli"], r["min_id"], r["max_id"])
+            for r in agg
+        ],
+        "event_type string, n_msgs long, sum_milli long, min_id long, max_id long",
+    )

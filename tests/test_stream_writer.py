@@ -552,3 +552,24 @@ def test_compaction_never_touches_staged_epochs(tmp_path):
     w.commit([msg], batchId=7)
     vals = sorted(r["value"] for r in _read_all(root, "s"))
     assert vals == ["new", "staged-epoch"]
+
+
+def test_stream_sink_2pc_roundtrip_staged_r17_driver_comparison(spark):
+    """The STAGED round-17 K4 driver row (the 2PC epoch-committed
+    streaming writer driven by a REAL streaming query with per-row
+    stream routing) run through the EXACT driver comparison — the same
+    forward-staging discipline as the SSE/WS sink rows: a later round
+    promotes the pair with @query and changes nothing else."""
+    from hazelcast_jet_contrib_spark.queries_connectors import (
+        STREAM_SINK_2PC_ROUNDTRIP_ORACLE,
+        stream_sink_2pc_roundtrip,
+    )
+    from tests.conftest import CORRECTNESS_SF, compare_with_oracle
+
+    compare_with_oracle(
+        spark,
+        "stream_sink_2pc_roundtrip",
+        CORRECTNESS_SF,
+        queries={"stream_sink_2pc_roundtrip": stream_sink_2pc_roundtrip},
+        oracles={"stream_sink_2pc_roundtrip": STREAM_SINK_2PC_ROUNDTRIP_ORACLE},
+    )
