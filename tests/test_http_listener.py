@@ -1291,3 +1291,65 @@ def test_durable_ack_group_commit_exact_under_injected_scheduling_jitter(
     assert got == list(range(n)), (
         f"missing={missing[:20]} duplicated={dup[:20]} total={len(got)}"
     )
+
+
+def test_listener_rejects_transfer_encoding_with_501_and_close(tmp_path):
+    """ADVICE r15 #5 pin: the handler frames bodies by Content-Length
+    only; a chunked request must get 501 + connection close (an unread
+    chunked body left in a keep-alive buffer would be parsed as the
+    next request), the body must NOT reach the spool, and the server
+    must keep serving fresh connections."""
+    from http.client import HTTPConnection
+
+    spool = str(tmp_path / "spool")
+    src = HttpListenerSource(spool, require_json=True).start()
+    try:
+        host, port = src._server.server_address[:2]
+        conn = HTTPConnection(host, port, timeout=10)
+        conn.putrequest("POST", "/")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        conn.send(b'8\r\n{"i": 1}\r\n0\r\n\r\n')
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 501, r.status
+        assert b"Content-Length" in bytes(str(r.headers), "ascii").replace(
+            b"content-length", b"Content-Length"
+        )
+        assert b"Transfer-Encoding" in body
+        # server closed its side: a read on the raw socket returns EOF
+        assert conn.sock.recv(1) == b"", "connection must close after 501"
+        conn.close()
+        # fresh connections still served
+        assert _post(src.address, json.dumps({"i": 2})).status == 200
+    finally:
+        src.stop()
+    segs = sorted((tmp_path / "spool" / "http").glob("*.jsonl"))
+    bodies = [json.loads(line)["value"] for s in segs for line in open(s)]
+    assert bodies == ['{"i": 2}'], bodies
+
+
+def test_websocket_400_is_length_framed_and_closes(tmp_path):
+    """ADVICE r15 #4 pin: the WS sink's 400 for a non-upgrade request
+    must carry Content-Length and close the connection — under the
+    HTTP/1.1 handler default an unframed body would leave the client
+    reading forever."""
+    from http.client import HTTPConnection
+
+    from hazelcast_jet_contrib_spark.sources.http_listener import WebSocketPushSink
+
+    sink = WebSocketPushSink().start()
+    try:
+        host, port = sink._server.server_address[:2]
+        conn = HTTPConnection(host, port, timeout=10)
+        conn.request("GET", "/")  # no Upgrade headers
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 400, r.status
+        assert r.getheader("Content-Length") == str(len(body))
+        assert body == b"websocket upgrade required"
+        assert conn.sock.recv(1) == b"", "connection must close after 400"
+        conn.close()
+    finally:
+        sink.stop()
