@@ -1390,12 +1390,19 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             threading.Thread(target=h11_client),
             threading.Thread(target=h2_client),
         ]
-        for c in clients:
-            c.start()
-        # live clients receive as rows stream; a late joiner is served
-        # from the buffer (max_buffer > fixture) — content identical
+        # publish BEFORE the clients connect: the buffer retains the
+        # whole fixture + sentinel (max_buffer > fixture), and a late
+        # joiner reads identical content — by contract AND by the
+        # pytest live-delivery pins. Connecting first would hang the
+        # row's fate on the handler's 5 s idle window: a loaded driver
+        # host that delays Spark's first publish past it gets a
+        # truncated stream (exactly the r15 host-load flake class this
+        # round is eliminating). The driver row proves content
+        # fidelity over real sockets; liveness stays pytest-proven.
         sink.foreach_batch()(src, 0)
         sink.publish(sentinel)
+        for c in clients:
+            c.start()
         for c in clients:
             c.join(timeout=120)
             if c.is_alive():
@@ -1584,10 +1591,14 @@ def ws_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clients = [
             threading.Thread(target=client, args=(t,)) for t in ("ws1", "ws2")
         ]
-        for c in clients:
-            c.start()
+        # publish before the clients connect — the buffered late-joiner
+        # read eliminates the handler's 5 s idle-window race under
+        # driver-host load (see sse_push_roundtrip's note; liveness is
+        # pytest-pinned in test_http_listener.py)
         sink.foreach_batch()(src, 0)
         sink.publish('{"_eof": 1}')
+        for c in clients:
+            c.start()
         for c in clients:
             c.join(timeout=120)
             if c.is_alive():
