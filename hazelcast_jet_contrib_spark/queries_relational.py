@@ -76,7 +76,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason="r08: pure scan-filter-aggregate — the triple predicate "
     "pushdown and arithmetic agg are q1_pricing_summary's shape with "
     "zero grouping columns; the global single-row agg path stays "
-    "driver-proven via hash64_distinct_customers",
+    "driver-proven via hll_customers_accuracy (re-anchored r16 when "
+    "hash64_distinct_customers, the original anchor, itself retired "
+    "into hll_customers_accuracy — review r16 #5)",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem

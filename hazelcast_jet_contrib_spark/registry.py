@@ -154,7 +154,9 @@ from hazelcast_jet_contrib_spark import queries_retrieval  # noqa: E402,F401
 #      Round-8 retirements (3, reasons at their @retired_query sites):
 #        rollup_order_status       ⊂ cube_status_priority
 #        q6_forecast_revenue       ⊂ q1_pricing_summary (+ global-agg
-#                                    path via hash64_distinct_customers)
+#                                    path via hll_customers_accuracy;
+#                                    re-anchored r16 from the then-live
+#                                    hash64_distinct_customers)
 #        top10_parts_by_price      ⊂ znorm_subseq_topk / bm25_topk_docs
 #                                    (TakeOrderedAndProject shape)
 #        media_image_resize        ⊂ media_video_frame_sample (1-to-N

@@ -224,6 +224,10 @@ class HttpListenerSource:
                     msg = b"Transfer-Encoding not supported; use Content-Length"
                     self.send_response(501)
                     self.send_header("Content-Length", str(len(msg)))
+                    # advertise the close (RFC 7230 §6.6) so a
+                    # keep-alive client doesn't write its next request
+                    # into a socket we're about to shut (review r16 #4)
+                    self.send_header("Connection", "close")
                     self.end_headers()
                     self.wfile.write(msg)
                     self.close_connection = True
@@ -594,6 +598,8 @@ class WebSocketPushSink(_PushSinkBase):
                     msg = b"websocket upgrade required"
                     self.send_response(400)
                     self.send_header("Content-Length", str(len(msg)))
+                    # advertised close, same rationale as the 501 path
+                    self.send_header("Connection", "close")
                     self.end_headers()
                     self.wfile.write(msg)
                     self.close_connection = True
