@@ -927,6 +927,31 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sse_data_rows(text: str) -> list[str]:
+    """Extract the DATA rows from a raw SSE byte stream already joined
+    to text: split on the \n\n event delimiter, keep ``data: `` blocks,
+    drop every sentinel/_eof-bearing block AND any unparseable block —
+    the latter can only be the sentinel's own bytes cut mid-frame by a
+    client's stop callback (all genuine rows precede the sentinel in
+    the stream and come from toJSON, so they are complete, valid JSON).
+    Unit-pinned in tests/test_http_listener.py against a mid-sentinel
+    truncation (review r16 #1)."""
+    import json as _json
+
+    out: list[str] = []
+    for block in text.split("\n\n"):
+        if not block.startswith("data: "):
+            continue
+        payload = block[len("data: "):].strip()
+        try:
+            if "_eof" in _json.loads(payload):
+                continue
+        except ValueError:
+            continue
+        out.append(payload)
+    return out
+
+
 def _audit_message_keys(
     posted: dict, got: list, what: str
 ) -> None:
@@ -1386,30 +1411,11 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 text = b"".join(chunks).decode()
                 # frames split at 16KB boundaries, not event
-                # boundaries: when the sentinel's trailing \n\n lands
-                # in a frame the client never reads, the final block
-                # is 'data: {"_eof": 1}\n' — not string-equal to the
-                # sentinel. Filter by PARSED payload (ADVICE r15 #3)
-                # so any _eof-bearing block is excluded, however the
-                # frames happened to split.
-                out: list[str] = []
-                for block in text.split("\n\n"):
-                    if not block.startswith("data: "):
-                        continue
-                    payload = block[len("data: "):].strip()
-                    try:
-                        if "_eof" in _json.loads(payload):
-                            continue
-                    except ValueError:
-                        # an unparseable block can only be the
-                        # sentinel's own bytes cut mid-frame by the
-                        # stop() (every data row precedes the sentinel
-                        # in the stream and toJSON rows are valid
-                        # JSON) — drop it, never count it as a row
-                        # (review r16 #1)
-                        continue
-                    out.append(payload)
-                results["h2"] = out
+                # boundaries — the sentinel may arrive truncated;
+                # _sse_data_rows drops sentinel and truncated-sentinel
+                # blocks by PARSING payloads (ADVICE r15 #3 + review
+                # r16 #1; unit-pinned)
+                results["h2"] = _sse_data_rows(text)
             except Exception as ex:
                 errors.append(f"h2: {ex!r}")
 

@@ -1356,3 +1356,29 @@ def test_websocket_400_is_length_framed_and_closes(tmp_path):
         conn.close()
     finally:
         sink.stop()
+
+
+def test_sse_data_rows_drops_split_sentinel_blocks():
+    """Review r16 #1 pin: the h2 SSE client's block parser must never
+    count the sentinel as a data row, however the DATA frames split —
+    complete, delimiter-less-tail, and MID-SENTINEL truncations (the
+    stop callback fires on '"_eof"' before the closing brace arrives,
+    so the final block can be unparseable JSON)."""
+    from hazelcast_jet_contrib_spark.queries_connectors import _sse_data_rows
+
+    rows = 'data: {"a": 1}\n\ndata: {"b": 2}\n\n'
+    assert _sse_data_rows(rows + 'data: {"_eof": 1}\n\n') == [
+        '{"a": 1}', '{"b": 2}'
+    ]
+    # sentinel's trailing \n\n in an unread frame
+    assert _sse_data_rows(rows + 'data: {"_eof": 1}\n') == [
+        '{"a": 1}', '{"b": 2}'
+    ]
+    # stop() fired mid-sentinel: unparseable fragment
+    assert _sse_data_rows(rows + 'data: {"_eof"') == [
+        '{"a": 1}', '{"b": 2}'
+    ]
+    # non-data noise (comments, blank blocks) ignored
+    assert _sse_data_rows(": keepalive\n\n" + rows) == [
+        '{"a": 1}', '{"b": 2}'
+    ]
