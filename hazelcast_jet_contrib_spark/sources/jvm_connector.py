@@ -294,3 +294,120 @@ class JvmConnectorHost:
         for target, recs in by_stream.items():
             append_segment(root, target, recs)
         return len(records)
+
+
+class JvmConnectorSpooler:
+    """Continuous half of the jar host: a background thread drives
+    ``host.poll()`` and spools each batch into message-log streams
+    (topic → stream), making a jar-hosted connector a standing source
+    for the acked reader — the same push-adapter shape as the MQTT
+    subscribe source (callback → spool → readStream), with the
+    reference's fillBuffer loop (AbstractKafkaConnectSource.java:68-90)
+    as the poll driver.
+
+    Delivery contract: a batch is spooled BEFORE the host's offset
+    snapshot advances past it (poll() itself folds offsets as records
+    are handed over, and the spool append happens in the same loop
+    iteration), so a crash between poll and spool re-polls from the
+    connector's own position — at-least-once, absorbed downstream by
+    the idempotent-sink discipline like every adapter here. stop()
+    drains: the loop exits only after a final poll returns empty."""
+
+    def __init__(
+        self,
+        host: JvmConnectorHost,
+        spool_root: str,
+        stream: str | None = None,
+        idle_seconds: float = 0.25,
+    ) -> None:
+        self.host = host
+        self.spool_root = spool_root
+        self.stream = stream
+        self.idle_seconds = idle_seconds
+        self.spooled = 0
+        self.last_error: Exception | None = None
+        self._thread = None
+        self._stop = None
+
+    def _spool_batch(self, records: list[dict]) -> None:
+        import json as _json
+
+        from hazelcast_jet_contrib_spark.streaming.message_log import (
+            append_segment,
+        )
+
+        by_stream: dict[str, list[dict]] = {}
+        for r in records:
+            target = self.stream or str(r["topic"] or "default")
+            by_stream.setdefault(target, []).append(
+                {
+                    "key": None if r["key"] is None else str(r["key"]),
+                    "value": r["value"]
+                    if isinstance(r["value"], str)
+                    else _json.dumps(r["value"], sort_keys=True),
+                    "properties": {
+                        "source_partition": _json.dumps(
+                            r["source_partition"], sort_keys=True
+                        ),
+                        "source_offset": _json.dumps(
+                            r["source_offset"], sort_keys=True
+                        ),
+                    },
+                }
+            )
+        for target, recs in by_stream.items():
+            append_segment(self.spool_root, target, recs)
+        self.spooled += len(records)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self._run_once(idle_wait=True)
+        # final drain: keep polling until the task reports empty, so
+        # records the connector already produced are never abandoned;
+        # a drain-time failure records as last_error (raised by stop())
+        # instead of dying unhandled in this thread
+        while True:
+            try:
+                batch = self.host.poll()
+            except Exception as ex:
+                self.last_error = ex
+                return
+            if not batch:
+                return
+            self._spool_batch(batch)
+
+    def _run_once(self, idle_wait: bool) -> None:
+        try:
+            batch = self.host.poll()
+        except Exception as ex:  # task failure: surface on stop(), back off
+            self.last_error = ex
+            self._stop.wait(min(1.0, self.idle_seconds * 4))
+            return
+        if batch:
+            self._spool_batch(batch)
+        elif idle_wait:
+            self._stop.wait(self.idle_seconds)
+
+    def start(self) -> "JvmConnectorSpooler":
+        import threading
+
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="jvm-connector-spooler", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        """Signal, join (the loop drains first), then raise the last
+        poll error if one occurred — never a silent failure."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+            if self._thread.is_alive():
+                raise RuntimeError("jvm connector spooler hung past 60s")
+        if self.last_error is not None:
+            raise RuntimeError(
+                f"jvm connector spooler saw a poll failure "
+                f"(spooled={self.spooled})"
+            ) from self.last_error

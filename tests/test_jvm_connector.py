@@ -290,7 +290,11 @@ def test_spool_bridge_lands_records_in_message_log(
         host.stop()
     assert n == 10
     segs = sorted((tmp_path / "spool" / "lines").glob("*.jsonl"))
-    recs = [json.loads(line) for s in segs for line in open(s)]
+    recs = [
+        json.loads(line)
+        for s in segs
+        for line in s.read_text().splitlines()
+    ]
     assert [r["value"] for r in recs] == [f"row-{i}" for i in range(10)]
     assert recs[0]["key"] == "L0"
     assert json.loads(recs[-1]["properties"]["source_offset"]) == {"line": 10}
@@ -343,3 +347,65 @@ def test_restore_snapshot_through_task_context_shim(
         assert [r["value"] for r in rest] == [f"row-{i}" for i in range(3, 10)]
     finally:
         host2.stop()
+
+
+def test_spooler_runs_continuously_and_drains_on_stop(
+    spark, connector_jar, data_file, tmp_path
+):
+    """The continuous half (fillBuffer-loop parity): the background
+    spooler drains the jar-hosted task into per-topic message-log
+    streams and stop() performs a final drain — every line the
+    connector produced lands exactly once, in order."""
+    from hazelcast_jet_contrib_spark.sources.jvm_connector import (
+        JvmConnectorSpooler,
+    )
+
+    host = _host(spark, connector_jar, data_file).start()
+    try:
+        spooler = JvmConnectorSpooler(
+            host, str(tmp_path / "spool"), idle_seconds=0.02
+        ).start()
+        import time
+
+        deadline = time.time() + 30
+        while spooler.spooled < 10 and time.time() < deadline:
+            time.sleep(0.02)
+        spooler.stop()
+        assert spooler.spooled == 10
+    finally:
+        host.stop()
+    segs = sorted((tmp_path / "spool" / "lines").glob("*.jsonl"))
+    recs = [
+        json.loads(line)
+        for s in segs
+        for line in s.read_text().splitlines()
+    ]
+    assert [r["value"] for r in recs] == [f"row-{i}" for i in range(10)]
+    assert host.offsets[(("file", data_file),)] == {"line": 10}
+
+
+def test_spooler_surfaces_poll_failure_on_stop(
+    spark, connector_jar, tmp_path
+):
+    """A task whose poll() raises (file deleted under it here) must
+    surface the failure at stop(), never silently drop the source."""
+    from hazelcast_jet_contrib_spark.sources.jvm_connector import (
+        JvmConnectorSpooler,
+    )
+
+    missing = tmp_path / "gone.txt"
+    missing.write_text("a\nb\n")
+    host = _host(spark, connector_jar, str(missing)).start()
+    # make subsequent polls fail mid-flight: start() read the file into
+    # memory, so instead drive the failure through a dead task — stop
+    # the task, then poll via the spooler
+    host._task.stop()
+    host._task = None  # poll() now raises RuntimeError("host not started")
+    spooler = JvmConnectorSpooler(
+        host, str(tmp_path / "spool"), idle_seconds=0.02
+    ).start()
+    import time
+
+    time.sleep(0.1)
+    with pytest.raises(RuntimeError, match="poll failure"):
+        spooler.stop()
