@@ -995,7 +995,7 @@ def _audit_message_keys(
     oracle="""
     SELECT 'events/' || event_type AS topic,
            COUNT(*) AS n_msgs,
-           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
     FROM events
     WHERE event_id % 97 = 0
     GROUP BY 1
@@ -1137,7 +1137,7 @@ def mqtt_subscribe_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders
@@ -1324,7 +1324,7 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 SSE_PUSH_ROUNDTRIP_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
            MIN(event_id) AS min_id,
            MAX(event_id) AS max_id
     FROM events
@@ -1498,7 +1498,7 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 WS_PUSH_ROUNDTRIP_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
            MIN(event_id) AS min_id,
            MAX(event_id) AS max_id
     FROM events
@@ -1689,7 +1689,7 @@ def ws_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SINK_2PC_ROUNDTRIP_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n_msgs,
-           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_milli,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
            MIN(event_id) AS min_id,
            MAX(event_id) AS max_id
     FROM events

