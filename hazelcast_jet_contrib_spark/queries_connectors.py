@@ -930,10 +930,12 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sse_data_rows(text: str) -> list[str]:
     """Extract the DATA rows from a raw SSE byte stream already joined
     to text: split on the \n\n event delimiter, keep ``data: `` blocks,
-    drop every sentinel/_eof-bearing block AND any unparseable block —
-    the latter can only be the sentinel's own bytes cut mid-frame by a
-    client's stop callback (all genuine rows precede the sentinel in
-    the stream and come from toJSON, so they are complete, valid JSON).
+    drop every sentinel/_eof-bearing block AND any block that is not a
+    JSON object — non-objects can only be the sentinel's own bytes cut
+    mid-frame by a client's stop callback (all genuine rows precede the
+    sentinel in the stream and come from toJSON, so they are complete
+    JSON objects; a bare JSON scalar would previously raise TypeError
+    from the ``in`` test and fail the whole row, ADVICE r16 #5).
     Unit-pinned in tests/test_http_listener.py against a mid-sentinel
     truncation (review r16 #1)."""
     import json as _json
@@ -944,9 +946,10 @@ def _sse_data_rows(text: str) -> list[str]:
             continue
         payload = block[len("data: "):].strip()
         try:
-            if "_eof" in _json.loads(payload):
-                continue
+            parsed = _json.loads(payload)
         except ValueError:
+            continue
+        if not isinstance(parsed, dict) or "_eof" in parsed:
             continue
         out.append(payload)
     return out
@@ -1571,10 +1574,14 @@ def _ws_client_collect(address: str, timeout: float = 120.0) -> list[str]:
             payload = data[off : off + ln].decode()
             data = data[off + ln :]
             try:
-                if "_eof" in _json.loads(payload):
-                    return out
+                parsed = _json.loads(payload)
             except ValueError:
-                pass
+                parsed = None
+            # sentinel check only on JSON objects: a non-dict payload
+            # (bare scalar/array) must count as a data frame, not raise
+            # TypeError from the `in` test (ADVICE r16 #5)
+            if isinstance(parsed, dict) and "_eof" in parsed:
+                return out
             out.append(payload)
     finally:
         s.close()

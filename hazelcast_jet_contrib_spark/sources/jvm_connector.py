@@ -79,6 +79,73 @@ def _to_python(v: Any) -> Any:
     }
 
 
+def _json_safe(v: Any) -> Any:
+    """Make a record field json.dumps-able: Connect record values are
+    commonly Java byte[] (→ Python bytes via _to_python), which
+    json.dumps rejects with TypeError — exactly the crash class ADVICE
+    r16 #1 flagged in the spool path. UTF-8-decodable bytes become
+    their text; arbitrary bytes become a tagged base64 object so the
+    spooled form is lossless and self-describing."""
+    if isinstance(v, (bytes, bytearray)):
+        b = bytes(v)
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            import base64
+
+            return {"__b64__": base64.b64encode(b).decode("ascii")}
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return v
+
+
+def _stream_name(topic: Any) -> str:
+    """Filesystem-safe message-log stream name for an arbitrary jar's
+    record topic: topics are uncontrolled strings, and append_segment
+    os.path.join's the stream name — an unsanitized '/' or '..' would
+    nest directories invisible to the one-level spool readback or
+    escape the spool root entirely (ADVICE r16 #2). Same reversible
+    percent-encoding as real_clients.mqtt_stream_name, plus: a name
+    that is entirely dots ('.', '..') or empty — which quote() passes
+    through and which DOES traverse as a whole path component — is
+    dot-encoded."""
+    from urllib.parse import quote
+
+    name = quote(str(topic) if topic is not None else "default", safe="")
+    if not name or set(name) == {"."}:
+        return name.replace(".", "%2E") or "default"
+    return name
+
+
+def _spool_record(r: dict) -> dict:
+    """Record dict → message-log entry (shared by spool_to and the
+    continuous spooler), bytes-safe on key and value."""
+    import json as _json
+
+    key = r["key"]
+    if isinstance(key, (bytes, bytearray)):
+        key = _json_safe(key)
+        if not isinstance(key, str):
+            key = _json.dumps(key, sort_keys=True)
+    value = r["value"]
+    if not isinstance(value, str):
+        value = _json.dumps(_json_safe(value), sort_keys=True)
+    return {
+        "key": None if key is None else str(key),
+        "value": value,
+        "properties": {
+            "source_partition": _json.dumps(
+                _json_safe(r["source_partition"]), sort_keys=True
+            ),
+            "source_offset": _json.dumps(
+                _json_safe(r["source_offset"]), sort_keys=True
+            ),
+        },
+    }
+
+
 class JvmConnectorHost:
     """Load ``connector_class`` from ``jar_paths`` in the SparkSession's
     JVM and drive the reference lifecycle. Single logical instance
@@ -105,10 +172,14 @@ class JvmConnectorHost:
         self._connector = None
         self._task = None
         self._task_config = None
-        #: (frozen sourcePartition) -> sourceOffset dict — the
+        #: canonical-JSON sourcePartition -> sourceOffset dict — the
         #: partitionsToOffset snapshot (AbstractKafkaConnectSource
-        #: createSnapshot/restoreSnapshot parity)
-        self.offsets: dict[tuple, dict] = {}
+        #: createSnapshot/restoreSnapshot parity). Keys are
+        #: json.dumps(partition, sort_keys=True) strings, matching
+        #: resume_props's encoding: Connect allows arbitrary partition
+        #: maps (nested/mixed-type values), which a sorted-items tuple
+        #: key cannot hash (ADVICE r16 #4).
+        self.offsets: dict[str, dict] = {}
 
     # -- lifecycle ----------------------------------------------------
 
@@ -164,12 +235,14 @@ class JvmConnectorHost:
                 # put(partitionMap, offsetMap), then initialize the
                 # task with it — JetSourceTaskContext parity
                 # (AbstractKafkaConnectSource.java:140-149)
+                import json as _json
+
                 ctx = self._new_instance(
                     self._load_class(self._context_class)
                 )
-                for part, off in self.offsets.items():
+                for part_key, off in self.offsets.items():
                     jpart = jvm.java.util.HashMap()
-                    for k, v in part:
+                    for k, v in _json.loads(part_key).items():
                         jpart.put(k, v)
                     joff = jvm.java.util.HashMap()
                     for k, v in (off or {}).items():
@@ -200,11 +273,15 @@ class JvmConnectorHost:
 
     # -- polling ------------------------------------------------------
 
-    def poll(self) -> list[dict]:
-        """One task.poll(): convert each record and fold its
-        (sourcePartition → sourceOffset) into the snapshot — only
+    def poll(self, fold_offsets: bool = True) -> list[dict]:
+        """One task.poll(): convert each record and (by default) fold
+        its (sourcePartition → sourceOffset) into the snapshot — only
         records actually handed to the caller advance offsets, the
-        addToBuffer contract."""
+        addToBuffer contract. A durability-aware caller (the continuous
+        spooler) passes ``fold_offsets=False`` and calls
+        ``fold_offsets_of(batch)`` only after the batch is durably
+        spooled, so a crash between poll and spool re-polls instead of
+        silently skipping the batch (ADVICE r16 #3)."""
         if self._task is None:
             raise RuntimeError("host not started")
         records = self._task.poll()
@@ -224,11 +301,24 @@ class JvmConnectorHost:
                     "source_offset": off,
                 }
             )
-            if isinstance(part, dict):
-                self.offsets[tuple(sorted(part.items()))] = (
-                    off if isinstance(off, dict) else {"offset": off}
-                )
+        if fold_offsets:
+            self.fold_offsets_of(out)
         return out
+
+    def fold_offsets_of(self, records: list[dict]) -> None:
+        """Advance the offset snapshot past ``records``. Partition keys
+        are canonical JSON (sort_keys), so arbitrary Connect partition
+        maps — nested values, mixed types — key correctly instead of
+        crashing sorted()/hash() (ADVICE r16 #4)."""
+        import json as _json
+
+        for r in records:
+            part = r["source_partition"]
+            if isinstance(part, dict):
+                off = r["source_offset"]
+                self.offsets[
+                    _json.dumps(_json_safe(part), sort_keys=True)
+                ] = off if isinstance(off, dict) else {"offset": off}
 
     def poll_until_idle(self, max_polls: int = 1000) -> list[dict]:
         """Drain: poll until an empty/None batch (bounded by
@@ -253,10 +343,9 @@ class JvmConnectorHost:
         partition."""
         import json as _json
 
+        # snapshot keys are already canonical JSON partition maps
         return {
-            f"{prefix}{_json.dumps(dict(part), sort_keys=True)}": _json.dumps(
-                off, sort_keys=True
-            )
+            f"{prefix}{part}": _json.dumps(off, sort_keys=True)
             for part, off in sorted(self.offsets.items())
         }
 
@@ -264,9 +353,12 @@ class JvmConnectorHost:
         """Drain the task into message-log segments (topic → stream
         unless overridden) so the distributed half — the acked reader,
         Spark scans, the delivery contract — takes over exactly as with
-        every push adapter here. Returns records spooled."""
-        import json as _json
+        every push adapter here. Returns records spooled.
 
+        Stream names are sanitized (percent-encoded) — an arbitrary
+        jar's topic string must not become a path traversal through
+        append_segment's os.path.join (ADVICE r16 #2); records are
+        bytes-safe via _spool_record."""
         from hazelcast_jet_contrib_spark.streaming.message_log import (
             append_segment,
         )
@@ -274,23 +366,10 @@ class JvmConnectorHost:
         records = self.poll_until_idle()
         by_stream: dict[str, list[dict]] = {}
         for r in records:
-            target = stream or str(r["topic"] or "default")
-            by_stream.setdefault(target, []).append(
-                {
-                    "key": None if r["key"] is None else str(r["key"]),
-                    "value": r["value"]
-                    if isinstance(r["value"], str)
-                    else _json.dumps(r["value"], sort_keys=True),
-                    "properties": {
-                        "source_partition": _json.dumps(
-                            r["source_partition"], sort_keys=True
-                        ),
-                        "source_offset": _json.dumps(
-                            r["source_offset"], sort_keys=True
-                        ),
-                    },
-                }
+            target = (
+                _stream_name(stream) if stream else _stream_name(r["topic"])
             )
+            by_stream.setdefault(target, []).append(_spool_record(r))
         for target, recs in by_stream.items():
             append_segment(root, target, recs)
         return len(records)
@@ -306,12 +385,17 @@ class JvmConnectorSpooler:
     as the poll driver.
 
     Delivery contract: a batch is spooled BEFORE the host's offset
-    snapshot advances past it (poll() itself folds offsets as records
-    are handed over, and the spool append happens in the same loop
-    iteration), so a crash between poll and spool re-polls from the
-    connector's own position — at-least-once, absorbed downstream by
-    the idempotent-sink discipline like every adapter here. stop()
-    drains: the loop exits only after a final poll returns empty."""
+    snapshot advances past it — the spooler polls with
+    ``fold_offsets=False`` and folds via ``host.fold_offsets_of``
+    only after ``append_segment`` returns (ADVICE r16 #3 fixed the
+    earlier version, which folded during poll and could skip an
+    unspooled batch on a spool failure), so a crash between poll and
+    spool re-polls from the connector's own position — at-least-once,
+    absorbed downstream by the idempotent-sink discipline like every
+    adapter here. Spool failures (serialization, segment I/O) record
+    as last_error exactly like poll failures — stop() never reports
+    success over a dead loop (ADVICE r16 #1). stop() drains: the loop
+    exits only after a final poll returns empty."""
 
     def __init__(
         self,
@@ -330,33 +414,22 @@ class JvmConnectorSpooler:
         self._stop = None
 
     def _spool_batch(self, records: list[dict]) -> None:
-        import json as _json
-
         from hazelcast_jet_contrib_spark.streaming.message_log import (
             append_segment,
         )
 
         by_stream: dict[str, list[dict]] = {}
         for r in records:
-            target = self.stream or str(r["topic"] or "default")
-            by_stream.setdefault(target, []).append(
-                {
-                    "key": None if r["key"] is None else str(r["key"]),
-                    "value": r["value"]
-                    if isinstance(r["value"], str)
-                    else _json.dumps(r["value"], sort_keys=True),
-                    "properties": {
-                        "source_partition": _json.dumps(
-                            r["source_partition"], sort_keys=True
-                        ),
-                        "source_offset": _json.dumps(
-                            r["source_offset"], sort_keys=True
-                        ),
-                    },
-                }
+            target = (
+                _stream_name(self.stream)
+                if self.stream
+                else _stream_name(r["topic"])
             )
+            by_stream.setdefault(target, []).append(_spool_record(r))
         for target, recs in by_stream.items():
             append_segment(self.spool_root, target, recs)
+        # durable — only now may the offset snapshot pass this batch
+        self.host.fold_offsets_of(records)
         self.spooled += len(records)
 
     def _loop(self) -> None:
@@ -364,27 +437,37 @@ class JvmConnectorSpooler:
             self._run_once(idle_wait=True)
         # final drain: keep polling until the task reports empty, so
         # records the connector already produced are never abandoned;
-        # a drain-time failure records as last_error (raised by stop())
-        # instead of dying unhandled in this thread
+        # a drain-time failure — poll OR spool — records as last_error
+        # (raised by stop()) instead of dying unhandled in this thread
         while True:
             try:
-                batch = self.host.poll()
+                batch = self.host.poll(fold_offsets=False)
+                if not batch:
+                    return
+                self._spool_batch(batch)
             except Exception as ex:
                 self.last_error = ex
                 return
-            if not batch:
-                return
-            self._spool_batch(batch)
 
     def _run_once(self, idle_wait: bool) -> None:
         try:
-            batch = self.host.poll()
+            batch = self.host.poll(fold_offsets=False)
         except Exception as ex:  # task failure: surface on stop(), back off
             self.last_error = ex
             self._stop.wait(min(1.0, self.idle_seconds * 4))
             return
         if batch:
-            self._spool_batch(batch)
+            try:
+                self._spool_batch(batch)
+            except Exception as ex:
+                # spool failure (serialization, segment I/O): same
+                # surface-and-back-off contract as a poll failure —
+                # never a silent thread death with stop() reporting
+                # success (ADVICE r16 #1). Offsets did not advance
+                # (fold happens after append), so a restart from the
+                # snapshot replays the unspooled batch.
+                self.last_error = ex
+                self._stop.wait(min(1.0, self.idle_seconds * 4))
         elif idle_wait:
             self._stop.wait(self.idle_seconds)
 

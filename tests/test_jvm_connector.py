@@ -236,6 +236,13 @@ def _host(spark, connector_jar, data_file, extra=None):
     )
 
 
+def _pkey(data_file):
+    """Offset-snapshot key: canonical-JSON partition map (matches
+    resume_props encoding; ADVICE r16 #4 replaced the sorted-items
+    tuple, which could not hash nested partition values)."""
+    return json.dumps({"file": data_file}, sort_keys=True)
+
+
 def test_jar_hosted_lifecycle_polls_and_snapshots_offsets(
     spark, connector_jar, data_file
 ):
@@ -247,10 +254,10 @@ def test_jar_hosted_lifecycle_polls_and_snapshots_offsets(
         assert first[2]["source_partition"] == {"file": data_file}
         assert first[2]["source_offset"] == {"line": 3}
         # snapshot holds the LAST offset per partition
-        assert host.offsets == {(("file", data_file),): {"line": 3}}
+        assert host.offsets == {_pkey(data_file): {"line": 3}}
         rest = host.poll_until_idle()
         assert [r["value"] for r in rest] == [f"row-{i}" for i in range(3, 10)]
-        assert host.offsets[(("file", data_file),)] == {"line": 10}
+        assert host.offsets[_pkey(data_file)] == {"line": 10}
         # drained: poll() returns empty on null
         assert host.poll() == []
     finally:
@@ -263,7 +270,7 @@ def test_restart_resumes_from_snapshot_without_duplicates(
     host = _host(spark, connector_jar, data_file).start()
     try:
         host.poll()  # rows 0-2
-        resume = host.offsets[(("file", data_file),)]["line"]
+        resume = host.offsets[_pkey(data_file)]["line"]
     finally:
         host.stop()
     host2 = _host(
@@ -381,7 +388,7 @@ def test_spooler_runs_continuously_and_drains_on_stop(
         for line in s.read_text().splitlines()
     ]
     assert [r["value"] for r in recs] == [f"row-{i}" for i in range(10)]
-    assert host.offsets[(("file", data_file),)] == {"line": 10}
+    assert host.offsets[_pkey(data_file)] == {"line": 10}
 
 
 def test_spooler_surfaces_poll_failure_on_stop(
@@ -409,3 +416,125 @@ def test_spooler_surfaces_poll_failure_on_stop(
     time.sleep(0.1)
     with pytest.raises(RuntimeError, match="poll failure"):
         spooler.stop()
+
+
+class _FakeHost:
+    """Minimal host stand-in for spooler unit tests that need no JVM."""
+
+    def __init__(self):
+        self.offsets = {}
+        self.folded = []
+
+    def fold_offsets_of(self, records):
+        self.folded.extend(records)
+
+
+def _rec(topic, value, key="k", part=None, off=None):
+    return {
+        "topic": topic,
+        "key": key,
+        "value": value,
+        "source_partition": part or {"p": 0},
+        "source_offset": off or {"o": 1},
+    }
+
+
+def test_spool_record_is_bytes_safe():
+    """Connect record values are commonly Java byte[] → Python bytes;
+    json.dumps rejects bytes with TypeError, which previously killed
+    the spooler thread silently (ADVICE r16 #1). UTF-8 bytes spool as
+    their text; arbitrary bytes spool as a tagged base64 object —
+    lossless either way."""
+    from hazelcast_jet_contrib_spark.sources.jvm_connector import (
+        _spool_record,
+    )
+
+    utf8 = _spool_record(_rec("t", b"hello"))
+    assert json.loads(utf8["value"]) == "hello"
+    raw = bytes([0xFF, 0x00, 0x9C])
+    binary = _spool_record(_rec("t", raw, key=b"\xff\xfe"))
+    import base64
+
+    parsed = json.loads(binary["value"])
+    assert base64.b64decode(parsed["__b64__"]) == raw
+    assert binary["key"]  # bytes key serialized, not repr()'d
+    nested = _spool_record(_rec("t", {"blob": raw, "n": 3}))
+    parsed = json.loads(nested["value"])
+    assert base64.b64decode(parsed["blob"]["__b64__"]) == raw
+    assert parsed["n"] == 3
+
+
+def test_spooler_topic_path_traversal_is_sanitized(tmp_path):
+    """An arbitrary jar's topic() string is uncontrolled; '/' or '..'
+    must not nest or escape the spool root through append_segment's
+    os.path.join (ADVICE r16 #2) — same percent-encoding contract as
+    the MQTT spool path."""
+    from hazelcast_jet_contrib_spark.sources.jvm_connector import (
+        JvmConnectorSpooler,
+        _stream_name,
+    )
+
+    assert "/" not in _stream_name("../escape/x")
+    # a whole-component '..' traverses; encoded-dot names cannot
+    assert _stream_name("..") not in (".", "..")
+    assert _stream_name(".") not in (".", "..")
+    assert _stream_name("") not in ("", ".", "..")
+    root = tmp_path / "spool"
+    sp = JvmConnectorSpooler(_FakeHost(), str(root))
+    sp._spool_batch([_rec("../escape/x", "v1"), _rec("a/b", "v2")])
+    # everything landed one level under root, nothing escaped
+    streams = sorted(p.name for p in root.iterdir())
+    assert streams == sorted(
+        [_stream_name("../escape/x"), _stream_name("a/b")]
+    )
+    assert not (tmp_path / "escape").exists()
+
+
+def test_spooler_spool_failure_surfaces_and_holds_offsets(tmp_path):
+    """A spool failure (segment I/O here) must record as last_error —
+    raised by stop(), never a silent thread death — and must NOT
+    advance the offset snapshot past the unspooled batch, so a restart
+    replays it (ADVICE r16 #1 + #3)."""
+    import time
+
+    from hazelcast_jet_contrib_spark.sources.jvm_connector import (
+        JvmConnectorSpooler,
+    )
+
+    class _OneBatchHost(_FakeHost):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def poll(self, fold_offsets=True):
+            self.calls += 1
+            return [_rec("t", "v")] if self.calls == 1 else []
+
+    # a FILE at the spool root makes append_segment's makedirs fail
+    root = tmp_path / "spool"
+    root.write_text("not a directory")
+    host = _OneBatchHost()
+    sp = JvmConnectorSpooler(host, str(root), idle_seconds=0.01).start()
+    deadline = time.time() + 10
+    while sp.last_error is None and time.time() < deadline:
+        time.sleep(0.01)
+    with pytest.raises(RuntimeError, match="poll failure"):
+        sp.stop()
+    assert host.folded == []  # offsets never advanced past the batch
+    assert sp.spooled == 0
+
+
+def test_nested_partition_maps_key_canonically():
+    """Connect allows arbitrary sourcePartition maps; a nested-map
+    value made the old sorted-items tuple key raise TypeError in the
+    poll loop (ADVICE r16 #4). Canonical-JSON keys accept any shape
+    and round-trip through resume_props unchanged."""
+    host = JvmConnectorHost(None, ["unused.jar"], "C", {})
+    nested = {"server": "s1", "shard": {"rs": "a", "id": 2}}
+    host.fold_offsets_of(
+        [_rec("t", "v", part=nested, off={"ts": 9})]
+    )
+    key = json.dumps(nested, sort_keys=True)
+    assert host.offsets == {key: {"ts": 9}}
+    rp = host.resume_props()
+    assert json.loads(rp[f"resume.{key}"]) == {"ts": 9}
