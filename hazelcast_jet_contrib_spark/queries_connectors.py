@@ -1488,15 +1488,20 @@ def sse_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# K8 — WebSocket push sink, STAGED for the round-17 driver window
+# K8 — WebSocket push sink, STAGED for the round-18 driver window
 # ---------------------------------------------------------------------------
 #
-# NOT registered: the round-16 window is full (the two red-row re-proofs
-# + the SSE promotion consumed its slots; ROUND16_PLAN.md §Rotation).
-# The query + oracle below run the EXACT driver comparison every pytest
-# via tests/test_http_listener.py; round 17 promotes them with @query in
-# one of its two spare slots, changing nothing else — the same staging
-# discipline the SSE row followed from round 15 to 16.
+# NOT registered: the round-17 window arithmetic changed when the three
+# r16 rows came back red (demand 48 aging + 3 re-proofs = 51 > 50), so
+# the two genuine-subsumption retirements this round funded the
+# stream_sink_2pc_roundtrip registration — the more reference-
+# meaningful row (VERDICT r16 #4/#7: "register ws only if a second
+# retirement keeps the cap sustainable; otherwise hold it staged").
+# Round 18's window holds the 47 r16-greens plus three spare slots, so
+# this row promotes there with @query and no retirement needed. The
+# oracle below already carries the r17 CAST(...AS BIGINT) HUGEINT fix
+# and is swept by the oracle-type guard tests; the EXACT driver
+# comparison runs every pytest via tests/test_http_listener.py.
 
 WS_PUSH_ROUNDTRIP_ORACLE = """
     SELECT event_type,
@@ -1688,10 +1693,13 @@ def ws_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the round-17 driver window (second spare slot candidate)
 # ---------------------------------------------------------------------------
 #
-# NOT registered: the round-16 window is full (ROUND16_PLAN.md
-# §Rotation). The query + oracle below run the EXACT driver comparison
-# every pytest via tests/test_stream_writer.py; round 17 may promote
-# them with @query in its second spare slot.
+# REGISTERED round 17 (staged r16): the XA-analog exactly-once proof
+# through a REAL StreamingQuery, the most reference-meaningful staged
+# capability (VERDICT r16 #7; xa-test/ parity through the driver gate).
+# Funded by the two r17 retirements (ngram_vocab_top100,
+# rolling_running_total — genuine subsumptions at their
+# @retired_query sites). tests/test_stream_writer.py keeps running the
+# exact driver comparison every pytest as before.
 
 STREAM_SINK_2PC_ROUNDTRIP_ORACLE = """
     SELECT event_type,
@@ -1705,6 +1713,7 @@ STREAM_SINK_2PC_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("stream_sink_2pc_roundtrip", oracle=STREAM_SINK_2PC_ROUNDTRIP_ORACLE)
 def stream_sink_2pc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4's stream sink driver-proven through the FULL streaming loop
     the reference closes between RedisSources.stream and

@@ -82,8 +82,18 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "pack_id")
 
 
-@query(
+@retired_query(
     "ngram_vocab_top100",
+    reason=(
+        "r17: every capability this row proves stays driver-proven — the "
+        "n-gram explode + map-side-partial count kernel runs live inside "
+        "repetition_dup_ngrams and contamination_ngram_overlap (same "
+        "operator module, same shuffle shape), and the exact "
+        "count-ORDER BY-LIMIT bounded top-k runs live in "
+        "sketch_topk_event_types and bm25_topk_docs; retired to fund the "
+        "stream_sink_2pc_roundtrip registration under the 50-row window "
+        "(demand was 51 after the three r16 oracle re-proofs)"
+    ),
     oracle="""
     WITH toks AS (
         SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
@@ -745,15 +755,13 @@ def tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.curation import rarity_weighted_terms
 
     docs = table(spark, sf_dir, "documents")
-    # cache_tf=True (flipped r15; staged+proven r14): the (id, term, tf)
-    # relation feeds both the document-frequency aggregate and the
-    # scoring join; cached, the tokenize kernel runs once per run
-    # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
-    # REVERT STAGED for round 17: the round-16 measured 1×/8× law
-    # refutes the flip on both the corpus-count and document-length
-    # axes (SCALE.md §Salient terms) — flip to cache_tf=False when
-    # this query re-enters the r17 window.
-    return rarity_weighted_terms(docs, "doc_id", "text", top_k=5, cache_tf=True)
+    # cache_tf=False (reverted r17, executing the r16 staged plan): the
+    # r15 flip to True was refuted by the measured 1×/8× law on both
+    # the corpus-count and document-length axes (0.83/1.01 and
+    # 1.31/1.48 s off/on — SCALE.md §Salient terms): materializing the
+    # (id, term, tf) relation costs more than re-running the tokenize
+    # kernel for the second consumer.
+    return rarity_weighted_terms(docs, "doc_id", "text", top_k=5, cache_tf=False)
 
 
 @query(

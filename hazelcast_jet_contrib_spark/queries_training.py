@@ -189,16 +189,14 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_contrib_spark.operators.curation import bigram_lm_score
 
     docs = table(spark, sf_dir, "documents")
-    # cache_counts=True (flipped r15; staged+proven r14): the
-    # vocabulary-sized count relations are cached, cutting the corpus
-    # tokenize kernel from ~6 to ~3 executions per run
-    # (tests/test_scale_rehearsal.py equality + cached-plan shape pin).
-    # REVERT STAGED for round 17: the round-16 measured 1×/8× law
-    # refutes the flip — +60% on 8×-longer documents, never a win on
-    # the corpus-count axis (SCALE.md §Bigram-LM) — flip to
-    # cache_counts=False when this query re-enters the r17 window.
+    # cache_counts=False (reverted r17, executing the r16 staged plan):
+    # the r15 flip to True was refuted by the measured 1×/8× law —
+    # +60% on 8×-longer documents (4.68 s off vs 7.48 s on), never a
+    # win on the corpus-count axis (SCALE.md §Bigram-LM) — because the
+    # cached vocabulary relations cost more to materialize than the
+    # tokenize kernels they deduplicate once documents are long.
     return bigram_lm_score(
-        docs, "doc_id", "text", alpha=0.5, interp=0.7, cache_counts=True
+        docs, "doc_id", "text", alpha=0.5, interp=0.7, cache_counts=False
     ).select("id", "n_tokens", F.round("mean_inv_p", 4).alias("mean_inv_p"))
 
 

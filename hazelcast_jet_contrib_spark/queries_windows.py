@@ -115,8 +115,21 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
-@query(
+@retired_query(
     "rolling_running_total",
+    reason=(
+        "r17: the per-key ordered ROWS UNBOUNDED PRECEDING running "
+        "aggregate is exactly the packing kernel pack_token_budget runs "
+        "live (operators/curation.py:98-103: Window.partitionBy(shard)"
+        ".orderBy(key).rowsBetween(unboundedPreceding,-1) under F.sum) "
+        "inside pack_token_budget_shards, and per-key ordered window "
+        "aggregation generally stays proven by rolling_zscore_anomaly "
+        "(bounded frames, strictly more frame machinery); the streaming "
+        "rollingAggregate parity (SURVEY A4) was always carried by "
+        "streaming/stateful.py + test_stateful.py, not this batch row; "
+        "retired to fund the stream_sink_2pc_roundtrip registration "
+        "(window demand 51 > 50 after the three r16 oracle re-proofs)"
+    ),
     oracle="""
     SELECT event_id,
            user_id,

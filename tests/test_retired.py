@@ -53,6 +53,11 @@ EXPECTED_RETIRED = {
     # red-row re-proofs + the SSE sink row)
     "unigram_lm_quality",
     "hash64_distinct_customers",
+    # round-17 retirements (ROUND17_PLAN.md: window demand was 51 after
+    # the three r16 oracle-fix re-proofs; the second subsumption funded
+    # the stream_sink_2pc_roundtrip registration)
+    "ngram_vocab_top100",
+    "rolling_running_total",
 }
 
 
