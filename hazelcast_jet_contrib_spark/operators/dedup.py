@@ -97,7 +97,14 @@ def jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("sz"))
     # join on the 8-byte shingle hash, not the shingle string: narrower
     # shuffle + cheaper key compare; a 64-bit collision adds 1 to one
-    # pair's intersection with probability ~n_pairs/2^64 — negligible
+    # pair's intersection with probability ~n_pairs/2^64 — negligible.
+    # DELIBERATELY three recomputed subtrees (sizes + both join sides),
+    # no cache: an r17 A/B (scripts/mb_jaccard.py, sf0.1, interleaved
+    # noop-sink reps) measured the cached-prepartitioned single-pass
+    # shape at 2.30 s vs 1.85 s (cache + recomputed sizes) vs 1.52 s
+    # for this shape — the pipelined recompute saturates all cores
+    # while the cache variants serialize behind a materialization
+    # barrier, and AQE broadcasts one join side locally either way.
     exploded = sh.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h")
     )
@@ -172,11 +179,21 @@ def minhash_signatures(shingle_sets: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
-def band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_keys(
+    sig: DataFrame, num_hashes: int, bands: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Unpivot a signature frame to (id, band, bh): hash each
     ``num_hashes/bands``-wide signature slice into one 64-bit band key —
     one row per band per id, the only relation the LSH candidate join
-    ever shuffles."""
+    ever shuffles.
+
+    ``carry`` names extra ``sig`` columns to project through the
+    unpivot (one copy per band row). The persisted-index builder uses
+    it to keep the verification set ``hs`` on the banded rows in ONE
+    pass — the former ``band_keys(sig).join(sig.select("id","hs"))``
+    shape re-computed the whole signature aggregation for each side of
+    the join (Catalyst does not dedupe common subtrees) and paid the
+    join's exchanges on top (guide §2.4: remove shuffles outright)."""
     rows = num_hashes // bands
     band_cols = [
         F.struct(
@@ -185,8 +202,8 @@ def band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     ]
-    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb"), *carry).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"), *carry
     )
 
 
@@ -1008,7 +1025,10 @@ def index_rows(
     index build's cost law."""
     sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
     sig = minhash_signatures(sh, num_hashes)
-    return band_keys(sig, num_hashes, bands).join(sig.select("id", "hs"), "id")
+    # hs rides the band unpivot: ONE signature aggregation and zero
+    # join exchanges (r17 optimization; was band_keys(sig).join(sig) —
+    # two full scan→explode→min-agg subtrees plus a join)
+    return band_keys(sig, num_hashes, bands, carry=("hs",))
 
 
 def build_minhash_index(
@@ -1095,9 +1115,8 @@ def probe_minhash_index(
         params = _json.load(f)
     sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"])
     sig = minhash_signatures(sh, params["num_hashes"])
-    pb = band_keys(sig, params["num_hashes"], params["bands"]).join(
-        sig.select("id", "hs"), "id"
-    )
+    # same one-pass shape as index_rows: hs carried through the unpivot
+    pb = band_keys(sig, params["num_hashes"], params["bands"], carry=("hs",))
     # bounded collect: fetch at most cap+1 rows in ONE job, then fail
     # loudly if the probe side overflows the contract
     probe_rows = pb.limit(max_probe_band_rows + 1).collect()

@@ -75,48 +75,50 @@ def bm25_score_all(
     terms = sorted({t.lower() for t in query_terms})
     qarr = F.array(*[F.lit(t) for t in terms])
 
-    # toks feeds BOTH the corpus-stats aggregate and the tf branch, so
-    # the corpus scan+tokenize runs TWICE (a dl-only stats pass and the
-    # term-bounded tf pass). Deliberately NOT persisted: this relation
-    # carries the FULL token array per document, so materializing it is
-    # corpus-sized-or-larger — at 100 TB a second columnar scan +
-    # re-tokenize (whole-stage codegen) is the cheaper side of the
-    # trade. The repo's persist precedent (minhash_lsh_pairs,
-    # duplicate_spans) caches small DERIVED relations (signatures), not
-    # raw token arrays; stats is inherently a separate global pass — it
-    # must complete before any score can be computed.
+    # ONE corpus tokenize pass (r17 optimization, guide §1.2/§2.3): the
+    # former shape ran scan+regex-tokenize TWICE (a dl-only stats pass
+    # and the term-bounded tf pass). The narrow projection below is one
+    # row per doc — (id, dl, <= |terms| (term, tf) structs), never the
+    # token array — so persisting it is O(n_docs x |terms|) small and
+    # both the stats aggregate and the tf relation read it from cache.
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
     toks = docs.select(
         F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-    ).select(
-        "__id__",
-        F.size("__t__").alias("dl"),
-        # restrict to query terms BEFORE exploding: the downstream
-        # relation is <= |terms| rows/doc regardless of document size
-        F.array_intersect("__t__", qarr).alias("__hit__"),
-        F.col("__t__").alias("__all__"),
+    )
+    narrow = tracked_persist(
+        toks.select(
+            "__id__",
+            F.size("__t__").alias("dl"),
+            # restrict to query terms BEFORE exploding: the downstream
+            # relation is <= |terms| rows/doc regardless of document
+            # size; tf per hit via a HOF filter so the full token array
+            # never explodes
+            F.transform(
+                F.array_intersect("__t__", qarr),
+                lambda h: F.struct(
+                    h.alias("term"),
+                    F.size(F.filter("__t__", lambda x: x == h))
+                    .cast("double")
+                    .alias("tf"),
+                ),
+            ).alias("__ht__"),
+        )
     )
 
     # corpus stats: one global partial agg -> a single broadcast row
-    stats = toks.agg(
+    stats = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    # (doc, term, tf) for query terms only; tf via a HOF filter so the
-    # full token array never explodes
-    tf = (
-        toks.select(
-            "__id__",
-            "dl",
-            F.explode("__hit__").alias("term"),
-            F.col("__all__"),
-        )
-        .withColumn(
-            "tf",
-            F.size(F.filter("__all__", lambda x: x == F.col("term"))).cast(
-                "double"
-            ),
-        )
-        .drop("__all__")
+    # (doc, term, tf) for query terms only, matches-sized
+    tf = narrow.select(
+        "__id__", "dl", F.explode("__ht__").alias("__h__")
+    ).select(
+        "__id__",
+        "dl",
+        F.col("__h__.term").alias("term"),
+        F.col("__h__.tf").alias("tf"),
     )
 
     # document frequency per query term: aggregates the tiny relation
@@ -527,38 +529,60 @@ def bm25_topk_multi(
         F.col(query_id_col).alias("qid"),
         F.explode(terms_col).alias("term"),
     ).select("qid", F.lower("term").alias("term")).distinct()
-    # the union of all query terms: bounded (queries are bounded), so
-    # it broadcasts into the corpus pass
-    all_terms = qt.select("term").distinct()
+    # The union of all query terms, materialized driver-side: queries
+    # are bounded by contract (an eval batch / serving request), so the
+    # term union is bounded too — the probe_minhash_index bounded-
+    # collect discipline, enforced with a cap rather than assumed.
+    _TERM_CAP = 100_000
+    term_rows = qt.select("term").distinct().limit(_TERM_CAP + 1).collect()
+    if len(term_rows) > _TERM_CAP:
+        raise ValueError(
+            f"query batch exceeds {_TERM_CAP} distinct terms: the term "
+            "union must stay driver-boundable; split the batch"
+        )
+    qarr = F.array(*[F.lit(t) for t in sorted(r["term"] for r in term_rows)])
 
-    # toks feeds the corpus-stats aggregate AND the hits theta-join, so
-    # the corpus scan+tokenize runs twice. NOT persisted, same reasoning
-    # as bm25_score_all: the relation carries full token arrays, so
-    # caching it costs more than the second codegen scan at scale — the
-    # batching win this operator claims is per-QUERY (N queries share
-    # the two passes instead of paying 2N), not pass elimination.
+    # ONE corpus tokenize pass (r17 optimization, guide §1.2/§2.3: the
+    # regex tokenize over the text column dominates the corpus pass, and
+    # the former shape ran it TWICE — a dl-only stats pass plus the
+    # term-match pass). The narrow projection below carries one row per
+    # doc: (id, dl, <= |terms| (term, tf) structs) — NOT the token
+    # array — so persisting it is O(n_docs x |terms|) small, and both
+    # the stats aggregate and the hit relation read it from cache.
+    # (The old comment's caching objection was about token-array-sized
+    # relations; this one is keys-and-counts only.)
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
     toks = docs.select(
         F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-    ).select(
-        "__id__",
-        F.size("__t__").alias("dl"),
-        F.col("__t__").alias("__all__"),
     )
-    stats = toks.agg(
+    narrow = tracked_persist(
+        toks.select(
+            "__id__",
+            F.size("__t__").alias("dl"),
+            F.transform(
+                F.array_intersect("__t__", qarr),
+                lambda h: F.struct(
+                    h.alias("term"),
+                    F.size(F.filter("__t__", lambda x: x == h))
+                    .cast("double")
+                    .alias("tf"),
+                ),
+            ).alias("__ht__"),
+        )
+    )
+    stats = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    # (doc, term, tf) for matching terms only: a broadcast theta-join on
-    # array_contains — each doc row is tested against the bounded term
-    # set, so the output (and everything downstream) is matches-sized
-    hits = toks.join(
-        F.broadcast(all_terms), F.array_contains("__all__", F.col("term"))
+    # (doc, term, tf) for matching terms only — matches-sized, read
+    # from the cached narrow relation instead of a second corpus pass
+    hits = narrow.select(
+        "__id__", "dl", F.explode("__ht__").alias("__h__")
     ).select(
         "__id__",
         "dl",
-        "term",
-        F.size(F.filter("__all__", lambda x: x == F.col("term")))
-        .cast("double")
-        .alias("tf"),
+        F.col("__h__.term").alias("term"),
+        F.col("__h__.tf").alias("tf"),
     )
     df_per_term = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     weighted = (

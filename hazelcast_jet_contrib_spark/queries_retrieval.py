@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hazelcast_jet_contrib_spark.cache import release_tracked
 from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 # Three fixed term-set queries over the documents table; terms chosen
@@ -89,13 +90,14 @@ def bm25_topk_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = bm25_topk_multi(docs, _queries_df(spark), k=10)
     # eager: hand the (tiny, k-bounded) result to the driver as a local
-    # relation. The operator deliberately persists NOTHING — it runs
-    # two unpersisted codegen corpus passes (stats, then scoring),
-    # which beats caching a full token-array relation at 100 TB
-    # (operators/retrieval.py:78-88) — so there is no cache to release.
+    # relation. Since r17 the operator tracked-persists one NARROW
+    # per-doc relation (id, dl, per-term tf — never token arrays) so
+    # the corpus is tokenized once instead of twice; release it now
+    # that the result is local.
     rows = [
         (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in out.collect()
     ]
+    release_tracked()
     return spark.createDataFrame(
         rows, "query_id long, doc_id long, score double, rank int"
     )
@@ -168,8 +170,9 @@ def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
         for r in fused.collect()
     ]
-    # nothing on this path persists (bm25_topk_multi and cosine_topk
-    # are both unpersisted by design) — no cache to release
+    # the BM25 leg tracked-persists its narrow per-doc relation (r17
+    # one-pass tokenize); the result is local now, so release it
+    release_tracked()
     return spark.createDataFrame(
         rows, "query_id long, doc_id long, score double, rank int"
     )
@@ -235,7 +238,9 @@ def mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist: dict[int, set[int]] = {}
     for r in cand_rows:
         shortlist.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # nothing on this path persists — no cache to release
+    # the BM25 leg tracked-persists its narrow per-doc relation (r17
+    # one-pass tokenize); everything is local now, so release it
+    release_tracked()
 
     by_q: dict[int, list] = {}
     for r in diverse:
