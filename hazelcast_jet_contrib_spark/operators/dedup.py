@@ -11,6 +11,7 @@ only to the candidate set.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the Arrow kernels' stringified type hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -376,12 +377,76 @@ def minhash_decontaminate(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_vote_kernel(n_words: int):
+    """Vectorized SimHash vote counter: one Arrow batch in, per-doc
+    64-bit signature words out. Input: ``n_words`` array<long> columns
+    (the per-doc collected token hashes, one list per signature word);
+    output: array<long> of ``n_words`` signature longs. Bit b of word w
+    is set iff at least half the doc's token hashes have bit b set —
+    identical to the former 128-column ``sum(when(bit, 1).otherwise
+    (-1)) >= 0`` formulation (votes = 2*ones - n, votes >= 0 <=>
+    2*ones >= n, ties included), proven value-equal in
+    tests/test_dedup_similarity.py::test_simhash_arrow_kernel_matches_sum_formulation.
+
+    Why a kernel (r17 optimization, guide §4.2): the 128-column vote
+    aggregate dominated the signature computation — measured at sf0.1
+    (scripts/mb_simhash.py, interleaved noop-sink reps) 3.45-3.57 s
+    for the JVM aggregate variants (conditional, branchless, and
+    32-bit-lane-packed all within noise of each other — the cost is
+    the wide aggregate itself, not the branch) vs 0.78 s for
+    collect_list + this kernel, with the explode/aggregate floor at
+    0.50 s. Per-group state (the token-hash list) is bounded by doc
+    size, the same contract as minhash's collect_set verification
+    sets."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _word_sigs(series) -> "np.ndarray":
+        shifts = np.arange(64, dtype=np.uint64)
+        n_docs = len(series)
+        lens = series.map(len).to_numpy(dtype=np.int64)
+        if n_docs == 0 or lens.sum() == 0:
+            return np.zeros((n_docs,), dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in series]
+        ).astype(np.uint64)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        ones = np.empty((n_docs, 64), dtype=np.int64)
+        for b in range(64):
+            bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones[:, b] = np.add.reduceat(bit, offsets)
+        # empty docs (len 0) read the next doc's segment under reduceat;
+        # zero them explicitly (explode never emits them today, but the
+        # kernel must not depend on that)
+        ones[lens == 0, :] = 0
+        maj = (2 * ones) >= lens[:, None]
+        sig = (maj.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return sig.astype(np.int64)
+
+    if n_words == 1:
+
+        def _sigs1(a0: pd.Series) -> pd.Series:
+            return pd.Series(list(_word_sigs(a0)[:, None]))
+
+        return pandas_udf(_sigs1, "array<long>")
+
+    def _sigs2(a0: pd.Series, a1: pd.Series) -> pd.Series:
+        return pd.Series(
+            list(np.stack([_word_sigs(a0), _word_sigs(a1)], axis=1))
+        )
+
+    return pandas_udf(_sigs2, "array<long>")
+
+
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document as a LONG column `sig`: bit b = sign
     of the sum over distinct tokens of ±1 according to bit b of
     xxhash64(token). The long form keeps banding (shift+mask) and
-    hamming (bit_count of xor) single codegen'd instructions; bits are
-    assembled with a bitwise-OR chain, so no ANSI overflow surface."""
+    hamming (bit_count of xor) single codegen'd instructions. Votes are
+    counted by the vectorized Arrow kernel (`_simhash_vote_kernel` —
+    r17; same values as the former 64-column JVM vote aggregate)."""
     toks = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     ).select(
@@ -390,22 +455,11 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+    kernel = _simhash_vote_kernel(1)
+    lists = toks.groupBy("id").agg(F.collect_list("h").alias("a0"))
+    return lists.select("id", kernel("a0").alias("__sp__")).select(
+        "id", F.element_at("__sp__", 1).alias("sig")
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("id", sig.alias("sig"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -486,8 +540,10 @@ def simhash_signature128(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """128-bit SimHash per document as TWO long columns (sig0, sig1):
     the corpus-scale escape hatch for SimHash's chance-collision growth.
     Bit b of word w votes by bit b of xxhash64(token, seed=w) — two
-    independent seeded hashes give 128 independent bits. Same
-    codegen-friendly shape as the 64-bit form, twice the vote columns."""
+    independent seeded hashes give 128 independent bits. Votes are
+    counted by the vectorized Arrow kernel (`_simhash_vote_kernel` —
+    r17; same values as the former 128-column JVM vote aggregate,
+    measured 3.45 s -> 0.78 s at sf0.1)."""
     toks = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     ).select(
@@ -496,28 +552,15 @@ def simhash_signature128(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
         ).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h0"), F.xxhash64("tok", F.lit(1)).alias("h1"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{w}_{b}")
-            for w in (0, 1)
-            for b in range(64)
-        ]
+    kernel = _simhash_vote_kernel(2)
+    lists = toks.groupBy("id").agg(
+        F.collect_list("h0").alias("a0"), F.collect_list("h1").alias("a1")
     )
-    sigs = []
-    for w in (0, 1):
-        sig = F.lit(0).cast("long")
-        for b in range(64):
-            sig = sig.bitwiseOR(
-                F.when(
-                    F.col(f"v{w}_{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        sigs.append(sig.alias(f"sig{w}"))
-    return votes.select("id", *sigs)
+    return lists.select("id", kernel("a0", "a1").alias("__sp__")).select(
+        "id",
+        F.element_at("__sp__", 1).alias("sig0"),
+        F.element_at("__sp__", 2).alias("sig1"),
+    )
 
 
 def simhash128_pairs(

@@ -297,23 +297,61 @@ def build_ivf_index(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ cent.T).argmax(axis=1)).astype("int32")
-
-    indexed = corpus.select(
-        F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
-    ).withColumn("cell", cell_of(F.col("cv")))
     books = None
     if pq_m is not None:
         books = train_pq_codebooks(
             corpus, corpus_id, vec_col, m=pq_m, kcent=pq_kcent,
             sample_rows=sample_rows, seed=seed,
         )
-        codes = pq_encode(corpus, books, corpus_id, vec_col)
-        indexed = indexed.join(codes, "cid")
+
+    if books is None:
+
+        @pandas_udf("int")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.Series((mat @ cent.T).argmax(axis=1)).astype("int32")
+
+        indexed = corpus.select(
+            F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
+        ).withColumn("cell", cell_of(F.col("cv")))
+    else:
+        # ONE fused Arrow kernel computes cell assignment AND PQ codes
+        # (r17 optimization, guide §1.2/§4): the former shape ran TWO
+        # corpus passes (cell_of over one scan, pq_encode over another)
+        # and re-attached the codes with a join on cid — a shuffle of
+        # both sides that exists only to glue together two projections
+        # of the same row. Same arithmetic (identical normalization,
+        # same trained centroids/codebooks), so the written index is
+        # row-identical; the build plan drops one scan and the join's
+        # exchanges.
+        bks = books  # (m, kcent, dsub), captured by closure
+        m, _, dsub = bks.shape
+
+        @pandas_udf("cell int, codes array<int>")
+        def cell_and_codes(vecs: pd.Series) -> pd.DataFrame:
+            mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ cent.T).argmax(axis=1).astype("int32")
+            out = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d2 = (
+                    -2.0 * sub @ bks[j].T
+                    + (bks[j] ** 2).sum(axis=1)[None, :]
+                )
+                out[:, j] = d2.argmin(axis=1)
+            return pd.DataFrame({"cell": cells, "codes": list(out)})
+
+        indexed = (
+            corpus.select(
+                F.col(corpus_id).alias("cid"), as_double(vec_col).alias("cv")
+            )
+            .withColumn("__cc__", cell_and_codes(F.col("cv")))
+            .select("cid", "cv", F.col("__cc__.cell").alias("cell"),
+                    F.col("__cc__.codes").alias("codes"))
+        )
     # sidecars go in AFTER the write — mode("overwrite") wipes the dir
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
     if books is not None:

@@ -544,3 +544,78 @@ def test_kmeans_plan_size_is_iteration_invariant(spark):
         for r in kmeans_lloyd(pts, "vec_id", "embedding", k=5, iters=3).collect()
     )
     assert a1 == a2
+
+
+def test_simhash_arrow_kernel_matches_sum_formulation(spark):
+    """The r17 vectorized vote kernel is value-identical to the former
+    JVM 128-column sum formulation (votes = sum(when(bit,1).otherwise
+    (-1)) >= 0), for both the 64- and 128-bit signatures, on real
+    fixture text including empty/whitespace docs and vote ties."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        _spread,
+        simhash_signature,
+        simhash_signature128,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(90001, ""), (90002, "   "), (90003, "one"),
+             (90004, "tie tie2")],  # 2 tokens -> exact vote ties exist
+            "doc_id long, text string",
+        )
+    )
+
+    def old_votes(words):
+        toks = _spread(
+            docs.select(F.col("doc_id").alias("id"), F.col("text").alias("__text__"))
+        ).select(
+            "id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
+            ).alias("tok"),
+        ).select(
+            "id",
+            *[F.xxhash64("tok", F.lit(w)).alias(f"h{w}") if w else F.xxhash64("tok").alias("h0")
+              for w in range(words)],
+        )
+        votes = toks.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{w}_{b}")
+                for w in range(words)
+                for b in range(64)
+            ]
+        )
+        sigs = []
+        for w in range(words):
+            sig = F.lit(0).cast("long")
+            for b in range(64):
+                sig = sig.bitwiseOR(
+                    F.when(
+                        F.col(f"v{w}_{b}") >= 0,
+                        F.shiftleft(F.lit(1).cast("long"), b),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            sigs.append(sig.alias(f"sig{w}"))
+        return votes.select("id", *sigs)
+
+    old128 = {
+        (r["id"], r["sig0"], r["sig1"]) for r in old_votes(2).collect()
+    }
+    new128 = {
+        (r["id"], r["sig0"], r["sig1"])
+        for r in simhash_signature128(docs, "doc_id", "text").collect()
+    }
+    assert new128 == old128
+    old64 = {(r["id"], r["sig0"]) for r in old_votes(1).collect()}
+    new64 = {
+        (r["id"], r["sig"])
+        for r in simhash_signature(docs, "doc_id", "text").collect()
+    }
+    assert new64 == old64

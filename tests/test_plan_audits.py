@@ -196,6 +196,13 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         # stage is exactly what the registration exists to prove
         # (binaryFile scan + one Arrow stage, no LocalTableScan)
         "webdataset_roundtrip": 1,
+        # r17: SimHash vote counting moved from a 128-column JVM sum
+        # aggregate to one vectorized Arrow kernel (guide §4.2 —
+        # measured 3.45s -> 0.78s at sf0.1, scripts/mb_simhash.py;
+        # value-equality pinned by
+        # test_simhash_arrow_kernel_matches_sum_formulation)
+        "simhash128_near_dup": 1,
+        "simhash_near_dup": 1,  # retired, same kernel
         # round-7 additions: all pure Catalyst, and the two eager
         # queries (training_shards_roundtrip, ivf_index_probe_topk)
         # return local relations — their kernels run inside the query
