@@ -46,7 +46,20 @@ def featurize(
     num_features: int = 1 << 15,
 ) -> DataFrame:
     """(id, idx, val): hashed bag-of-words with per-doc L1 tf
-    normalization plus a bias row (idx = -1, val = 1)."""
+    normalization plus a bias row (idx = -1, val = 1).
+
+    Single-lineage shape (r17, guide §1.2/§2.4): the former
+    tf → groupBy-len → join → union-bias DAG referenced the unpersisted
+    tf subtree THREE times (the doc-length aggregate, the join's left
+    side, and the bias rows), so the scan → tokenize → hash → count
+    pass executed three times per featurize. Now one window over the
+    tf aggregate attaches the doc length (same id-clustering the join
+    needed), and the bias row rides an inline explode on each doc's
+    first feature row — one tokenize pass, no join, no union, and the
+    output rows are value-identical
+    (tests/test_classifier.py::test_featurize_single_pass_matches_join_shape)."""
+    from pyspark.sql import Window
+
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
@@ -56,14 +69,32 @@ def featurize(
         .groupBy("id", "idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    doc_len = tf.groupBy("id").agg(F.sum("n").alias("len"))
-    feats = tf.join(doc_len, "id").select(
-        "id", "idx", (F.col("n") / F.col("len")).alias("val")
+    w = Window.partitionBy("id")
+    wo = Window.partitionBy("id").orderBy("idx")
+    entry = F.struct(
+        F.col("idx").alias("idx"), (F.col("n") / F.col("len")).alias("val")
     )
-    bias = doc_len.select(
-        "id", F.lit(BIAS_IDX).alias("idx"), F.lit(1.0).alias("val")
+    bias_entry = F.struct(
+        F.lit(BIAS_IDX).cast("long").alias("idx"), F.lit(1.0).alias("val")
     )
-    return feats.unionByName(bias)
+    return (
+        tf.select(
+            "id",
+            "idx",
+            "n",
+            F.sum("n").over(w).alias("len"),
+            F.row_number().over(wo).alias("__rn__"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.when(F.col("__rn__") == 1, F.array(entry, bias_entry)).otherwise(
+                    F.array(entry)
+                )
+            ).alias("__e__"),
+        )
+        .select("id", F.col("__e__.idx").alias("idx"), F.col("__e__.val").alias("val"))
+    )
 
 
 def train_quality_classifier(

@@ -455,8 +455,20 @@ def simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 2 == 0)
     )
-    aug = docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # one exploded scan instead of a 2-way unionByName re-reading the
+    # parquet per branch (r17, guide §6/§2.4 — same rows, one scan)
+    aug = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.col("text").alias("text"),
+                ),
+            )
+        ).alias("__v__")
+    ).select(
+        F.col("__v__.doc_id").alias("doc_id"), F.col("__v__.text").alias("text")
     )
     # prepartition_bands=True (flipped r14, staged+proven r13): single
     # banded-relation build + shuffle — 19,200 banded rows → 12 live

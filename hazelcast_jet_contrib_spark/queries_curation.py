@@ -282,17 +282,39 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the stages chain without materialization barriers except the
     minhash candidate join (id-only) and the shard-local packing window;
     no stage collects or re-reads the corpus."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    aug = (
-        docs.unionByName(
-            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text")
-        ).unionByName(
-            docs.select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                "lang",
-                F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    from hazelcast_jet_contrib_spark.operators.dedup import _spread
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    # one exploded scan instead of a 3-way unionByName re-reading the
+    # parquet per branch (r17, guide §6/§2.4 — same rows, one scan);
+    # _spread first so the downstream quality regexes run on all cores
+    # when the local fixture is 1-2 splits (no-op on a real corpus)
+    aug = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.col("text").alias("text"),
+                ),
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.col("text").alias("text"),
+                ),
+                F.struct(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.concat("text", F.lit(" zz yy xx")).alias("text"),
+                ),
             )
-        )
+        ).alias("__v__")
+    ).select(
+        F.col("__v__.doc_id").alias("doc_id"),
+        F.col("__v__.lang").alias("lang"),
+        F.col("__v__.text").alias("text"),
     )
     langf = aug.filter(F.col("lang").isin("en", "de", "fr"))
     qf = langf.filter(F.round(TX.quality_score("text"), 4) >= 0.5)
@@ -619,6 +641,13 @@ def crossdoc_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Two-branch unionByName KEPT over the one-scan explode shape after
+    # an r17 interleaved A/B (noop sink, sf0.1): union min 0.57 s vs
+    # explode+_spread 0.77 s — the spread exchange costs more here than
+    # the saved (tiny) second scan, and this query's all-time best is
+    # 0.57 s, so the ~0.2 s would eat most of the 2x headroom. At true
+    # corpus scale the one-scan shape wins (one read instead of two,
+    # _spread a no-op); revisit if the fixture grows.
     aug = docs.unionByName(
         docs.filter(F.col("doc_id") % 3 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"),

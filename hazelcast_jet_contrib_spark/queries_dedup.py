@@ -23,11 +23,26 @@ from hazelcast_jet_contrib_spark.operators.similarity import cosine_topk
 from hazelcast_jet_contrib_spark.registry import query, retired_query, table
 
 
+def _orig_and_copy(docs: DataFrame, copy_text) -> DataFrame:
+    """Originals ∪ +1,000,000-keyed copies as ONE exploded scan (r17,
+    guide §6/§2.4): the former unionByName re-read the documents
+    parquet once per branch — two corpus scans for one logical pass.
+    Same rows, one scan."""
+    variants = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            copy_text.alias("text"),
+        ),
+    )
+    return docs.select(F.explode(variants).alias("__v__")).select(
+        F.col("__v__.doc_id").alias("doc_id"), F.col("__v__.text").alias("text")
+    )
+
+
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    )
+    return _orig_and_copy(docs, F.col("text"))
 
 
 def _docs_with_near_copies(
@@ -36,12 +51,7 @@ def _docs_with_near_copies(
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     if subset_mod is not None:
         docs = docs.filter(F.col("doc_id") % subset_mod == 0)
-    return docs.unionByName(
-        docs.select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
-        )
-    )
+    return _orig_and_copy(docs, F.concat(F.col("text"), F.lit(" zz yy xx")))
 
 
 _JACCARD_ORACLE_TEMPLATE = """

@@ -283,40 +283,47 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact with no rounding. This is the standard public filter a
     web corpus passes before training; at 100 TB it is one codegen'd
     projection over the scan."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from hazelcast_jet_contrib_spark.operators.dedup import _spread
+
+    docs = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     wc = TX.word_count("text")
-    aug = (
-        docs
-        .unionByName(  # symbol soup: one '#' per word -> f_sym must fail
-            docs.select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.concat("text", F.repeat(F.lit(" #"), wc)).alias("text"),
-            )
-        )
-        .unionByName(  # bulletized: every line starts '- ' -> f_bullet must fail
-            docs.select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
-                F.concat(F.lit("- "), F.regexp_replace("text", r"\s+", "\n- ")).alias("text"),
-            )
-        )
-        .unionByName(  # dealphabetized -> f_alpha must fail
-            docs.select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
-                F.regexp_replace("text", "[a-zA-Z]", "7").alias("text"),
-            )
-        )
-        .unionByName(  # every line ends '...' -> f_ellipsis must fail
-            docs.select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
-                F.concat(F.regexp_replace("text", r"\s+", "...\n"), F.lit("...")).alias("text"),
-            )
-        )
-        .unionByName(  # stopword-enriched -> f_stop passes; battery CAN pass
-            docs.select(
-                (F.col("doc_id") + 6000000).alias("doc_id"),
-                F.concat("text", F.lit(" the be to of and that have with")).alias("text"),
-            )
-        )
+    # The six corpus variants ride ONE scan as an exploded struct array
+    # (r17, guide §6/§2.4): the former six-way unionByName re-read the
+    # documents parquet once per branch (6 scans in the plan; at 100 TB
+    # that is six corpus reads for one logical pass). Per-variant
+    # expressions are unchanged, so the row set is identical. _spread
+    # first: the local fixture is 1-2 splits, and without it the 6x
+    # regex battery runs on 1-2 cores (the old unions accidentally
+    # bought 6x scan tasks — measured 2.2 s -> 7.4 s without the
+    # spread, 6 underused cores); on a real corpus (thousands of
+    # splits) _spread is a no-op and the single scan wins outright.
+    variants = [
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(  # symbol soup: one '#' per word -> f_sym must fail
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.repeat(F.lit(" #"), wc)).alias("text"),
+        ),
+        F.struct(  # bulletized: every line starts '- ' -> f_bullet must fail
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.lit("- "), F.regexp_replace("text", r"\s+", "\n- ")).alias("text"),
+        ),
+        F.struct(  # dealphabetized -> f_alpha must fail
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.regexp_replace("text", "[a-zA-Z]", "7").alias("text"),
+        ),
+        F.struct(  # every line ends '...' -> f_ellipsis must fail
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.concat(F.regexp_replace("text", r"\s+", "...\n"), F.lit("...")).alias("text"),
+        ),
+        F.struct(  # stopword-enriched -> f_stop passes; battery CAN pass
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.concat("text", F.lit(" the be to of and that have with")).alias("text"),
+        ),
+    ]
+    aug = docs.select(F.explode(F.array(*variants)).alias("__v__")).select(
+        F.col("__v__.doc_id").alias("doc_id"), F.col("__v__.text").alias("text")
     )
     g = TX.gopher_flags("text")
     flags = aug.select("doc_id", g.alias("g")).select("doc_id", "g.*")

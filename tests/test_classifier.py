@@ -113,3 +113,56 @@ def test_l2_shrinks_weights(spark):
     n0 = sum(v * v for k, v in w0.items() if k != BIAS_IDX)
     n2 = sum(v * v for k, v in w2.items() if k != BIAS_IDX)
     assert n2 < n0, "L2 must shrink the non-bias weight norm"
+
+
+def test_featurize_single_pass_matches_join_shape(spark):
+    """The r17 single-lineage featurize (window + inline bias explode)
+    is row-identical to the former tf -> doc_len join -> bias union
+    shape, including single-token docs, repeated tokens, and hash
+    collisions into the same idx bucket."""
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_contrib_spark.operators.classifier import (
+        BIAS_IDX,
+        featurize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "one"),
+            (3, "  padded   tokens here  "),
+            (4, "x " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    nf = 1 << 4  # tiny hash space forces idx collisions
+
+    # former shape, inlined as the reference
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = (
+        toks.select("id", F.pmod(F.xxhash64("tok"), F.lit(nf)).alias("idx"))
+        .groupBy("id", "idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_len = tf.groupBy("id").agg(F.sum("n").alias("len"))
+    old = (
+        tf.join(doc_len, "id")
+        .select("id", "idx", (F.col("n") / F.col("len")).alias("val"))
+        .unionByName(
+            doc_len.select(
+                "id", F.lit(BIAS_IDX).alias("idx"), F.lit(1.0).alias("val")
+            )
+        )
+    )
+    got = sorted(
+        (r["id"], r["idx"], round(r["val"], 12))
+        for r in featurize(docs, num_features=nf).collect()
+    )
+    want = sorted(
+        (r["id"], r["idx"], round(r["val"], 12)) for r in old.collect()
+    )
+    assert got == want
