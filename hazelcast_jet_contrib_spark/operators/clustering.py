@@ -133,12 +133,15 @@ def kmeans_lloyd(
         from pyspark import StorageLevel
 
         points = points.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
-    # the materializing count sits INSIDE the try: a failure while
-    # building the cache must not orphan the persisted relation
-    # (the pagerank/CC loop-abort discipline, VERDICT r08 item 8)
+    # try from the first action on: a failure while building the cache
+    # must not orphan the persisted relation (the pagerank/CC loop-abort
+    # discipline, VERDICT r08 item 8). No materializing count (r17): the
+    # first Lloyd job builds the cache while computing the init
+    # centroids/assignment — an up-front count was one extra pass of the
+    # vector relation for nothing (interleaved A/B at sf0.1,
+    # scripts/mb_eagercount.py: kmeans_cluster_profile min 1.74 s with
+    # the count vs 1.49 s without).
     try:
-        if prepartition:
-            points.count()
         centroids = (
             points.orderBy("id")
             .limit(k)

@@ -779,13 +779,18 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # try/finally from the first action on: a failure in ANY job of the
-    # loop (executor loss, bad input surfacing lazily in edges.count()
-    # or a round's checkpoint) must not orphan the persisted pair/edge
+    # loop (executor loss, bad input surfacing lazily in the init-label
+    # aggregate or a round's checkpoint) must not orphan the persisted pair/edge
     # relations in a long-lived session — the same loop-abort
     # discipline pagerank (graph.py) and the classifier GD loop follow
     # (VERDICT r08 item 8).
     try:
-        edges.count()
+        # no materializing count (r17): the init-label aggregate below
+        # builds the edge cache in its own first job — an up-front
+        # count was one extra pass of 2|E| for nothing, and failures
+        # still surface inside the try (interleaved A/B at sf0.1,
+        # scripts/mb_eagercount.py: neardup_clusters min 3.04 s with the
+        # count vs 2.66 s without, 23 -> 21 Spark jobs)
         # p stays persisted for the WHOLE loop (released in finally), not
         # unpersisted here: if edge cache blocks are lost mid-loop
         # (executor loss at cluster scale), rounds recompute edges from

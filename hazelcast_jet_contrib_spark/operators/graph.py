@@ -133,7 +133,12 @@ def pagerank(
             .repartition("node")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        base.count()
+        # no materializing count (r17): the first sweep's checkpoint
+        # job builds this cache while computing the init ranks — an
+        # up-front count was one extra pass of |V| for nothing, and
+        # failures still surface inside the try (interleaved A/B at
+        # sf0.1, scripts/mb_eagercount.py: pagerank_event_graph min
+        # 4.24 s with the count vs 3.40 s without, 75 -> 73 Spark jobs)
 
         if seeds is None:
             is_seed = F.lit(True)
