@@ -718,10 +718,27 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.hex((last_byte + 16) % 256), 2, "0"),
         )
     )
-    pert = m0.filter((F.col("media_id") % 5 == 0) & (F.octet_length("payload") >= 1)).select(
+    # One-scan conditional explode instead of the former
+    # m0.unionByName(pert) (r17 change #9 family, guide §6): the union
+    # re-read the documents parquet once per branch. Same measured
+    # family as video_near_dup_frames / dedup_exact_keepfirst
+    # (scripts/mb_videounion.py: union vs plain explode a local wash,
+    # _spread rejected) — the persisted signature relation below means
+    # the corpus subtree runs once either way, so the one-scan shape is
+    # a pure corpus-read win at scale.
+    orig_s = F.struct(F.col("media_id").alias("media_id"), F.col("payload").alias("payload"))
+    pert_s = F.struct(
         (F.col("media_id") + 3000000).alias("media_id"), perturbed.alias("payload")
     )
-    feats = image_features(m0.unionByName(pert))
+    aug = m0.select(
+        F.explode(
+            F.when(
+                (F.col("media_id") % 5 == 0) & (F.octet_length("payload") >= 1),
+                F.array(orig_s, pert_s),
+            ).otherwise(F.array(orig_s))
+        ).alias("__v__")
+    ).select("__v__.media_id", "__v__.payload")
+    feats = image_features(aug)
     sig = F.shiftleft(
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long"), 32
     ).bitwiseOR(F.conv(F.substring("phash", 9, 8), 16, 10).cast("long"))
@@ -801,17 +818,33 @@ def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    vids = docs.select(
+    # One-scan conditional explode instead of the former 2-way
+    # unionByName (r17 change #9 family, guide §6): the union re-read
+    # the documents parquet once per branch. Interleaved A/B at sf0.1
+    # (scripts/mb_videounion.py, noop sink, row-set equality asserted):
+    # union min 0.668 s vs explode min 0.684 s — a local wash, so the
+    # one-scan shape wins on the corpus-read count at scale. _spread
+    # REJECTED here (min 0.937 s): the signature relation downstream is
+    # persisted and the Arrow kernel is cheap on this payload, so the
+    # spread exchange never pays for itself (crossdoc_dup_blocks'
+    # finding, reconfirmed).
+    orig = F.struct(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
-    ).unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1000000).alias("media_id"),
-            F.encode(
-                F.concat("text", F.expr("repeat(' qq', 30)")), "UTF-8"
-            ).alias("payload"),
-        )
     )
+    copy = F.struct(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(
+            F.concat("text", F.expr("repeat(' qq', 30)")), "UTF-8"
+        ).alias("payload"),
+    )
+    vids = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 7 == 0, F.array(orig, copy)).otherwise(
+                F.array(orig)
+            )
+        ).alias("__v__")
+    ).select("__v__.media_id", "__v__.payload")
     return video_near_dup_pairs(
         vids, threshold=0.5, every_n=1, max_frames=8, frame_bytes=64
     )
