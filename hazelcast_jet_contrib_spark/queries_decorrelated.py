@@ -22,7 +22,7 @@ on the columns that exist (noted per query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.registry import query, table
@@ -385,22 +385,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_late"),
     )
-    # one shuffle on the order key computes BOTH existence tests; the
-    # fact is re-read for the detail side but re-shuffles on the same
-    # key, so AQE can reuse the exchange
-    ostats = flines.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("nsupp"),
-        F.count_distinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("nlate"),
+    # both existence tests ride ONE window over partitionBy(l_orderkey):
+    # the old groupBy + join-back referenced the flines subtree twice
+    # with different downstream filters (non-identical canonical plans,
+    # so the exchange was NOT reused — lineitem+orders scanned and
+    # joined twice). size(collect_set(x)) == COUNT(DISTINCT x) (both
+    # drop NULLs; the nlate CASE is NULL on on-time rows). r17 A/B
+    # (scripts/mb_q21.py, sf0.1, 4 interleaved noop reps): groupjoin
+    # min 1.037 s vs window min 0.707 s; at scale 1 fact scan/join/
+    # exchange instead of 2 each.
+    w = Window.partitionBy("l_orderkey")
+    late = (
+        flines.withColumn("nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "nlate",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
     )
     return (
-        flines.filter(F.col("is_late") == 1)
-        .join(
-            ostats.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1)),
-            F.col("l_orderkey") == F.col("s_orderkey"),
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
