@@ -78,17 +78,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_price")
     )
-    # per-part minimum: one shuffle on p_partkey; the result is ≤ |part
-    # slice| rows → broadcast back against the offer detail
-    mins = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
-        F.min("unit_price").alias("m_min")
-    )
+    # per-part minimum as a WINDOW over partitionBy(p_partkey): the old
+    # groupBy + broadcast-join-back referenced the offers subtree twice
+    # (fact scan + 4 broadcast joins, both evaluated — the canonical
+    # plans differ so no exchange reuse). One pass, one exchange. r17
+    # A/B (scripts/mb_subq.py, sf0.1, 4 interleaved noop reps): shipped
+    # min 0.431 s vs window min 0.239 s; rows identical.
+    w = Window.partitionBy("p_partkey")
     return (
-        offers.join(
-            F.broadcast(mins),
-            (F.col("p_partkey") == F.col("m_partkey"))
-            & (F.col("unit_price") == F.col("m_min")),
-        )
+        offers.withColumn("m_min", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("m_min"))
         .select(
             "p_partkey",
             "s_suppkey",
