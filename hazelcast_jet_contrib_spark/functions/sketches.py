@@ -180,13 +180,19 @@ def affine_hash(key: Column | str, i: Column | int) -> Column:
     return (a * (_c(key) % P_MERSENNE) + b) % P_MERSENNE
 
 
-def _positions(df, key_col: str, m_bits: int, k: int):
-    """(key, pos) — k bit positions per key, one row each."""
+def _positions(df, key_col: str, m_bits: int, k: int, carry: tuple[str, ...] = ()):
+    """(key, pos[, *carry]) — k bit positions per key, one row each.
+    ``carry`` names extra ``df`` columns to project through the explode
+    (the band_keys carry pattern: avoids a join-back re-evaluating
+    ``df``'s whole lineage when the caller needs them downstream)."""
     return df.select(
         F.col(key_col).alias("__key__"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i__"),
+        *carry,
     ).select(
-        "__key__", (affine_hash("__key__", F.col("__i__")) % m_bits).alias("__pos__")
+        "__key__",
+        (affine_hash("__key__", F.col("__i__")) % m_bits).alias("__pos__"),
+        *carry,
     )
 
 
@@ -208,16 +214,27 @@ def bloom_build(df, key_col: str, m_bits: int = 1 << 18, k: int = 7):
     )
 
 
-def bloom_probe(df, key_col: str, bitmap, m_bits: int = 1 << 18, k: int = 7):
-    """(key, bloom_member) — ONE row per DISTINCT key of `df` (the
-    groupBy collapses repeated keys; join the result back to `df` on
-    `key_col` if per-input-row verdicts are needed). A key is a member
-    iff ALL k of its bits are set. One broadcast join of (probe × k) rows
-    against the bitmap, no shuffle of the key set; absent words read as
-    0 via the left join. No false negatives by construction (the probe
-    recomputes the exact positions the build set)."""
+def bloom_probe(
+    df,
+    key_col: str,
+    bitmap,
+    m_bits: int = 1 << 18,
+    k: int = 7,
+    carry: tuple[str, ...] = (),
+):
+    """(key, bloom_member[, *carry]) — ONE row per DISTINCT key of `df`
+    (the groupBy collapses repeated keys; join the result back to `df`
+    on `key_col` if per-input-row verdicts are needed). A key is a
+    member iff ALL k of its bits are set. One broadcast join of
+    (probe × k) rows against the bitmap, no shuffle of the key set;
+    absent words read as 0 via the left join. No false negatives by
+    construction (the probe recomputes the exact positions the build
+    set). ``carry`` names extra ``df`` columns to ride the probe
+    (taken as first() per key — they must be functionally dependent on
+    the key, e.g. when keys are unique); this avoids a join-back that
+    would re-evaluate ``df``'s whole lineage a second time."""
     probed = (
-        _positions(df, key_col, m_bits, k)
+        _positions(df, key_col, m_bits, k, carry=carry)
         .join(
             F.broadcast(bitmap),
             F.shiftright("__pos__", 5) == F.col("word_idx"),
@@ -228,9 +245,13 @@ def bloom_probe(df, key_col: str, bitmap, m_bits: int = 1 << 18, k: int = 7):
             F.expr("((COALESCE(word, 0L) >> CAST(__pos__ % 32 AS INT)) & 1) = 1")
             .cast("int")
             .alias("__hit__"),
+            *carry,
         )
         .groupBy("__key__")
-        .agg((F.min("__hit__") == 1).alias("bloom_member"))
+        .agg(
+            (F.min("__hit__") == 1).alias("bloom_member"),
+            *[F.first(c).alias(c) for c in carry],
+        )
     )
     return probed.withColumnRenamed("__key__", key_col)
 

@@ -382,11 +382,17 @@ def ivf_recall_at_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10)
     truth = cosine_topk(q, c, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(q, c, k=5, nlist=8, nprobe=5).select("query_id", "neighbor_id")
-    hit = truth.join(approx, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    # n_hit and n_truth from ONE aggregate over a left join (hits carry
+    # a marker): the old inner-join + separate count evaluated the
+    # brute-force truth subtree twice (r17 census — no exchange reuse
+    # across its two references). count("__hit__") skips the NULLs of
+    # unmatched truth rows, so the counts are identical by construction.
+    marked = truth.join(
+        approx.withColumn("__hit__", F.lit(1)), ["query_id", "neighbor_id"], "left"
     )
-    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    return hit.crossJoin(tot).select(
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_truth"), F.count("__hit__").alias("n_hit")
+    ).select(
         ((F.col("n_hit") / F.col("n_truth")) >= 0.6).cast("int").alias("recall_ok")
     )
 

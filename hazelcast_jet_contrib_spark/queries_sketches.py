@@ -194,9 +194,11 @@ def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 10000000).alias("pid"), F.lit(0).alias("truly"))
     )
     bitmap = SK.bloom_build(members, "doc_id")
-    probed = SK.bloom_probe(probes.select("pid"), "pid", bitmap).join(
-        probes, "pid"
-    )
+    # truly rides the probe as a carry column (pids are unique by
+    # construction): the old join-back re-evaluated the probes union's
+    # whole lineage a second time (r17 census: documents scanned 5x,
+    # now 3x — members + one probes union).
+    probed = SK.bloom_probe(probes, "pid", bitmap, carry=("truly",))
     return probed.agg(
         F.count(F.lit(1)).alias("n_probes"),
         F.count(F.when(F.col("truly") == 1, 1)).alias("n_true_members"),

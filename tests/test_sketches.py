@@ -156,6 +156,33 @@ def test_bloom_no_false_negatives_and_bounded_fp_under_saturation(spark):
     assert fp_rate <= 4 * theory, (fp_rate, theory)
 
 
+def test_bloom_probe_carry_matches_join_back(spark):
+    """The r17 carry path (extra columns ride the probe's explode +
+    groupBy as first()) must reproduce exactly what the old join-back
+    formulation produced: same (key, bloom_member) rows, same carried
+    values — including repeated keys, which collapse to one row whose
+    carry is the key's (functionally dependent) value."""
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    bitmap = SK.bloom_build(members, "k")
+    # probe set with duplicates; tag = k % 7 is functionally dependent
+    probes = (
+        spark.range(0, 400)
+        .withColumnRenamed("id", "k")
+        .unionAll(spark.range(0, 100).withColumnRenamed("id", "k"))
+        .withColumn("tag", F.col("k") % 7)
+    )
+    carried = SK.bloom_probe(probes, "k", bitmap, carry=("tag",))
+    join_back = (
+        SK.bloom_probe(probes.select("k"), "k", bitmap)
+        .join(probes.distinct(), "k")
+        .select("k", "bloom_member", "tag")
+    )
+    assert {tuple(r) for r in carried.collect()} == {
+        tuple(r) for r in join_back.collect()
+    }
+    assert carried.count() == 400  # one row per distinct key
+
+
 def test_bloom_bitmaps_merge_by_bit_or(spark):
     """Union-of-sketches == sketch-of-union: building over two halves
     and bit_or-merging the word tables must equal one build over the
