@@ -162,21 +162,125 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def _minhash_family_kernel(num_hashes: int):
+    """Vectorized MinHash family + per-doc min: one Arrow batch of
+    per-doc shingle-hash arrays (``hs``) in, per-doc ``num_hashes``
+    signature longs out. Reproduces the former JVM aggregate's
+    ``min(xxhash64(h0, lit(i)))`` BIT-EXACTLY: Spark's two-column
+    xxhash64 chains ``hashInt(i, hashLong(h0, 42))`` (XXH64
+    specializations for 8-/4-byte inputs — public algorithm, same
+    constants), so the kernel computes t = hashLong(h0, 42) once per
+    shingle hash, derives each family member as hashInt(i, t) (~7
+    vectorized uint64 ops), and takes per-doc SIGNED mins with
+    ``np.minimum.reduceat`` — the ordering ``F.min`` uses on longs.
+    Value-equality is pinned by tests/test_dedup_similarity.py::
+    test_minhash_fused_kernel_matches_aggregate_formulation (both
+    widths used in the registry, unicode text, duplicate shingles).
+
+    Per-row input state is the doc's distinct shingle-hash array — the
+    same bound as the collect_set verification set the former aggregate
+    carried (and the simhash kernel's contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def _rotl(x, r: int):
+        rr = np.uint64(r)
+        return (x << rr) | (x >> (np.uint64(64) - rr))
+
+    def _fmix(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
+        return h
+
+    def _mins(hs: pd.Series) -> pd.Series:
+        # all arithmetic is deliberate mod-2^64 (XXH64); silence numpy's
+        # overflow warnings for the batch, matching JVM long semantics
+        with np.errstate(over="ignore"):
+            n_docs = len(hs)
+            if n_docs == 0:
+                return pd.Series([], dtype=object)
+            lens = hs.map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                # callers filter size(sh) > 0 upstream, but the kernel
+                # must not depend on that (the simhash-kernel contract)
+                return pd.Series([[np.iinfo(np.int64).max] * num_hashes] * n_docs)
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs]
+            ).view(np.uint64)
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # t = hashLong(h0, seed=42), shared across the whole family
+            t = np.uint64(42) + P5 + np.uint64(8)
+            t = _fmix(_rotl(t ^ (_rotl(flat * P2, 31) * P1), 27) * P1 + P4)
+            base = t + P5 + np.uint64(4)  # hashInt's seed fold, i-independent
+            out = np.empty((n_docs, num_hashes), dtype=np.int64)
+            empty = lens == 0
+            for i in range(num_hashes):
+                hi = _fmix(
+                    _rotl(base ^ (np.uint64(i) * P1), 23) * P2 + P3
+                ).view(np.int64)
+                out[:, i] = np.minimum.reduceat(hi, offsets)
+            # empty docs read the next doc's segment under reduceat
+            out[empty, :] = np.iinfo(np.int64).max
+            return pd.Series(list(out))
+
+    return pandas_udf(_mins, "array<long>")
+
+
 def minhash_signatures(shingle_sets: DataFrame, num_hashes: int) -> DataFrame:
     """MinHash signature + verification set per id from a
-    ``_shingle_sets``-shaped frame (id, sh): hash each shingle string
-    ONCE to 64 bits, derive the ``num_hashes`` family members by
-    re-hashing the 8-byte value (seeded xxhash64 of a long is ~4x
-    cheaper than of a ~30-char string), min-aggregate per id (map-side
-    partial min → one shuffle on id). Output: (id, h0..h{n-1}, hs) —
-    the shared relation both batch LSH and the streaming near-dup index
-    build on."""
-    exploded = shingle_sets.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h0")
+    ``_shingle_sets``-shaped frame (id, sh), computed WITHOUT leaving
+    the row: hash each shingle string ONCE to 64 bits inside the
+    shingle array (one ``transform`` pass — same number of string
+    hashes as the former exploded shape), dedupe the longs, and derive
+    the ``num_hashes`` family mins with the bit-exact vectorized
+    kernel. Output: (id, h0..h{n-1}, hs) — the shared relation batch
+    LSH, decontamination, the persisted index and the streaming
+    near-dup index all build on.
+
+    Until r17 this was explode(sh) → xxhash64 → groupBy(id).agg(
+    num_hashes × min(xxhash64(h0, i)) + collect_set(h0)) — an explode
+    row-blowup, a wide aggregate, and one full exchange of the hashed
+    shingle data, for what is a per-row function of a per-row array.
+    Because explode emits a doc's shingles inside the doc's own
+    partition, the partial-agg state crossing that exchange was already
+    the finished per-id row, so the shuffle bought no reduction at all.
+    The fused shape removes all three (plan: scan → project → one
+    ArrowEvalPython, ZERO exchanges); measured at sf0.1
+    (scripts/mb_sigfused.py, interleaved noop-sink reps, signatures +
+    hs sets + final pair sets asserted identical first): full
+    minhash_lsh_pairs 2.39 → 2.22 s min in-script, index_rows build
+    3.04 → 1.70 s min, and the registered queries' scoped bench
+    improved accordingly (OPTIMIZATION_r17.md §16).
+
+    Distinctness note: the former shape deduped shingle STRINGS and
+    collect_set then collapsed equal hashes again; this shape dedupes
+    the hashed longs directly — identical output unless two distinct
+    shingles of ONE doc collide in xxhash64 (~2^-64 per pair; the same
+    collision already collapsed in the old hs, and the min-family is
+    collision-insensitive). The output is NOT hash-clustered on id
+    anymore (the groupBy exchange is gone); every registry consumer was
+    re-measured under the new shape — the verify joins either broadcast
+    or exchange candidate ids, never this relation (guide §3.1)."""
+    hashed = shingle_sets.select(
+        "id",
+        F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
     )
-    return exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("h0").alias("hs"),
+    kernel = _minhash_family_kernel(num_hashes)
+    return hashed.select("id", kernel("hs").alias("__mh__"), "hs").select(
+        "id",
+        *[F.element_at("__mh__", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+        "hs",
     )
 
 
@@ -223,12 +327,10 @@ def minhash_lsh_pairs(
     probability (1−0.6²)^64 ≈ 4e-13 — effectively exact above the
     threshold while only ever joining within buckets.
 
-    Plan shape (all codegen-friendly, no higher-order exprs in bulk):
-    1. explode shingles → (id, shingle), hash each shingle string ONCE to
-       64 bits, then derive the `num_hashes` family members by re-hashing
-       the 8-byte value (seeded xxhash64 of a long is ~4x cheaper than of
-       a ~30-char string) and min-aggregate per id (map-side partial min
-       → one shuffle on id);
+    Plan shape:
+    1. signatures + verification sets ROW-LOCALLY (hash each shingle
+       string once inside the array, vectorized family kernel for the
+       mins — see minhash_signatures): zero exchanges, no explode;
     2. hash `rows`-wide signature slices into band keys, unpivot to
        (id, band, band_hash) — one row per band;
     3. self-join on (band, band_hash) carrying ONLY ids (narrow shuffle),
@@ -257,16 +359,16 @@ def minhash_lsh_pairs(
     """
     base = _shingle_sets(df, id_col, text_col, shingle_words)
 
-    # 1. hash once per shingle string, then num_hashes long re-hashes.
-    # One declared aggregate yields both the signature mins and the
-    # verification hash-sets. Three consumers read it (banding, verify
-    # side a, verify side b); persist it so the scan → shingle → explode
-    # → 128-way min aggregation runs ONCE instead of per branch. The
-    # cached relation is per-id (128 longs + the hashed shingle set) —
-    # orders of magnitude smaller than the corpus text, and it spills to
-    # disk rather than OOMing on wide documents. tracked_persist (not a
-    # bare persist) so release_tracked() can free it between pipeline
-    # stages in a long-lived session, same as the banded relation below.
+    # 1. signatures + verification sets in one row-local pass (see
+    # minhash_signatures — zero exchanges since r17). Three consumers
+    # read the relation (banding, verify side a, verify side b); persist
+    # it so the scan → shingle → hash → kernel pass runs ONCE instead of
+    # per branch. The cached relation is per-id (num_hashes longs + the
+    # hashed shingle set) — orders of magnitude smaller than the corpus
+    # text, and it spills to disk rather than OOMing on wide documents.
+    # tracked_persist (not a bare persist) so release_tracked() can free
+    # it between pipeline stages in a long-lived session, same as the
+    # banded relation below.
     from hazelcast_jet_contrib_spark.cache import tracked_persist
 
     agg = tracked_persist(minhash_signatures(base, num_hashes))
@@ -329,11 +431,11 @@ def minhash_decontaminate(
 
     The asymmetry is the scale story: probes (an eval set) are small by
     definition, so their band keys and shingle hash-sets BROADCAST. The
-    corpus pays exactly the signature aggregation it already pays for
-    self-dedup (one shuffle on id) and then never shuffles again — the
-    band probe and the verification both join against broadcast
-    relations, and only candidate ids flow between them. Corpus-side
-    cost is O(corpus) + O(matches), independent of probe pairing.
+    corpus pays exactly the row-local signature pass it already pays
+    for self-dedup (zero shuffles since r17) — the band probe and the
+    verification both join against broadcast relations, and only
+    candidate ids flow between them. Corpus-side cost is O(corpus) +
+    O(matches), independent of probe pairing.
 
     Output: (id, probe_id, jaccard double) for verified matches, exact
     up to the (1-threshold^2)^bands escape probability (4e-13 at the
@@ -341,8 +443,8 @@ def minhash_decontaminate(
     """
     base_c = _shingle_sets(corpus, id_col, text_col, shingle_words)
     base_p = _shingle_sets(probes, id_col, text_col, shingle_words)
-    # corpus aggregate feeds banding + verification: persist like
-    # minhash_lsh_pairs so the scan -> explode -> min-agg runs once
+    # corpus signature relation feeds banding + verification: persist
+    # like minhash_lsh_pairs so the scan -> shingle -> kernel runs once
     from hazelcast_jet_contrib_spark.cache import tracked_persist
 
     agg_c = tracked_persist(minhash_signatures(base_c, num_hashes))
@@ -447,17 +549,23 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hamming (bit_count of xor) single codegen'd instructions. Votes are
     counted by the vectorized Arrow kernel (`_simhash_vote_kernel` —
     r17; same values as the former 64-column JVM vote aggregate)."""
-    toks = _spread(
+    # row-local since r17 (§16's fused-signature pattern): the distinct
+    # token array is already per-doc, so hash it in place and feed the
+    # kernel directly — the former explode → groupBy(id).collect_list
+    # shape paid an explode row-blowup and one full exchange of the
+    # token hashes for zero reduction (each doc's tokens live in its
+    # own partition). Same values: vote counting is order-insensitive.
+    base = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     ).select(
         "id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+")),
+            lambda t: F.xxhash64(t),
+        ).alias("a0"),
+    )
     kernel = _simhash_vote_kernel(1)
-    lists = toks.groupBy("id").agg(F.collect_list("h").alias("a0"))
-    return lists.select("id", kernel("a0").alias("__sp__")).select(
+    return base.select("id", kernel("a0").alias("__sp__")).select(
         "id", F.element_at("__sp__", 1).alias("sig")
     )
 
@@ -544,19 +652,24 @@ def simhash_signature128(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     counted by the vectorized Arrow kernel (`_simhash_vote_kernel` —
     r17; same values as the former 128-column JVM vote aggregate,
     measured 3.45 s -> 0.78 s at sf0.1)."""
-    toks = _spread(
+    # row-local since r17, same rationale as simhash_signature. The
+    # token array is projected into its own column first: it is
+    # non-cheap and referenced twice (a0, a1), so CollapseProject keeps
+    # the projections apart and the tokenizer runs once per row.
+    base = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     ).select(
         "id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+"))
-        ).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h0"), F.xxhash64("tok", F.lit(1)).alias("h1"))
-    kernel = _simhash_vote_kernel(2)
-    lists = toks.groupBy("id").agg(
-        F.collect_list("h0").alias("a0"), F.collect_list("h1").alias("a1")
+        F.array_distinct(F.split(F.lower(F.trim(F.col("__text__"))), r"\s+")).alias(
+            "__toks__"
+        ),
+    ).select(
+        "id",
+        F.transform("__toks__", lambda t: F.xxhash64(t)).alias("a0"),
+        F.transform("__toks__", lambda t: F.xxhash64(t, F.lit(1))).alias("a1"),
     )
-    return lists.select("id", kernel("a0", "a1").alias("__sp__")).select(
+    kernel = _simhash_vote_kernel(2)
+    return base.select("id", kernel("a0", "a1").alias("__sp__")).select(
         "id",
         F.element_at("__sp__", 1).alias("sig0"),
         F.element_at("__sp__", 2).alias("sig1"),
@@ -1068,9 +1181,9 @@ def index_rows(
     (document, band) — shared by `build_minhash_index` (full build) and
     `append_to_minhash_index` (delta). Exposed so the scale rehearsal
     can run the exact build computation through the executed-plan
-    shuffle accumulators: its cost law (one signature-aggregation
-    shuffle + one band repartition, records linear in corpus) IS the
-    index build's cost law."""
+    shuffle accumulators: its cost law (row-local signatures + one band
+    repartition — the ONLY shuffle since r17's fused signature pass —
+    records linear in corpus) IS the index build's cost law."""
     sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
     sig = minhash_signatures(sh, num_hashes)
     # hs rides the band unpivot: ONE signature aggregation and zero

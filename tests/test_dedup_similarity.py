@@ -619,3 +619,70 @@ def test_simhash_arrow_kernel_matches_sum_formulation(spark):
         for r in simhash_signature(docs, "doc_id", "text").collect()
     }
     assert new64 == old64
+
+
+def test_minhash_fused_kernel_matches_aggregate_formulation(spark):
+    """The r17 fused row-local signature shape (array-hash + vectorized
+    family kernel, minhash_signatures) is value-identical to the former
+    explode → groupBy(id).agg(num_hashes × min(xxhash64(h0, i)) +
+    collect_set(h0)) formulation, at both registry widths (64 for
+    minhash_lsh_near_dup / the curation pipeline, 128 for
+    decontamination and the persisted index), on real fixture text plus
+    unicode, duplicated-shingle, mixed-whitespace and minimal (exactly
+    one shingle) docs. hs compared as SETS: collect_set's order is
+    plan-dependent and no consumer reads order (array_intersect/size)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (90001, "one two three"),  # exactly one shingle
+                (90002, "a b c a b c a b c"),  # duplicate shingles
+                (90003, "héllo wörld ünïcode ß ÅÉ îø"),  # non-ascii
+                (90004, "a\tb\nc  d \t e"),  # mixed whitespace runs
+            ],
+            "doc_id long, text string",
+        )
+    )
+    base = _shingle_sets(docs, "doc_id", "text", 3)
+
+    for num_hashes in (64, 128):
+        exploded = base.select("id", F.explode("sh").alias("s")).select(
+            "id", F.xxhash64("s").alias("h0")
+        )
+        old = exploded.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("h0").alias("hs"),
+        )
+        o = {
+            r["id"]: (
+                tuple(r[f"h{i}"] for i in range(num_hashes)),
+                frozenset(r["hs"]),
+                len(r["hs"]),
+            )
+            for r in old.collect()
+        }
+        n = {
+            r["id"]: (
+                tuple(r[f"h{i}"] for i in range(num_hashes)),
+                frozenset(r["hs"]),
+                len(r["hs"]),
+            )
+            for r in minhash_signatures(base, num_hashes).collect()
+        }
+        assert set(o) == set(n)
+        for k in o:
+            assert n[k][0] == o[k][0], f"signature differs for id {k} @ {num_hashes}"
+            assert n[k][1] == o[k][1], f"hs set differs for id {k} @ {num_hashes}"
+            # both shapes must already be duplicate-free (distinct
+            # strings hashed vs array_distinct on the hashed longs)
+            assert len(n[k][1]) == n[k][2] == o[k][2]

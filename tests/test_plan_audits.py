@@ -203,6 +203,15 @@ def test_no_headline_query_uses_row_at_a_time_python(spark):
         # test_simhash_arrow_kernel_matches_sum_formulation)
         "simhash128_near_dup": 1,
         "simhash_near_dup": 1,  # retired, same kernel
+        # r17: MinHash signatures fused row-local (array-hash + family
+        # kernel, zero exchanges — measured in scripts/mb_sigfused.py;
+        # value-equality pinned by
+        # test_minhash_fused_kernel_matches_aggregate_formulation).
+        # decontamination counts 2: the persisted corpus kernel + the
+        # (unpersisted, broadcast-side) probe kernel.
+        "minhash_lsh_near_dup": 1,
+        "decontamination_near_dup": 2,
+        "curation_pipeline_end2end": 1,
         # round-7 additions: all pure Catalyst, and the two eager
         # queries (training_shards_roundtrip, ivf_index_probe_topk)
         # return local relations — their kernels run inside the query
@@ -407,16 +416,18 @@ def test_unigram_lm_quality_broadcasts_model_two_shuffles(spark):
 def test_decontamination_probe_sides_broadcast(spark):
     """Decontamination's scale contract: the eval-set band keys and
     shingle sets arrive as broadcasts (two probe-side broadcast joins);
-    the corpus never band-shuffles — total exchanges stay bounded by the
-    signature aggregation + candidate dedup, with zero Python stages."""
+    the corpus never band-shuffles — total exchanges stay bounded by
+    the candidate dedup, with the two declared Arrow kernel stages
+    (corpus + probe fused signature passes, r17) and no other Python."""
     a = audit(QUERIES["decontamination_near_dup"](spark, SF))
     assert a.broadcast_joins() >= 2, f"probe sides must broadcast:\n{a.plan}"
     # every JOIN is broadcast — the corpus never shuffles to meet the
-    # probes; remaining exchanges are the corpus signature aggregation,
-    # the candidate-pair dedup, and probe-side (eval-set-sized) aggs
+    # probes; remaining exchanges are the candidate-pair dedup and
+    # probe-side (eval-set-sized) work. The corpus signature pass is
+    # row-local since r17 (fused kernel), so its exchange is GONE.
     assert a.shuffle_joins() == 0, f"corpus shuffled to meet probes:\n{a.plan}"
-    assert a.exchanges() <= 8, f"exchange budget regressed:\n{a.plan}"
-    assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+    assert a.exchanges() <= 6, f"exchange budget regressed:\n{a.plan}"
+    assert a.python_stages() == 0 and a.arrow_python_stages() == 2
 
 
 def test_crossdoc_dup_blocks_shuffles_fingerprints_only(spark):
