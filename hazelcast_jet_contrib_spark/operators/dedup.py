@@ -64,15 +64,27 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, shingle_words: int
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, sh) with sh = distinct word-n-gram set. The token array is
     projected into a real column first so the regex tokenizer runs once
     per row; shingling then only reads that attribute (CollapseProject
     keeps the two projections apart because the token array is referenced
-    n+2 times and is non-cheap)."""
+    n+2 times and is non-cheap).
+
+    ``spread=False`` skips the under-partitioned-corpus repartition for
+    inputs that are SMALL BY CONTRACT (probe/eval sets): spreading ~10²
+    rows over 32 partitions adds an exchange plus a cluster-wide stage
+    for no CPU win — measured r17 (OPTIMIZATION_r17.md §18): the probe-
+    side band collect drops 2.1 → 1.2 s at sf0.1. Corpus-side callers
+    keep the default (the local fixture is 1-2 splits and shingling is
+    CPU-bound; on a real corpus _spread no-ops)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    if spread:
+        base = _spread(base)
     return (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__")))
+        base
         .select("id", tokens("__text__").alias("__toks__"))
         .select("id", shingles_of_tokens("__toks__", shingle_words).alias("sh"))
         .filter(F.size("sh") > 0)
@@ -442,13 +454,18 @@ def minhash_decontaminate(
     defaults) — the verification Jaccard itself is exact.
     """
     base_c = _shingle_sets(corpus, id_col, text_col, shingle_words)
-    base_p = _shingle_sets(probes, id_col, text_col, shingle_words)
+    # probe side: spread=False (eval sets are small by contract — §18),
+    # and tracked_persist because the probe aggregate feeds BOTH banding
+    # and verification unpersisted — each evaluation re-scanned the full
+    # source to filter out the probes, so the tiny persist saves one
+    # whole corpus text scan (measured §18)
+    base_p = _shingle_sets(probes, id_col, text_col, shingle_words, spread=False)
     # corpus signature relation feeds banding + verification: persist
     # like minhash_lsh_pairs so the scan -> shingle -> kernel runs once
     from hazelcast_jet_contrib_spark.cache import tracked_persist
 
     agg_c = tracked_persist(minhash_signatures(base_c, num_hashes))
-    agg_p = minhash_signatures(base_p, num_hashes)
+    agg_p = tracked_persist(minhash_signatures(base_p, num_hashes))
 
     bands_c = band_keys(agg_c, num_hashes, bands)
     bands_p = band_keys(agg_p, num_hashes, bands).withColumnRenamed("id", "probe_id")
@@ -1274,7 +1291,9 @@ def probe_minhash_index(
         raise ValueError("max_probe_band_rows must be >= 1")
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
-    sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"])
+    # spread=False: probes are bounded by contract (the collect cap
+    # below enforces it) — spreading them buys nothing (§18)
+    sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"], spread=False)
     sig = minhash_signatures(sh, params["num_hashes"])
     # same one-pass shape as index_rows: hs carried through the unpivot
     pb = band_keys(sig, params["num_hashes"], params["bands"], carry=("hs",))
