@@ -924,14 +924,35 @@ def test_h2_settings_initial_window_above_2_31_goaway_flow_control_error():
     assert err == 0x3  # FLOW_CONTROL_ERROR
 
 
-def test_durable_ack_group_commit_coalesces_concurrent_posts(tmp_path):
+def test_durable_ack_group_commit_coalesces_concurrent_posts(
+    tmp_path, monkeypatch
+):
     """Round 15: concurrent durable-ack requests GROUP-COMMIT — one
     leader writes every body buffered for the generation as a single
     segment while followers await its durability, so N racing
     producers land in far fewer than N segments with no body lost,
-    duplicated, or acknowledged-before-durable."""
-    import threading
+    duplicated, or acknowledged-before-durable.
 
+    The segment write is throttled by ~10 ms (the flush-failure test's
+    append_segment seam) so follower overlap is STRUCTURAL, not a race
+    to win: coalescing happens exactly when bodies arrive during a
+    leader's write, and on a loaded host the unthrottled version
+    sometimes serialized arrivals so perfectly that every segment held
+    one body (r17 flake: 200 posts -> >150 segments). A broken group
+    commit still fails the bound — one-segment-per-request is one
+    segment per request no matter how slow each write is."""
+    import threading
+    import time as _time
+
+    import hazelcast_jet_contrib_spark.streaming.message_log as ml
+
+    real_append = ml.append_segment
+
+    def slow_append(root, stream, records, seq=None):
+        _time.sleep(0.01)
+        return real_append(root, stream, records, seq)
+
+    monkeypatch.setattr(ml, "append_segment", slow_append)
     spool = str(tmp_path / "spool")
     src = HttpListenerSource(spool).start()
     n, workers = 200, 8
