@@ -1186,6 +1186,18 @@ def band_probe_pairs_64(
 # ---------------------------------------------------------------------------
 
 
+# The sets rows' exchange-salt SPACE (not a partition count): sets rows
+# hash over this many exchange buckets so the corpus-sized hs volume
+# never funnels into one reduce task at scale, while AQE's size-based
+# coalescing folds the tiny buckets back together locally — nothing
+# here is tuned to a core count. 4096 buckets keep per-bucket sets
+# volume ≤ ~0.5 GB up to ~2 TB of raw verification sets (≈ tens of TB
+# of corpus text); beyond that the write still completes, just with
+# >advisory-size set files.
+_SETS_SHARD_SPACE = 4096
+_SETS_BAND = -1  # the sets rows' partition value; band=* globs match it
+
+
 def index_rows(
     corpus: DataFrame,
     id_col: str,
@@ -1194,19 +1206,103 @@ def index_rows(
     bands: int,
     shingle_words: int,
 ) -> DataFrame:
-    """The index's row relation — (id, band, bh, hs), one row per
-    (document, band) — shared by `build_minhash_index` (full build) and
-    `append_to_minhash_index` (delta). Exposed so the scale rehearsal
-    can run the exact build computation through the executed-plan
-    shuffle accumulators: its cost law (row-local signatures + one band
-    repartition — the ONLY shuffle since r17's fused signature pass —
-    records linear in corpus) IS the index build's cost law."""
+    """One index epoch's row relation — (id, band, bh, hs): ``bands``
+    NARROW rows per document (band 0..bands-1, the 64-bit bucket key
+    ``bh``, hs NULL) plus ONE sets row (band = -1, bh NULL) carrying the
+    document's shingle-hash verification set ``hs``. Until r17 ``hs``
+    rode EVERY band row (×bands duplication of the dominant column,
+    through the band-repartition exchange and onto disk — measured
+    ≈5 KB/doc stored vs ≈0.4 KB/doc of raw set at 32 bands); the unified
+    layout keeps the epoch a single write action while ``hs`` crosses
+    the exchange and hits parquet exactly once per document.
+
+    Exposed so the scale rehearsal can run the exact build computation
+    through the executed-plan shuffle accumulators: its cost law
+    (row-local signatures + one repartition moving three longs per band
+    row + each ``hs`` once — records linear in corpus, constant
+    exchanges) IS the index build's cost law."""
     sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
     sig = minhash_signatures(sh, num_hashes)
-    # hs rides the band unpivot: ONE signature aggregation and zero
-    # join exchanges (r17 optimization; was band_keys(sig).join(sig) —
-    # two full scan→explode→min-agg subtrees plus a join)
-    return band_keys(sig, num_hashes, bands, carry=("hs",))
+    rows = num_hashes // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ] + [
+        F.struct(
+            F.lit(_SETS_BAND).cast("int").alias("band"),
+            F.lit(None).cast("bigint").alias("bh"),
+        )
+    ]
+    # hs carried FLAT through the explode and nulled for band rows in
+    # the same codegen stage — keeping it out of the struct array
+    # matters: an array-typed field inside the exploded struct array
+    # measurably slows the whole write (scripts/mb_idxwrite.py:
+    # w_instruct vs w_carryS)
+    return sig.select(
+        "id", F.explode(F.array(*structs)).alias("bb"), "hs"
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+        F.when(F.col("bb.band") < 0, F.col("hs")).alias("hs"),
+    )
+
+
+def _route_index_epoch(rel: DataFrame) -> DataFrame:
+    """Exchange + physical order for one epoch relation: sets rows salt
+    over ``_SETS_SHARD_SPACE`` exchange buckets (band rows keep salt 0 —
+    each band stays one bucket), and the within-partition sort LEADS
+    with the partition column so the dynamic-partition writer keeps the
+    secondary order instead of re-sorting by band and scrambling it
+    (r17 finding: the former ``sortWithinPartitions("bh")`` produced
+    files that were NOT bh-sorted — 0/32 sorted at sf0.01 — so the
+    row-group-pruning story was physically hollow; band-leading sort is
+    what makes it real, physically verified in scripts/mb_splitidx.py).
+    Band files end up bh-sorted, the sets run id-sorted (bh is NULL
+    constant there, so the id key takes over)."""
+    routed = rel.withColumn(
+        "__shard__",
+        F.when(
+            F.col("band") < 0,
+            F.pmod(F.xxhash64("id"), F.lit(_SETS_SHARD_SPACE)),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        routed.repartition("band", "__shard__")
+        .sortWithinPartitions("band", "bh", "id")
+        .drop("__shard__")
+    )
+
+
+def _write_index_epoch(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+    mode: str,
+) -> None:
+    """Write one index epoch (full build: mode=overwrite; delta append:
+    mode=append): ONE action — scan → row-local signatures → unpivot →
+    one exchange → sorted band-partitioned parquet; the sets rows ride
+    the same write as the ``band=-1`` partition, so there is no second
+    job, no persist barrier, and the compaction/crash protocol covers
+    them as just another band."""
+    (
+        _route_index_epoch(
+            index_rows(corpus, id_col, text_col, num_hashes, bands, shingle_words)
+        )
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(path)
+    )
 
 
 def build_minhash_index(
@@ -1218,10 +1314,11 @@ def build_minhash_index(
     bands: int = 16,
     shingle_words: int = 3,
 ) -> None:
-    """Materialize a reusable near-dup index on disk: one row per
-    (corpus id, band) carrying the 64-bit band-bucket key ``bh`` and
-    the document's shingle-hash verification set ``hs``, written as
-    parquet PARTITIONED BY band and SORTED by ``bh`` within partitions.
+    """Materialize a reusable near-dup index on disk in the UNIFIED
+    split layout (r17): one parquet dataset partitioned by ``band`` —
+    NARROW rows (id, bh, hs=NULL) per (corpus id, band), bh-sorted
+    within each band partition, plus the ``band=-1`` partition holding
+    ONE (id, hs) verification row per document, id-sorted.
 
     Why this layout: every probe emits a key in EVERY band, so band
     partitioning alone cannot prune — the pruning lever is ``bh``.
@@ -1231,16 +1328,26 @@ def build_minhash_index(
     bounded probe set reads a bounded slice of an arbitrarily large
     index, and the expensive signature computation over the corpus
     runs ONCE at build time instead of per decontamination run.
+    Keeping ``hs`` out of the band rows stores and shuffles the
+    dominant column ONCE per document instead of ×bands (the prior
+    layout measured ≈5 KB/doc at sf0.1 against ≈0.4 KB/doc of raw
+    set — the band unpivot duplicated ``hs`` 32× through the band
+    repartition and onto disk); probes re-attach it by a
+    candidate-bounded `id IN (...)` scan of the id-sorted ``band=-1``
+    run (same row-group pruning story, plan-asserted in tests). And
+    because the sets rows are just another band partition written in
+    the SAME single action, build/append stay one job each and the
+    compaction/crash-repair protocol needs no second code path
+    (measured A/B vs both the old layout and a two-relation `_sets`
+    variant in scripts/mb_splitidx.py + mb_idxwrite.py — the unified
+    write matches the old layout's wall clock locally at ~6× fewer
+    index bytes).
 
     Index parameters persist in a `_`-prefixed sidecar so probes can
     never be computed with a mismatched family."""
-    banded = index_rows(corpus, id_col, text_col, num_hashes, bands, shingle_words)
-    (
-        banded.repartition("band")
-        .sortWithinPartitions("bh")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(path)
+    _write_index_epoch(
+        corpus, path, id_col, text_col, num_hashes, bands, shingle_words,
+        mode="overwrite",
     )
     import json as _json
     import os as _os
@@ -1251,6 +1358,7 @@ def build_minhash_index(
                 "num_hashes": num_hashes,
                 "bands": bands,
                 "shingle_words": shingle_words,
+                "layout": "unified-v2",
             },
             f,
         )
@@ -1264,23 +1372,30 @@ def probe_minhash_index(
     text_col: str = "text",
     threshold: float = 0.6,
     max_probe_band_rows: int = 500_000,
+    max_candidate_ids: int = 500_000,
 ) -> DataFrame:
     """Probe a persisted MinHash index with a (bounded) probe corpus:
-    LSH candidate generation by (band, bh) equality against the index,
-    then EXACT Jaccard verification on the stored shingle-hash sets —
-    no false positives from banding survive, identically to
+    LSH candidate generation by (band, bh) equality against the NARROW
+    band rows, then EXACT Jaccard verification on the stored
+    shingle-hash sets re-attached from the index's id-sorted ``band=-1``
+    run — no false positives from banding survive, identically to
     `minhash_decontaminate`'s verify step, but against an index built
     once. Probe cost: the probe side computes its signatures fresh
-    (it is the small side — an eval set, a delta batch); the index
+    (it is the small side — an eval set, a delta batch); the band
     scan reads only row groups whose ``bh`` range intersects the
-    probes' bucket keys (predicate pushdown on the sorted column).
+    probes' bucket keys, and the sets scan only row groups whose id
+    range intersects the candidate ids (predicate pushdown on both
+    sorted columns — plan-asserted in tests).
 
-    The probe side materializes on the driver (|probes| x bands band
-    rows — that is what makes it a broadcast, not a corpus shuffle),
-    so the boundedness contract is ENFORCED, not assumed:
-    ``max_probe_band_rows`` caps the collect and the function raises
-    with a side-swap instruction instead of silently materializing a
-    corpus on the driver (VERDICT r09 item 6).
+    TWO boundedness contracts are ENFORCED, not assumed (VERDICT r09
+    item 6): ``max_probe_band_rows`` caps the driver materialization of
+    the probe side (|probes| x bands band rows — that is what makes it
+    a broadcast, not a corpus shuffle), and ``max_candidate_ids`` caps
+    the candidate-id collect that drives the sets scan's `id IN (...)`
+    pruning (candidates are bucket matches: bounded by probe count x
+    bucket sizes, so a degenerate corpus bucket that floods the
+    candidate set raises loudly instead of silently scanning — and
+    shipping a predicate over — a corpus-sized id list).
 
     Output: (probe_id, corpus_id, jaccard double rounded to 6dp) for
     every pair at or above ``threshold``."""
@@ -1289,6 +1404,8 @@ def probe_minhash_index(
 
     if max_probe_band_rows < 1:
         raise ValueError("max_probe_band_rows must be >= 1")
+    if max_candidate_ids < 1:
+        raise ValueError("max_candidate_ids must be >= 1")
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
     # spread=False: probes are bounded by contract (the collect cap
@@ -1326,11 +1443,49 @@ def probe_minhash_index(
             probe_schema,
         )
     )
-    idx = spark.read.parquet(path).filter(F.col("bh").isin(bhs))
+    idx = spark.read.parquet(path)
+    bandscan = (
+        # band >= 0 is partition pruning (the sets partition never joins
+        # the candidate match); bh IN (...) pushes into the pruned scan
+        idx.filter((F.col("band") >= 0) & F.col("bh").isin(bhs))
+        .select("id", "band", "bh")
+    )
     cand = (
-        idx.join(probe_df, ["band", "bh"])
-        .select("probe_id", F.col("id").alias("corpus_id"), "phs", "hs")
+        bandscan.join(probe_df, ["band", "bh"])
+        .select("probe_id", F.col("id").alias("corpus_id"), "phs")
         .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    # The candidate relation feeds two executions (the id collect below
+    # and the returned verify plan); persist it so the pruned band scan
+    # + probe join run once. Bounded: it is exactly the candidate pairs
+    # the cap below vouches for. tracked (cache.py) so long-lived
+    # sessions can release it between pipeline stages.
+    from hazelcast_jet_contrib_spark.cache import tracked_persist
+
+    cand = tracked_persist(cand)
+    # bounded collect #2: the candidate ids drive the sets scan's
+    # row-group pruning (`id IN (...)` on the id-sorted run); fetch at
+    # most cap+1 distinct ids in ONE job, then fail loudly on overflow
+    id_rows = (
+        cand.select("corpus_id").distinct().limit(max_candidate_ids + 1).collect()
+    )
+    if len(id_rows) > max_candidate_ids:
+        raise ValueError(
+            f"candidate set exceeds {max_candidate_ids} distinct corpus ids: "
+            "a corpus bucket is flooding the probe (dedup exact duplicates "
+            "before indexing, or raise max_candidate_ids deliberately)"
+        )
+    cids = [r["corpus_id"] for r in id_rows]
+    sets = idx.filter(
+        # band < 0 prunes to the sets partition; the id IN (...) pushes
+        # into its id-sorted files (explicit false for the no-candidate
+        # case: isin([]) is not a portable plan shape, and the schema
+        # must survive either way)
+        (F.col("band") < 0)
+        & (F.col("id").isin(cids) if cids else F.lit(False))
+    ).select("id", "hs")
+    pair = cand.join(sets, cand.corpus_id == sets.id).select(
+        "probe_id", "corpus_id", "phs", "hs"
     )
     inter = F.size(F.array_intersect("phs", "hs")).cast("double")
     union = F.size("phs") + F.size("hs") - F.size(F.array_intersect("phs", "hs"))
@@ -1338,7 +1493,7 @@ def probe_minhash_index(
     # a hair under threshold (raw 0.5999996) must not round its way in
     # (same contract as minhash_decontaminate's verify step).
     return (
-        cand.filter((inter / union) >= threshold)
+        pair.filter((inter / union) >= threshold)
         .withColumn("jaccard", F.round(inter / union, 6))
         .select("probe_id", "corpus_id", "jaccard")
     )
@@ -1353,9 +1508,10 @@ def append_to_minhash_index(
     """Incremental index maintenance: add a delta corpus (the day's new
     documents) to an existing MinHash index WITHOUT rebuilding —
     signatures compute over the delta only, and the new rows append as
-    fresh parquet files in the same band-partition layout, themselves
-    sorted by ``bh`` (row-group pruning applies per file, so probes
-    stay bounded by bucket selectivity across old + new files alike).
+    fresh parquet files in the same unified layout: bh-sorted band
+    files per band partition plus an id-sorted delta run in ``band=-1``
+    (row-group pruning applies per file, so probes stay bounded by
+    bucket/candidate selectivity across old + new files alike).
     Hash-family parameters come from the index's sidecar, so a delta
     can never be indexed with a mismatched family. Pairs with
     `probe_minhash_index` for the standing decontamination loop:
@@ -1365,30 +1521,27 @@ def append_to_minhash_index(
 
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
-    banded = index_rows(
+    _write_index_epoch(
         corpus,
+        path,
         id_col,
         text_col,
         params["num_hashes"],
         params["bands"],
         params["shingle_words"],
-    )
-    (
-        banded.repartition("band")
-        .sortWithinPartitions("bh")
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(path)
+        mode="append",
     )
 
 
 def compact_minhash_index(spark, path: str) -> dict[str, int]:
-    """Compact an appended MinHash index back to one bh-sorted file set
-    per band (VERDICT r08 item 7 — the index twin of the message log's
-    `compact_stream`). Every `append_to_minhash_index` adds one file
-    per band whose bh ranges overlap the base files', so probes read
-    more row groups per epoch; compaction rewrites each band partition
-    as a single sorted run, restoring build-time pruning selectivity.
+    """Compact an appended MinHash index back to one sorted file set
+    per band partition — bh-sorted band files, the id-sorted ``band=-1``
+    sets run included as just another band (VERDICT r08 item 7 — the
+    index twin of the message log's `compact_stream`). Every
+    `append_to_minhash_index` adds one file per partition whose sort
+    ranges overlap the base files', so probes read more row groups per
+    epoch; compaction rewrites each partition as a single sorted run,
+    restoring build-time pruning selectivity.
 
     Safety contract (mirrors streaming/message_log.py compaction —
     including its single-maintainer assumption: one compactor at a
@@ -1436,8 +1589,9 @@ def compact_minhash_index(spark, path: str) -> dict[str, int]:
 
     trash_root = _os.path.join(path, "_trash")
     # crash-window repair: a previous compaction that died between its
-    # two renames left the band's only copy parked here — restore it
-    # BEFORE reading, else the rewrite would silently drop the band
+    # two renames left the partition's only copy parked here — restore
+    # it BEFORE reading, else the rewrite would silently drop it (the
+    # band=* glob covers the band=-1 sets run too)
     for parked in sorted(_glob.glob(_os.path.join(trash_root, "band=*"))):
         live = _os.path.join(path, _os.path.basename(parked))
         if not _os.path.exists(live):
@@ -1449,9 +1603,7 @@ def compact_minhash_index(spark, path: str) -> dict[str, int]:
     staging = _os.path.join(path, "_compact_staging")
     _shutil.rmtree(staging, ignore_errors=True)
     (
-        spark.read.parquet(path)
-        .repartition("band")
-        .sortWithinPartitions("bh")
+        _route_index_epoch(spark.read.parquet(path))
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(staging)

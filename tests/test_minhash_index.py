@@ -237,3 +237,89 @@ def test_probe_side_collect_is_capped_with_clear_error(spark, mh_index):
         probe_minhash_index(
             spark, path, _probes(docs), threshold=0.6, max_probe_band_rows=0
         )
+
+
+def test_unified_layout_band_rows_narrow_and_sets_written_once(spark, mh_index):
+    """r17 unified layout: the verification set ``hs`` must NOT ride
+    the band unpivot ×bands anymore — band rows (band >= 0) carry NULL
+    hs, and the band=-1 sets partition holds exactly one (id, hs) row
+    per indexed document."""
+    docs, path = mh_index
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"id", "band", "bh", "hs"}
+    assert idx.filter((F.col("band") >= 0) & F.col("hs").isNotNull()).count() == 0
+    sets = idx.filter(F.col("band") < 0)
+    assert sets.filter(F.col("hs").isNull()).count() == 0
+    n_docs = docs.filter(F.length(F.trim("text")) > 0).count()
+    assert 0 < sets.count() <= n_docs  # <=: docs under 3 words have no row
+    assert sets.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_probe_pushes_candidate_id_predicate_into_sets_scan(spark, mh_index):
+    """The sets re-attach must stay bounded the same way the band scan
+    does: the candidate `id IN (...)` predicate reaches the band=-1
+    sets scan (row-group pruning on the id-sorted run)."""
+    docs, path = mh_index
+    out = probe_minhash_index(spark, path, _probes(docs), threshold=0.6)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("In(bh" in p for p in pushed), plan[:2000]
+    assert any("In(id" in p for p in pushed), (
+        "probe must push the candidate-id IN-predicate into the sets scan"
+    )
+
+
+def test_probe_candidate_id_collect_is_capped_with_clear_error(spark, mh_index):
+    """Second boundedness contract of the split layout (the probe-side
+    collect's twin): the candidate-id collect that drives the sets
+    scan's pruning raises loudly when a flooded bucket blows the cap,
+    instead of silently shipping a corpus-sized id list."""
+    docs, path = mh_index
+    with pytest.raises(ValueError, match="candidate set exceeds"):
+        probe_minhash_index(
+            spark, path, _probes(docs), threshold=0.6, max_candidate_ids=1
+        )
+    with pytest.raises(ValueError, match="max_candidate_ids"):
+        probe_minhash_index(
+            spark, path, _probes(docs), threshold=0.6, max_candidate_ids=0
+        )
+
+
+def test_compaction_repairs_crash_window_parked_sets_partition(spark, tmp_path):
+    """The band=-1 sets run shares the bands' two-rename protocol: a
+    compaction that dies inside ITS swap window leaves the only sets
+    copy parked under _trash — probes in that window degrade (every
+    candidate loses its verification set, so fewer/zero rows, same
+    documented gap class as a parked band); the next compaction
+    restores the parked run before reading — no rows lost."""
+    import os
+
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    docs = table(spark, CORRECTNESS_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path)
+    probes = _probes(docs)
+    want = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    assert want, "vacuous: no probe hits"
+
+    os.makedirs(os.path.join(path, "_trash"), exist_ok=True)
+    os.rename(
+        os.path.join(path, "band=-1"), os.path.join(path, "_trash", "band=-1")
+    )
+    degraded = probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    assert len(degraded) < len(want)
+
+    compact_minhash_index(spark, path)  # repair + converge
+    got = sorted(
+        (r["probe_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, probes, threshold=0.6).collect()
+    )
+    assert got == want, "repair lost rows from the parked sets run"
+    assert not os.path.exists(os.path.join(path, "_trash"))
