@@ -260,6 +260,22 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _write_ivf_cells(indexed: DataFrame, path: str) -> None:
+    """The index write, rebalanced on the partition column (guide §6):
+    without the repartition every scan task writes a file into every
+    cell dir it sees — (scan tasks × nlist) files, the many-small-files
+    problem at corpus scale (driver listing cost, per-file open cost on
+    every probe); one exchange of the vector relation buys one file per
+    cell. Cell skew is the kmeans cluster-size spread — bounded by the
+    training that chose the centroids, and probe cost is unaffected
+    (partition pruning reads whole cells either way). Measured locally
+    A/B (scripts/mb_ivfwrite.py): build-neutral, probe slightly faster
+    (fewer files per pruned cell)."""
+    indexed.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -353,7 +369,7 @@ def build_ivf_index(
                     F.col("__cc__.codes").alias("codes"))
         )
     # sidecars go in AFTER the write — mode("overwrite") wipes the dir
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_ivf_cells(indexed, path)
     if books is not None:
         with open(os.path.join(path, "_pq_codebooks.json"), "w") as f:
             json.dump(books.tolist(), f)
