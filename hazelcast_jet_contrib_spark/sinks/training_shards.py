@@ -75,7 +75,16 @@ def write_training_shards(
     """
     if shard_col not in df.columns:
         raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
-    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    # rebalance on the shard column (guide §6): without it every input
+    # task writes a file into every shard dir it sees — (tasks × shards)
+    # files, when the training-shard model wants shard ≈ file (the
+    # webdataset convention); one exchange buys one file per shard.
+    # Manifest semantics are layout-independent (per-shard aggregates
+    # over a re-read — pinned by test_training_shards' repartition(13)
+    # equality test), so this changes bytes-on-disk grouping only.
+    df.repartition(shard_col).write.mode("overwrite").partitionBy(
+        shard_col
+    ).parquet(path)
     on_disk = df.sparkSession.read.parquet(path)
     for c, t in df.dtypes:
         on_disk = on_disk.withColumn(c, F.col(c).cast(t))
