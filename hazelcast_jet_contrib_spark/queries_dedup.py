@@ -800,7 +800,9 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     it with mutated eval docs; LSH candidates verify by EXACT Jaccard on
     the stored shingle sets, so the result equals the exact-Jaccard SQL.
     Scale: the probe's `bh IN (...)` predicate prunes the sorted index
-    scan by row-group min/max (plan- and numFiles-asserted in
+    scan by row-group min/max (pushdown plan-asserted, and the physical
+    bh/id sort order of the written files — what makes the row-group
+    stats effective — asserted file-by-file, both in
     tests/test_minhash_index.py); the corpus-sized signature work runs
     once at build, never per probe run. Eager compute + temp-index
     cleanup, the ivf_pq_probe_exact_topk pattern

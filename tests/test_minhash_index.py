@@ -323,3 +323,33 @@ def test_compaction_repairs_crash_window_parked_sets_partition(spark, tmp_path):
     )
     assert got == want, "repair lost rows from the parked sets run"
     assert not os.path.exists(os.path.join(path, "_trash"))
+
+
+def test_index_files_physically_sorted(spark, mh_index):
+    """r17: the epoch sort LEADS with the partition column, so the
+    dynamic-partition writer preserves the secondary order — band
+    files non-decreasing in bh, the band=-1 sets run non-decreasing in
+    id. (The former sortWithinPartitions("bh") was silently destroyed
+    by the writer's own re-sort on `band`: 0/32 band files were
+    actually bh-sorted, making row-group min/max pruning ineffective.)
+    Single-file reads collect in file order (one partition, no
+    shuffle), so the assertion observes on-disk order directly."""
+    import glob
+    import os
+
+    import json
+
+    _docs, path = mh_index
+    with open(os.path.join(path, "_minhash_params.json")) as f:
+        n_bands = json.load(f)["bands"]
+    checked = 0
+    for d in sorted(glob.glob(os.path.join(path, "band=*"))):
+        col = "id" if os.path.basename(d) == "band=-1" else "bh"
+        for fpath in glob.glob(os.path.join(d, "*.parquet")):
+            vals = [
+                r[col]
+                for r in spark.read.parquet(fpath).select(col).collect()
+            ]
+            assert vals == sorted(vals), (fpath, col)
+            checked += 1
+    assert checked >= n_bands + 1, f"only {checked} files checked"
