@@ -129,7 +129,14 @@ def train_quality_classifier(
     # HashPartitioning(id) clusters (id, idx) too. The docs relation is
     # the SMALLEST thing in the pipeline (one row per doc vs one per
     # feature), so this is the cheapest place to buy the clustering.
-    docs = docs.repartition(F.col(id_col))
+    # partition count from the docs' size estimate, not the static
+    # shuffle.partitions (r18, cache.adaptive_repartition): the cached
+    # loop relations below inherit/reuse this clustering, and the GD
+    # loop re-scans them every iteration — a core-count-sized cache is
+    # a per-iteration fixed cost the 8-core driver sweep didn't pay
+    from hazelcast_jet_contrib_spark.cache import adaptive_repartition
+
+    docs = adaptive_repartition(docs, id_col)
     # Both loop relations persist PRE-PARTITIONED on the join key: the
     # loop reads feats 2x and labels 1x per iteration, all clustered by
     # id (groupBy("id"), join on "id") — with the hash partitioning
@@ -141,18 +148,15 @@ def train_quality_classifier(
     # O(iterations) and O(1) passes of the feature relation through the
     # shuffle system; at bench scale it halves the per-iteration job
     # time (tiny-shuffle overhead dominates there).
-    feats = (
-        featurize(docs, id_col, text_col, num_features)
-        .repartition("id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = (
+    feats = adaptive_repartition(
+        featurize(docs, id_col, text_col, num_features), "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = adaptive_repartition(
         docs.select(
             F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
-        )
-        .repartition("id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        ),
+        "id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     w: dict[int, float] = {}
     # try/finally from the first action on: a failure in ANY job of the

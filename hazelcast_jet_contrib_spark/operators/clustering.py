@@ -132,7 +132,16 @@ def kmeans_lloyd(
     if prepartition:
         from pyspark import StorageLevel
 
-        points = points.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
+        from hazelcast_jet_contrib_spark.cache import adaptive_repartition
+
+        # partition count from the vector relation's size estimate
+        # (r18, cache.adaptive_repartition): the Lloyd loop re-scans
+        # this cache every round, so a static core-count-sized cache is
+        # a per-round fixed cost; the explicit size-derived count keeps
+        # the hash(id) clustering the recompute join reuses.
+        points = adaptive_repartition(points, "id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     # try from the first action on: a failure while building the cache
     # must not orphan the persisted relation (the pagerank/CC loop-abort
     # discipline, VERDICT r08 item 8). No materializing count (r17): the
@@ -238,6 +247,12 @@ def semantic_dedup_pairs(
     if prepartition_cells:
         from hazelcast_jet_contrib_spark.cache import tracked_persist
 
+        # DELIBERATELY static partitioning (r18): unlike the Lloyd-loop
+        # cache above this is a one-shot cache, and its downstream is
+        # the quadratic-in-cell pair join — CPU per PAIR, which a
+        # bytes-derived partition count cannot see (the minhash_lsh
+        # banded-cache lesson: byte-based coalescing serialized the
+        # verify chain, OPTIMIZATION_r18.md §1).
         cells = tracked_persist(cells.repartition("cidx"))
     a = cells.select(
         F.col("cidx"), F.col("id").alias("id_a"),

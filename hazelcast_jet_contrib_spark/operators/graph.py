@@ -105,12 +105,20 @@ def pagerank(
     # under a forced no-broadcast plan in
     # tests/test_scale_rehearsal_analytics.py (live per-sweep shuffle
     # ~|V| + partials, an order of magnitude under |E|).
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    from hazelcast_jet_contrib_spark.cache import adaptive_repartition
+
+    # Cache partition counts derive from BYTES (r18, VERDICT r17 item
+    # 7): these relations are re-scanned every sweep, so a static
+    # core-count-sized cache is a per-sweep fixed cost of `cores` tasks
+    # for kilobyte graphs — the measured 32c>8c anti-scaling. The
+    # explicit size-derived count keeps the HashPartitioning the sweep
+    # joins reuse (see cache.adaptive_repartition; at 100 TB the count
+    # is bytes/advisory, clamped at the deployment's
+    # spark.sql.shuffle.partitions — behavior there is unchanged).
+    e = adaptive_repartition(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        "src",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -127,12 +135,10 @@ def pagerank(
             return nodes.select("node", F.lit(0.0).alias("rank"))
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         # out-degree attached once; deg NULL marks a dangling node
-        base = (
-            nodes.join(deg, nodes.node == deg.src, "left")
-            .select("node", "deg")
-            .repartition("node")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        base = adaptive_repartition(
+            nodes.join(deg, nodes.node == deg.src, "left").select("node", "deg"),
+            "node",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # no materializing count (r17): the first sweep's checkpoint
         # job builds this cache while computing the init ranks — an
         # up-front count was one extra pass of |V| for nothing, and

@@ -37,6 +37,36 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- post-shuffle partitions derive from BYTES, not core count -----
+        # parallelismFirst=true (the Spark default) stops AQE's coalescing
+        # at defaultParallelism, so the post-shuffle task count tracks the
+        # CORE COUNT even when the shuffle is kilobytes: the r17 driver ran
+        # the identical tree FASTER at 8 cores than at 32 (115.8 s vs
+        # 134.1 s at sf0.1) because every tiny iterative stage (pagerank
+        # sweeps, GD iterations, CC rounds) paid 32 tasks of fixed cost.
+        # `false` makes AQE respect advisoryPartitionSizeInBytes at every
+        # scale: a 100 TB shuffle still gets ~bytes/64MB partitions, a
+        # kilobyte sweep gets 1. Env-overridable for A/B measurement.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        # Cached-plan output partitioning stays PINNED (the upstream
+        # default). Re-planning it (canChange...=true) was measured and
+        # REJECTED this round: it coalesces the loop-invariant caches to
+        # a partition count the per-sweep exchanges no longer match, so
+        # the full edge/feature relation transits the shuffle EVERY
+        # sweep once sort-merge join engages at scale — the
+        # tests/test_scale_rehearsal_analytics.py no-broadcast pins
+        # fail (pagerank per-sweep live shuffle ≥ |E|). The caches'
+        # partition counts are instead sized from DATA BYTES in code
+        # (cache.adaptive_repartition), which keeps an explicit
+        # HashPartitioning the sweep joins can reuse. Env seam kept for
+        # A/B only.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_CACHED_REPLAN", "false"),
+        )
         # --- shuffle sizing ------------------------------------------------
         .config(
             "spark.sql.shuffle.partitions",
