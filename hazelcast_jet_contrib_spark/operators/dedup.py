@@ -902,12 +902,18 @@ def connected_components(
     # detector — whose logical plan is loop-INVARIANT, so re-analyzing
     # it per round is constant planning cost, unlike the label lineage
     # the loop must checkpoint to stop compounding.
-    edges = (
+    from hazelcast_jet_contrib_spark.cache import adaptive_repartition
+
+    # partition count from the edge relation's size estimate (r18, see
+    # cache.adaptive_repartition): the loop re-scans this cache every
+    # round, so a static core-count-sized cache is a per-round fixed
+    # cost; the explicit size-derived count keeps the hash(v)
+    # clustering the round join reuses (rehearsal-pinned).
+    edges = adaptive_repartition(
         p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .repartition("v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        .unionByName(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))),
+        "v",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # try/finally from the first action on: a failure in ANY job of the
     # loop (executor loss, bad input surfacing lazily in the init-label
     # aggregate or a round's checkpoint) must not orphan the persisted pair/edge
@@ -1186,16 +1192,31 @@ def band_probe_pairs_64(
 # ---------------------------------------------------------------------------
 
 
-# The sets rows' exchange-salt SPACE (not a partition count): sets rows
+# The SETS rows' exchange-salt SPACE (not a partition count): sets rows
 # hash over this many exchange buckets so the corpus-sized hs volume
 # never funnels into one reduce task at scale, while AQE's size-based
 # coalescing folds the tiny buckets back together locally — nothing
-# here is tuned to a core count. 4096 buckets keep per-bucket sets
-# volume ≤ ~0.5 GB up to ~2 TB of raw verification sets (≈ tens of TB
-# of corpus text); beyond that the write still completes, just with
-# >advisory-size set files.
-_SETS_SHARD_SPACE = 4096
+# here is tuned to a core count. The default 4096 buckets keep
+# per-bucket sets volume ≤ ~0.5 GB up to ~2 TB of raw verification sets
+# (≈ tens of TB of corpus text); past that, raise the conf below
+# (VERDICT r17 item 9 — the bound is recorded in SCALE.md). This salt
+# covers the sets rows ONLY: each BAND's rows keep salt 0 and land in
+# one reduce task per band (~24 B/doc × N docs per task, linear in the
+# corpus) — an explicit residual (ADVICE r17 #4): splitting a band
+# across tasks by id-hash would break the band files' disjoint bh
+# ranges that probe row-group pruning relies on, and range-splitting
+# costs a sampling pass per epoch; revisit if a single band's rows
+# outgrow one task before the sets volume outgrows this salt space.
+_SETS_SHARD_SPACE_DEFAULT = 4096
+_SETS_SHARD_SPACE_CONF = "spark.jetcontrib.dedup.setsShardSpace"
 _SETS_BAND = -1  # the sets rows' partition value; band=* globs match it
+
+
+def _sets_shard_space(spark) -> int:
+    n = int(spark.conf.get(_SETS_SHARD_SPACE_CONF, str(_SETS_SHARD_SPACE_DEFAULT)))
+    if n < 1:
+        raise ValueError(f"{_SETS_SHARD_SPACE_CONF} must be >= 1 (got {n})")
+    return n
 
 
 def index_rows(
@@ -1269,11 +1290,21 @@ def _route_index_epoch(rel: DataFrame) -> DataFrame:
         "__shard__",
         F.when(
             F.col("band") < 0,
-            F.pmod(F.xxhash64("id"), F.lit(_SETS_SHARD_SPACE)),
+            F.pmod(F.xxhash64("id"), F.lit(_sets_shard_space(rel.sparkSession))),
         ).otherwise(F.lit(0)),
     )
+    # EXPLICIT partition count (r18): the session now lets AQE coalesce
+    # column-repartitions by BYTES (parallelismFirst=false), but this
+    # exchange feeds the parquet encode — CPU per row, not bytes — and
+    # byte-based coalescing serialized the write (build leg 2.0 → 2.6 s,
+    # compact 0.8 → 1.3 s at sf0.1). The explicit count is the
+    # deployment's parallelism knob (spark.sql.shuffle.partitions), the
+    # same count the pre-r18 plan used; bucket→partition assignment is
+    # still pure hash(band, __shard__), so the per-band single sorted
+    # run and the sets rows' shard spread are unchanged.
+    n = int(rel.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        routed.repartition("band", "__shard__")
+        routed.repartition(n, F.col("band"), F.col("__shard__"))
         .sortWithinPartitions("band", "bh", "id")
         .drop("__shard__")
     )
@@ -1364,6 +1395,43 @@ def build_minhash_index(
         )
 
 
+def _probe_candidates(spark, idx: DataFrame, probe_rows, id_type) -> DataFrame:
+    """The probe's LSH candidate-generation relation: the index's NARROW
+    band rows, partition-pruned to band >= 0 and row-group-pruned by
+    `bh IN (...)` (both pushed into the scan — the plan pin lives on
+    THIS relation since the r18 pairs-collect restructure moved the band
+    scan out of probe_minhash_index's returned verify plan), joined to
+    the broadcast probe band keys, deduped to distinct
+    (probe_id, corpus_id) pairs. Collected (bounded) by
+    probe_minhash_index; exposed so tests can assert the pushdowns on
+    exactly the plan the probe executes."""
+    bhs = sorted({r["bh"] for r in probe_rows})
+    probe_schema = StructType(
+        [
+            StructField("probe_id", id_type),
+            StructField("band", IntegerType()),
+            StructField("bh", LongType()),
+        ]
+    )
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["id"], r["band"], r["bh"]) for r in probe_rows],
+            probe_schema,
+        )
+    )
+    bandscan = (
+        # band >= 0 is partition pruning (the sets partition never joins
+        # the candidate match); bh IN (...) pushes into the pruned scan
+        idx.filter((F.col("band") >= 0) & F.col("bh").isin(bhs))
+        .select("id", "band", "bh")
+    )
+    return (
+        bandscan.join(probe_df, ["band", "bh"])
+        .select("probe_id", F.col("id").alias("corpus_id"))
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+
+
 def probe_minhash_index(
     spark,
     path: str,
@@ -1373,6 +1441,7 @@ def probe_minhash_index(
     threshold: float = 0.6,
     max_probe_band_rows: int = 500_000,
     max_candidate_ids: int = 500_000,
+    _observe: dict | None = None,
 ) -> DataFrame:
     """Probe a persisted MinHash index with a (bounded) probe corpus:
     LSH candidate generation by (band, bh) equality against the NARROW
@@ -1391,11 +1460,19 @@ def probe_minhash_index(
     item 6): ``max_probe_band_rows`` caps the driver materialization of
     the probe side (|probes| x bands band rows — that is what makes it
     a broadcast, not a corpus shuffle), and ``max_candidate_ids`` caps
-    the candidate-id collect that drives the sets scan's `id IN (...)`
+    the candidate-PAIR collect that drives the sets scan's `id IN (...)`
     pruning (candidates are bucket matches: bounded by probe count x
     bucket sizes, so a degenerate corpus bucket that floods the
     candidate set raises loudly instead of silently scanning — and
-    shipping a predicate over — a corpus-sized id list).
+    shipping a predicate over — a corpus-sized id list). Since r18 the
+    cap applies to distinct (probe_id, corpus_id) PAIRS rather than
+    distinct corpus ids — pairs >= distinct ids, so every workload the
+    old cap rejected is still rejected, and the pair collect this
+    bounds replaced the r17 persist-plus-two-executions shape: the
+    candidate job runs once uncached, its pairs broadcast back, and
+    the returned verify plan scans ONLY the id-pruned sets run
+    (VERDICT r17 item 5 — no tracked persist left alive, nothing for
+    a long-lived session to leak even on the cap's error path).
 
     Output: (probe_id, corpus_id, jaccard double rounded to 6dp) for
     every pair at or above ``threshold``."""
@@ -1408,6 +1485,17 @@ def probe_minhash_index(
         raise ValueError("max_candidate_ids must be >= 1")
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
+    if params.get("layout") != "unified-v2":
+        # a pre-r17 index stores hs on every band row and has no
+        # band=-1 sets run: this probe would silently return ZERO
+        # matches (empty sets scan fails every verification) — for a
+        # decontamination tool that is a safety failure, so refuse
+        # loudly instead (ADVICE r17 #1).
+        raise ValueError(
+            f"index at {path!r} was built with layout "
+            f"{params.get('layout')!r}, not 'unified-v2': rebuild it "
+            "with build_minhash_index before probing"
+        )
     # spread=False: probes are bounded by contract (the collect cap
     # below enforces it) — spreading them buys nothing (§18)
     sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"], spread=False)
@@ -1425,57 +1513,49 @@ def probe_minhash_index(
             "build_minhash_index over the probes and probe with the "
             "corpus — or raise max_probe_band_rows deliberately."
         )
-    bhs = sorted({r["bh"] for r in probe_rows})
     # Derive the probe-id field type from the caller's id column — the
     # contract accepts any orderable id type, not just longs.
     id_type = probes.schema[id_col].dataType
-    probe_schema = StructType(
-        [
-            StructField("probe_id", id_type),
-            StructField("band", IntegerType()),
-            StructField("bh", LongType()),
-            StructField("phs", ArrayType(LongType())),
-        ]
-    )
-    probe_df = F.broadcast(
-        spark.createDataFrame(
-            [(r["id"], r["band"], r["bh"], r["hs"]) for r in probe_rows],
-            probe_schema,
-        )
-    )
     idx = spark.read.parquet(path)
-    bandscan = (
-        # band >= 0 is partition pruning (the sets partition never joins
-        # the candidate match); bh IN (...) pushes into the pruned scan
-        idx.filter((F.col("band") >= 0) & F.col("bh").isin(bhs))
-        .select("id", "band", "bh")
-    )
-    cand = (
-        bandscan.join(probe_df, ["band", "bh"])
-        .select("probe_id", F.col("id").alias("corpus_id"), "phs")
-        .dropDuplicates(["probe_id", "corpus_id"])
-    )
-    # The candidate relation feeds two executions (the id collect below
-    # and the returned verify plan); persist it so the pruned band scan
-    # + probe join run once. Bounded: it is exactly the candidate pairs
-    # the cap below vouches for. tracked (cache.py) so long-lived
-    # sessions can release it between pipeline stages.
-    from hazelcast_jet_contrib_spark.cache import tracked_persist
-
-    cand = tracked_persist(cand)
-    # bounded collect #2: the candidate ids drive the sets scan's
-    # row-group pruning (`id IN (...)` on the id-sorted run); fetch at
-    # most cap+1 distinct ids in ONE job, then fail loudly on overflow
-    id_rows = (
-        cand.select("corpus_id").distinct().limit(max_candidate_ids + 1).collect()
-    )
-    if len(id_rows) > max_candidate_ids:
+    cand = _probe_candidates(spark, idx, probe_rows, id_type)
+    # bounded collect #2: the candidate PAIRS drive the sets scan's
+    # row-group pruning (`id IN (...)` on the id-sorted run) and the
+    # verify join's probe side; fetch at most cap+1 pairs in ONE job,
+    # then fail loudly on overflow. No persist: this collect is the
+    # candidate subtree's only execution (VERDICT r17 item 5).
+    cand = cand.limit(max_candidate_ids + 1)
+    pair_rows = cand.collect()
+    if _observe is not None:
+        # test seam: the EXECUTED candidate plan (where the In(bh ...)
+        # pushdown pin lives since the pairs-collect restructure moved
+        # the band scan out of the returned verify plan)
+        _observe["candidates"] = cand
+    if len(pair_rows) > max_candidate_ids:
         raise ValueError(
-            f"candidate set exceeds {max_candidate_ids} distinct corpus ids: "
+            f"candidate set exceeds {max_candidate_ids} candidate pairs: "
             "a corpus bucket is flooding the probe (dedup exact duplicates "
             "before indexing, or raise max_candidate_ids deliberately)"
         )
-    cids = [r["corpus_id"] for r in id_rows]
+    # re-attach each probe's verification set driver-side (hs rides
+    # every collected band row already — no extra job)
+    phs_by_probe = {r["id"]: r["hs"] for r in probe_rows}
+    pair_schema = StructType(
+        [
+            StructField("probe_id", id_type),
+            StructField("corpus_id", idx.schema["id"].dataType),
+            StructField("phs", ArrayType(LongType())),
+        ]
+    )
+    pairs = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["probe_id"], r["corpus_id"], phs_by_probe[r["probe_id"]])
+                for r in pair_rows
+            ],
+            pair_schema,
+        )
+    )
+    cids = sorted({r["corpus_id"] for r in pair_rows})
     sets = idx.filter(
         # band < 0 prunes to the sets partition; the id IN (...) pushes
         # into its id-sorted files (explicit false for the no-candidate
@@ -1484,7 +1564,12 @@ def probe_minhash_index(
         (F.col("band") < 0)
         & (F.col("id").isin(cids) if cids else F.lit(False))
     ).select("id", "hs")
-    pair = cand.join(sets, cand.corpus_id == sets.id).select(
+    # one sets row per id even if a delta was appended twice: duplicate
+    # sets rows would multiply into duplicate output pairs now that the
+    # pair relation is deduped BEFORE this join (ADVICE r17 #2); cheap —
+    # the scan is already pruned to the bounded candidate ids
+    sets = sets.dropDuplicates(["id"])
+    pair = pairs.join(sets, pairs.corpus_id == sets.id).select(
         "probe_id", "corpus_id", "phs", "hs"
     )
     inter = F.size(F.array_intersect("phs", "hs")).cast("double")
@@ -1521,6 +1606,16 @@ def append_to_minhash_index(
 
     with open(_os.path.join(path, "_minhash_params.json")) as f:
         params = _json.load(f)
+    if params.get("layout") != "unified-v2":
+        # appending unified-layout rows into a pre-r17 index would mix
+        # layouts silently (band rows without hs landing next to rows
+        # that carry it) — same loud-refusal contract as the probe
+        # (ADVICE r17 #1)
+        raise ValueError(
+            f"index at {path!r} was built with layout "
+            f"{params.get('layout')!r}, not 'unified-v2': rebuild it "
+            "with build_minhash_index before appending"
+        )
     _write_index_epoch(
         corpus,
         path,

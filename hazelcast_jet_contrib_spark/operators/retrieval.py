@@ -540,7 +540,21 @@ def bm25_topk_multi(
             f"query batch exceeds {_TERM_CAP} distinct terms: the term "
             "union must stay driver-boundable; split the batch"
         )
-    qarr = F.array(*[F.lit(t) for t in sorted(r["term"] for r in term_rows)])
+    # The term union rides a ONE-ROW broadcast relation, not a literal
+    # array expression: at the cap the former `F.array(*100k F.lit(t))`
+    # was a 100k-node expression tree — a plan-size/codegen hazard that
+    # every optimizer rule re-walks (VERDICT r17 item 5 nit). The
+    # broadcast ships the same strings once as DATA; array_intersect
+    # reads them as an attribute, so the per-doc restriction (and its
+    # output) is byte-identical. Plan-pinned in
+    # tests/test_plan_audits.py (no giant literal array).
+    term_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(sorted(r["term"] for r in term_rows),)],
+            "__qterms__ array<string>",
+        )
+    )
+    qarr = F.col("__qterms__")
 
     # ONE corpus tokenize pass (r17 optimization, guide §1.2/§2.3: the
     # regex tokenize over the text column dominates the corpus pass, and
@@ -555,7 +569,7 @@ def bm25_topk_multi(
 
     toks = docs.select(
         F.col(id_col).alias("__id__"), _tokens(text_col).alias("__t__")
-    )
+    ).crossJoin(term_df)
     narrow = tracked_persist(
         toks.select(
             "__id__",

@@ -56,10 +56,16 @@ def test_probe_finds_planted_near_dups_and_verifies_exactly(spark, mh_index):
 
 
 def test_probe_scan_pushes_bucket_predicate(spark, mh_index):
+    # since r18 the band scan runs in the bounded candidate-pair job,
+    # not the returned verify plan — the pin asserts on the EXECUTED
+    # candidate plan via the probe's observability seam
     docs, path = mh_index
-    out = probe_minhash_index(spark, path, _probes(docs), threshold=0.6)
+    obs: dict = {}
+    out = probe_minhash_index(
+        spark, path, _probes(docs), threshold=0.6, _observe=obs
+    )
     out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = obs["candidates"]._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PushedFilters: \[([^\]]*)", plan)
     assert m and "In(bh" in m.group(1), (
         "probe must push the bh bucket-key IN-predicate to the index scan "
@@ -112,13 +118,14 @@ def test_incremental_append_probes_across_old_and_new(spark, tmp_path):
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zz yy")).alias("text"),
     )
-    out = probe_minhash_index(spark, path, probes, threshold=0.6)
+    obs: dict = {}
+    out = probe_minhash_index(spark, path, probes, threshold=0.6, _observe=obs)
     hits = {(r["probe_id"], r["corpus_id"]) for r in out.collect()}
     planted = {(d + 5_000_000, d) for d in range(0, 500, 97)}
     assert planted <= hits, f"missing: {planted - hits}"
     # both halves contribute (97*2=194 < 250 <= 291)
     assert any(c < 250 for _, c in hits) and any(c >= 250 for _, c in hits)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = obs["candidates"]._jdf.queryExecution().executedPlan().toString()
     assert "In(bh" in plan
 
 
@@ -149,13 +156,14 @@ def test_compaction_is_probe_identical_and_reduces_files(spark, tmp_path):
     )
     stats = compact_minhash_index(spark, path)
     assert stats["files_after"] < stats["files_before"], stats
-    out = probe_minhash_index(spark, path, probes, threshold=0.6)
+    obs: dict = {}
+    out = probe_minhash_index(spark, path, probes, threshold=0.6, _observe=obs)
     after = sorted(
         (r["probe_id"], r["corpus_id"], r["jaccard"]) for r in out.collect()
     )
     assert after == before, "compaction changed probe results"
     assert before, "vacuous: no probe hits at all"
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = obs["candidates"]._jdf.queryExecution().executedPlan().toString()
     assert "In(bh" in plan, "bucket predicate no longer pushed after compaction"
     # idempotent: a second compaction converges (crash-mid-swap story)
     stats2 = compact_minhash_index(spark, path)
@@ -260,14 +268,24 @@ def test_probe_pushes_candidate_id_predicate_into_sets_scan(spark, mh_index):
     does: the candidate `id IN (...)` predicate reaches the band=-1
     sets scan (row-group pruning on the id-sorted run)."""
     docs, path = mh_index
-    out = probe_minhash_index(spark, path, _probes(docs), threshold=0.6)
+    obs: dict = {}
+    out = probe_minhash_index(
+        spark, path, _probes(docs), threshold=0.6, _observe=obs
+    )
     out.collect()
+    # the returned verify plan scans ONLY the sets run since r18: the
+    # candidate-id pushdown lives there, the bucket pushdown in the
+    # executed candidate job (observability seam)
     plan = out._jdf.queryExecution().executedPlan().toString()
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
-    assert any("In(bh" in p for p in pushed), plan[:2000]
     assert any("In(id" in p for p in pushed), (
         "probe must push the candidate-id IN-predicate into the sets scan"
     )
+    assert not any("In(bh" in p for p in pushed), (
+        "the returned verify plan must not re-scan the band partitions"
+    )
+    cplan = obs["candidates"]._jdf.queryExecution().executedPlan().toString()
+    assert "In(bh" in cplan, cplan[:2000]
 
 
 def test_probe_candidate_id_collect_is_capped_with_clear_error(spark, mh_index):
@@ -353,3 +371,94 @@ def test_index_files_physically_sorted(spark, mh_index):
             assert vals == sorted(vals), (fpath, col)
             checked += 1
     assert checked >= n_bands + 1, f"only {checked} files checked"
+
+
+def _tiny_corpus(spark):
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_probe_and_append_refuse_pre_unified_layout(spark, tmp_path):
+    """ADVICE r17 #1: probing a pre-unified index silently returns ZERO
+    matches (no band=-1 sets run -> every candidate fails verification)
+    and appending mixes layouts — both must refuse loudly instead."""
+    import json
+    import os
+
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        append_to_minhash_index,
+    )
+
+    docs = _tiny_corpus(spark)
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path, num_hashes=64, bands=16)
+    side = os.path.join(path, "_minhash_params.json")
+    with open(side) as f:
+        params = json.load(f)
+    params.pop("layout")  # what a pre-r17 sidecar looks like
+    with open(side, "w") as f:
+        json.dump(params, f)
+    with pytest.raises(ValueError, match="unified-v2"):
+        probe_minhash_index(spark, path, _tiny_corpus(spark))
+    with pytest.raises(ValueError, match="unified-v2"):
+        append_to_minhash_index(docs, path)
+
+
+def test_duplicate_sets_rows_do_not_duplicate_probe_pairs(spark, tmp_path):
+    """ADVICE r17 #2: a re-run append of the same delta leaves duplicate
+    (id, hs) sets rows; the probe must still emit each
+    (probe_id, corpus_id) pair exactly once."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        append_to_minhash_index,
+    )
+
+    docs = _tiny_corpus(spark)
+    base = docs.filter(F.col("doc_id") < 20)
+    delta = docs.filter(F.col("doc_id") >= 20)
+    path = str(tmp_path / "idx")
+    build_minhash_index(base, path, num_hashes=64, bands=16)
+    append_to_minhash_index(delta, path)
+    append_to_minhash_index(delta, path)  # retried/re-run delta
+    idx = spark.read.parquet(path)
+    dup_sets = (
+        idx.filter(F.col("band") < 0).groupBy("id").count().filter("count > 1")
+    )
+    assert dup_sets.count() > 0, "vacuous: no duplicate sets rows planted"
+    probes = docs.filter(F.col("doc_id") >= 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = probe_minhash_index(spark, path, probes, threshold=0.9).collect()
+    pairs = [(r["probe_id"], r["corpus_id"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate output pairs"
+    assert {(d + 1_000_000, d) for d in range(20, 30)} <= set(pairs)
+
+
+def test_sets_shard_space_derives_from_conf(spark, tmp_path):
+    """VERDICT r17 item 9: the sets rows' exchange-salt space is a conf,
+    not a constant — and an insane value refuses loudly."""
+    import glob
+    import os
+
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        _SETS_SHARD_SPACE_CONF,
+        _sets_shard_space,
+    )
+
+    assert _sets_shard_space(spark) == 4096
+    spark.conf.set(_SETS_SHARD_SPACE_CONF, "7")
+    try:
+        assert _sets_shard_space(spark) == 7
+        docs = _tiny_corpus(spark)
+        path = str(tmp_path / "idx")
+        build_minhash_index(docs, path, num_hashes=64, bands=16)
+        # the salt space bounds the sets run's exchange buckets; the
+        # write is still one sorted run per partition dir
+        sets_files = glob.glob(os.path.join(path, "band=-1", "*.parquet"))
+        assert 1 <= len(sets_files) <= 7
+        spark.conf.set(_SETS_SHARD_SPACE_CONF, "0")
+        with pytest.raises(ValueError, match="setsShardSpace"):
+            _sets_shard_space(spark)
+    finally:
+        spark.conf.unset(_SETS_SHARD_SPACE_CONF)

@@ -578,3 +578,32 @@ def test_dup_span_extraction_plan_budget(spark):
     a = audit(QUERIES["dup_span_extraction"](spark, SF))
     assert a.exchanges() <= 3, f"dup_span exchange count grew: {a.exchanges()}"
     assert a.python_stages() == 0 and a.arrow_python_stages() == 0
+
+
+def test_bm25_multi_term_union_is_broadcast_data_not_literals(spark):
+    """VERDICT r17 item 8: bm25_topk_multi's term union must ride a
+    one-row broadcast relation, NOT an F.array of up to 100k literals —
+    a plan-size/codegen hazard at the cap (every optimizer rule re-walks
+    a 100k-node expression tree). With the fix the terms are DATA: none
+    of them may appear in the optimized plan."""
+    from hazelcast_jet_contrib_spark.cache import release_tracked
+    from hazelcast_jet_contrib_spark.operators.retrieval import bm25_topk_multi
+
+    docs = spark.createDataFrame(
+        [(i, f"xyzzy{i}x0 common xyzzy{i}x1 words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(i, [f"xyzzy{i}x{j}" for j in range(40)]) for i in range(50)],
+        "query_id long, terms array<string>",
+    )
+    out = bm25_topk_multi(docs, queries, k=3)
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "xyzzy" not in plan, (
+            "term union leaked into the plan as literals "
+            f"(plan {len(plan)} chars)"
+        )
+        assert out.count() > 0  # and the plan still executes
+    finally:
+        release_tracked()
