@@ -1294,7 +1294,20 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 finally:
                     conn.close()
 
+            # HTTP/2 slice posts CONCURRENTLY with the HTTP/1.1
+            # producers (r18): the two protocol legs exercise disjoint
+            # body slices and the spool aggregate is order-insensitive,
+            # so serializing them only added the h2 leg's wall time
+            h2_out: dict = {}
+
+            def h2_producer() -> None:
+                try:
+                    h2_out["statuses"] = http2.post_h2c(host, port, h2_bodies)
+                except Exception as ex:  # surfaced by the assert below
+                    h2_out["error"] = ex
+
             workers = [threading.Thread(target=producer) for _ in range(8)]
+            workers.append(threading.Thread(target=h2_producer))
             for w in workers:
                 w.start()
             for w in workers:
@@ -1304,9 +1317,9 @@ def http_listener_spool_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 if w.is_alive():
                     raise RuntimeError("HTTP producer hung past 120s")
             assert not failures, failures
-            # HTTP/2 slice: one multiplexed h2c connection
-            statuses = http2.post_h2c(host, port, h2_bodies)
-            assert statuses == ["200"] * len(h2_bodies), statuses
+            if "error" in h2_out:
+                raise h2_out["error"]
+            assert h2_out.get("statuses") == ["200"] * len(h2_bodies), h2_out
         finally:
             src.stop()
         # read the stream DIRECTORY, not a segment glob: a glob

@@ -177,6 +177,13 @@ class HttpListenerSource:
         self._gen = 0
         self._flushed_gen = -1
         self._flushing = False
+        # next-segment hint for append_segment: this source is the sole
+        # producer of its spool stream and its leaders serialize on
+        # _flushing, so "last committed seq + 1" skips the per-append
+        # directory scan (O(n_segments) per append — ~40% of protocol
+        # wall at ~500 segments, r18). A collision (external producer)
+        # just falls back to the scan inside append_segment.
+        self._next_seq: int | None = None
         self._flush_errors: dict[int, Exception] = {}
         # per-generation count of threads that may still need that
         # generation's error verdict: an error entry is dropped only
@@ -332,11 +339,17 @@ class HttpListenerSource:
         _flushed_gen advances monotonically and segment order follows
         generation order."""
         err: Exception | None = None
+        seq: int | None = None
         try:
-            message_log.append_segment(self.spool_dir, self.stream_name, batch)
+            seq = message_log.append_segment(
+                self.spool_dir, self.stream_name, batch,
+                seq_hint=self._next_seq,
+            )
         except Exception as ex:  # durable-ack: the error must reach
             err = ex  # every covered request, not kill this thread only
         with self._cv:
+            if seq is not None:
+                self._next_seq = seq + 1  # leaders serialize on _flushing
             self._flushing = False
             self._flushed_gen = my_gen
             # store the verdict only if a follower may still read it
@@ -350,7 +363,11 @@ class HttpListenerSource:
 
     def _flush_locked(self) -> None:
         if self._buf:
-            message_log.append_segment(self.spool_dir, self.stream_name, self._buf)
+            seq = message_log.append_segment(
+                self.spool_dir, self.stream_name, self._buf,
+                seq_hint=self._next_seq,
+            )
+            self._next_seq = seq + 1
             self._buf = []
 
     def flush(self) -> None:
@@ -383,7 +400,14 @@ class HttpListenerSource:
         self._flusher.start()
 
     def start(self) -> "HttpListenerSource":
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        # poll_interval bounds how long shutdown() blocks (the default
+        # 0.5 s is pure sleep added to every stop() — measured ~0.3 s of
+        # the bounded roundtrip row, r18); 50 ms keeps the idle wakeup
+        # cost negligible while making stop() prompt.
+        self._thread = threading.Thread(
+            target=lambda: self._server.serve_forever(poll_interval=0.05),
+            daemon=True,
+        )
         self._thread.start()
         if not self.durable_ack:
             # time-based flush bounds the ack-before-durability window

@@ -426,14 +426,29 @@ def register(spark) -> None:
     spark.dataSource.register(MessageLogDataSource)
 
 
-def append_segment(root: str, stream: str, records: list[dict], seq: int | None = None) -> int:
+def append_segment(
+    root: str,
+    stream: str,
+    records: list[dict],
+    seq: int | None = None,
+    seq_hint: int | None = None,
+) -> int:
     """Producer helper (used by tests, sinks, and the webhook spool):
     append one segment file atomically; returns its sequence number.
 
     Safe under concurrent producers (e.g. every partition of a
     stream_sink writing at once): the next free sequence number is
     claimed with os.link, which atomically fails if another producer won
-    the slot — then we re-scan and retry."""
+    the slot — then we re-scan and retry.
+
+    ``seq_hint`` lets a SOLE producer (the HTTP listener's group-commit
+    leader, which serializes its own appends) skip the per-append
+    directory scan: the hint (its last committed seq + 1) is tried
+    first, and any collision — another producer slipped in — falls back
+    to the scan-and-retry loop, so correctness never depends on the
+    hint. Without it the scan is O(n_segments) per append (r18
+    measurement: the ~500-segment webhook spool spent ~40% of its
+    protocol wall in append_segment, growing with segment count)."""
     sdir = os.path.join(root, stream)
     os.makedirs(sdir, exist_ok=True)
     tmp = os.path.join(sdir, f".seg-{os.getpid()}-{time.monotonic_ns()}.tmp")
@@ -446,7 +461,10 @@ def append_segment(root: str, stream: str, records: list[dict], seq: int | None 
             tmp = None
             return seq
         while True:
-            seq = max(_segments(sdir), default=-1) + 1
+            if seq_hint is not None:
+                seq, seq_hint = seq_hint, None  # trust once, then re-scan
+            else:
+                seq = max(_segments(sdir), default=-1) + 1
             try:
                 os.link(tmp, os.path.join(sdir, f"{seq:06d}.jsonl"))
                 return seq

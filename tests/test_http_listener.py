@@ -948,7 +948,7 @@ def test_durable_ack_group_commit_coalesces_concurrent_posts(
 
     real_append = ml.append_segment
 
-    def slow_append(root, stream, records, seq=None):
+    def slow_append(root, stream, records, seq=None, seq_hint=None):
         _time.sleep(0.01)
         return real_append(root, stream, records, seq)
 
@@ -997,7 +997,7 @@ def test_durable_ack_flush_failure_errors_every_covered_request(
     real_append = ml.append_segment
     state = {"fail": 1}
 
-    def flaky(root, stream, records, seq=None):
+    def flaky(root, stream, records, seq=None, seq_hint=None):
         if state["fail"]:
             state["fail"] -= 1
             raise OSError(28, "No space left on device (injected)")
@@ -1255,7 +1255,7 @@ def test_durable_ack_group_commit_exact_under_injected_scheduling_jitter(
     rng = random.Random(0xC0FFEE)
     delay_lock = threading.Lock()
 
-    def slow_append(root, stream, records, seq=None):
+    def slow_append(root, stream, records, seq=None, seq_hint=None):
         with delay_lock:
             d = rng.uniform(0, 0.008)
         _time.sleep(d)

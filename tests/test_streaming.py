@@ -374,3 +374,44 @@ def test_idle_stream_does_not_stall_watermark(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_append_segment_seq_hint_fast_path_and_collision_fallback(tmp_path):
+    """r18: a sole producer can pass seq_hint=last+1 to skip the
+    per-append directory scan; a stale/colliding hint must fall back to
+    the scan — hinted and unhinted appends interleave into one dense,
+    gap-free sequence with every record intact."""
+    from hazelcast_jet_contrib_spark.streaming import message_log
+
+    root, stream = str(tmp_path), "s"
+    s0 = message_log.append_segment(root, stream, [{"k": "a", "value": "0"}])
+    assert s0 == 0
+    # hinted fast path
+    s1 = message_log.append_segment(
+        root, stream, [{"k": "b", "value": "1"}], seq_hint=s0 + 1
+    )
+    assert s1 == 1
+    # another producer (no hint) takes seq 2 ...
+    s2 = message_log.append_segment(root, stream, [{"k": "c", "value": "2"}])
+    assert s2 == 2
+    # ... making the first producer's hint (2) stale: collision must
+    # fall back to the scan and land on 3, never clobber or drop
+    s3 = message_log.append_segment(
+        root, stream, [{"k": "d", "value": "3"}], seq_hint=s1 + 1
+    )
+    assert s3 == 3
+    import glob
+    import os
+
+    names = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, stream, "*.jsonl"))
+    )
+    assert names == ["000000.jsonl", "000001.jsonl", "000002.jsonl", "000003.jsonl"]
+    import json as _json
+
+    vals = []
+    for n in names:
+        with open(os.path.join(root, stream, n)) as f:
+            vals += [_json.loads(line)["value"] for line in f]
+    assert vals == ["0", "1", "2", "3"]
