@@ -37,6 +37,15 @@ def main() -> None:
     from hazelcast_jet_contrib_spark import get_spark
     from hazelcast_jet_contrib_spark.registry import QUERIES
 
+    # Contention evidence (VERDICT r17 item 1/4): the r17 32-core driver
+    # sweep read 37% slower than its own 8-core sweep minutes later —
+    # distinguishable from a code regression only via the builder's
+    # session logs. Sampling the 1-minute loadavg at sweep start/end
+    # (this sandbox shows loadavg 3-7 from OUTSIDE the VM with zero
+    # local processes during contention bursts) puts that evidence in
+    # the driver-visible line itself.
+    load_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark(app_name="bench")
 
     # Untimed warmup: exercise the parquet reader, whole-stage codegen,
@@ -348,6 +357,23 @@ def main() -> None:
                 indent=1,
             )
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:8])
+    # In-sweep contention markers (VERDICT r17 items 1/4), all cheap
+    # scalars so the 1500-char tail budget holds:
+    #   drifted_n        — queries >1.5x their all-time best AND >=0.5s
+    #                      over it (the human-chase list's size)
+    #   retime_gain_sec  — how much the min-of-two retime policy shaved
+    #                      off in-sweep samples: large values mean the
+    #                      sweep itself was contended, not the code
+    #   load_start/end   — 1-min loadavg around the sweep (external
+    #                      neighbors show up here with zero local
+    #                      processes)
+    retime_gain = round(
+        sum(
+            p["in_sweep"] - min(p["in_sweep"], p["isolated"])
+            for p in retime_provenance.values()
+        ),
+        2,
+    )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(ok.values()), 3),
@@ -356,6 +382,10 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "retimed_n": len(retimed),
+        "drifted_n": len(drifted),
+        "retime_gain_sec": retime_gain,
+        "load_start": load_start,
+        "load_end": round(os.getloadavg()[0], 2),
         "side_artifacts": "BENCH_TIMINGS.json,BENCH_SHUFFLE.json",
         "queries": slowest,
     }
