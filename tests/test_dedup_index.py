@@ -13,6 +13,17 @@ from pyspark.sql import functions as F
 from hazelcast_jet_contrib_spark.streaming import message_log
 from hazelcast_jet_contrib_spark.streaming.dedup_index import StreamingNearDupIndex
 
+import pytest
+
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
+
+
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
     "from a warm windowsill and the afternoon sun slowly fades away"

@@ -25,9 +25,11 @@ from hazelcast_jet_contrib_spark.sources.jvm_connector import JvmConnectorHost
 
 javac = shutil.which("javac")
 jar = shutil.which("jar")
-pytestmark = pytest.mark.skipif(
-    javac is None or jar is None, reason="javac/jar not on PATH"
-)
+# Driver-tier split (VERDICT r17 item 3): protocol robustness — full tier only.
+pytestmark = [
+    pytest.mark.skipif(javac is None or jar is None, reason="javac/jar not on PATH"),
+    pytest.mark.slow,
+]
 
 _CONNECTOR_JAVA = textwrap.dedent(
     """

@@ -408,6 +408,15 @@ def test_spool_feeds_acked_reader_with_derived_qos(spark, tmp_path):
 
 from importlib.util import find_spec  # noqa: E402
 
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
+
+
 requires_live_mqtt = pytest.mark.skipif(
     find_spec("paho") is None or "SPARK_GRAFT_MQTT_HOST" not in os.environ,
     reason="needs paho-mqtt installed and SPARK_GRAFT_MQTT_HOST set",

@@ -34,7 +34,8 @@ from hazelcast_jet_contrib_spark.real_clients import (
 )
 from hazelcast_jet_contrib_spark.sinks.builder import RetryStrategy
 
-pytestmark = pytest.mark.usefixtures()
+# Driver-tier split (VERDICT r17 item 3): protocol robustness — full tier only.
+pytestmark = [pytest.mark.slow]
 
 
 # ---------------------------------------------------------------------------

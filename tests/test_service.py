@@ -9,9 +9,20 @@ import os
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.operators.service import (
+
     ServiceFactory,
     map_using_service,
 )
+
+import pytest
+
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
 
 
 def test_service_lifecycle_once_per_partition(spark, tmp_path):

@@ -9,10 +9,21 @@ from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.streaming import message_log
 from hazelcast_jet_contrib_spark.streaming.stateful import (
+
     streaming_dedup,
     streaming_rolling_hll,
     streaming_running_count,
 )
+
+import pytest
+
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
 
 
 def _log_stream(spark, root):

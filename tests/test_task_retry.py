@@ -46,6 +46,15 @@ from pathlib import Path
 
 import pytest
 
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
+
+
 REPO = Path(__file__).resolve().parent.parent
 
 _DRIVER_SRC = '''
@@ -57,6 +66,7 @@ from pyspark.sql import SparkSession
 
 from hazelcast_jet_contrib_spark.fault_injection import write_schedule
 from hazelcast_jet_contrib_spark.real_clients import mongo_source
+
 
 spark = (
     SparkSession.builder.master("local[4,2]")

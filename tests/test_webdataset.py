@@ -15,6 +15,15 @@ from hazelcast_jet_contrib_spark.operators.webdataset import (
 from hazelcast_jet_contrib_spark.registry import table
 from tests.conftest import SMOKE_SF
 
+# Driver-tier split (VERDICT r17 item 3): this module is kill/restart/
+# soak/protocol ROBUSTNESS coverage, not result correctness — it runs in
+# the full tier (`pytest -m "slow or not slow"`, exercised and committed
+# every round) but is excluded from the default driver-facing tier so the
+# driver's verify window can complete. Oracle comparisons, plan audits,
+# and kernel-equality pins all stay in the default tier.
+pytestmark = pytest.mark.slow
+
+
 
 def _samples(spark):
     docs = table(spark, SMOKE_SF, "documents").select("doc_id", "text")
