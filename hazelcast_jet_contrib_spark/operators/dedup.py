@@ -91,6 +91,62 @@ def _shingle_sets(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, hs) with hs = the DISTINCT xxhash64 values of the word-n-gram
+    shingles — the MinHash family's real input — computed WITHOUT ever
+    materializing a shingle string (r18, guide §1.2 "don't compute
+    things you throw away"): one ``transform`` over the shingle index
+    range feeds each ``concat_ws`` of three token ``element_at``s
+    STRAIGHT into ``xxhash64``, and distinctness applies to the 8-byte
+    hashes only. The former path (``_shingle_sets`` →
+    ``array_distinct(transform(sh, xxhash64))``) built an arrays_zip
+    struct array + three slice copies + an ``array_distinct`` over
+    shingle STRINGS, all of which existed only to be hashed and
+    dropped — measured 3.1× on the hs pass at sf0.1
+    (scripts/mb_shinglevar.py record: 1.39 → 0.45 s min, hs sets
+    asserted identical over the full corpus first).
+
+    ``element_at`` inside the lambda is safe here because the token
+    array is a projected ATTRIBUTE, not a computed expression — the
+    HOF-discipline rule in ``shingles_of_tokens``'s docstring only
+    forbids captured *computed* subtrees, which Spark re-evaluates per
+    element.
+
+    Value contract (pinned in tests/test_dedup_similarity.py): equal to
+    ``array_distinct(transform(_shingle_sets(...).sh, xxhash64))`` row
+    for row — same tokens, same space-joined n-grams, same hashes;
+    string-level distinctness differs from hash-level distinctness only
+    on an intra-document xxhash64 collision (~2^-64 per pair), exactly
+    the collapse the former shape's hash-distinct already performed.
+
+    ``spread=False`` skips the under-partitioned-corpus repartition for
+    inputs small by contract (probe/eval sets) — see ``_shingle_sets``.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    if spread:
+        base = _spread(base)
+    t = F.col("__toks__")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(shingle_words - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                *[F.element_at(t, i + F.lit(j)) for j in range(shingle_words)],
+            )
+        ),
+    )
+    return (
+        base.select("id", tokens("__text__").alias("__toks__"))
+        # size < n ⇔ the string path's size(sh) > 0 filter (empty/NULL
+        # text tokenizes to size 1/-1, both dropped either way)
+        .filter(F.size(t) >= shingle_words)
+        .select("id", F.array_distinct(sh).alias("hs"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -288,6 +344,17 @@ def minhash_signatures(shingle_sets: DataFrame, num_hashes: int) -> DataFrame:
         "id",
         F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
     )
+    return minhash_signatures_hs(hashed, num_hashes)
+
+
+def minhash_signatures_hs(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature + verification set per id from a
+    ``hashed_shingle_sets``-shaped frame (id, hs): the bit-exact
+    vectorized family kernel over the per-doc distinct shingle hashes.
+    Output: (id, h0..h{n-1}, hs). This is ``minhash_signatures`` minus
+    the string-shingle hashing — the bulk pipeline builds (id, hs) with
+    ``hashed_shingle_sets`` (no shingle strings ever materialized, r18)
+    and feeds it here."""
     kernel = _minhash_family_kernel(num_hashes)
     return hashed.select("id", kernel("hs").alias("__mh__"), "hs").select(
         "id",
@@ -369,10 +436,11 @@ def minhash_lsh_pairs(
     ``spark.catalog.clearCache()``) between stages, or the caches
     accumulate (ADVICE r13 #4).
     """
-    base = _shingle_sets(df, id_col, text_col, shingle_words)
+    base = hashed_shingle_sets(df, id_col, text_col, shingle_words)
 
     # 1. signatures + verification sets in one row-local pass (see
-    # minhash_signatures — zero exchanges since r17). Three consumers
+    # minhash_signatures_hs — zero exchanges since r17, no shingle
+    # strings materialized since r18). Three consumers
     # read the relation (banding, verify side a, verify side b); persist
     # it so the scan → shingle → hash → kernel pass runs ONCE instead of
     # per branch. The cached relation is per-id (num_hashes longs + the
@@ -383,7 +451,7 @@ def minhash_lsh_pairs(
     # banded relation below.
     from hazelcast_jet_contrib_spark.cache import tracked_persist
 
-    agg = tracked_persist(minhash_signatures(base, num_hashes))
+    agg = tracked_persist(minhash_signatures_hs(base, num_hashes))
     sig = agg
 
     # 2. band keys from signature slices (multi-column xxhash64),
@@ -453,19 +521,19 @@ def minhash_decontaminate(
     up to the (1-threshold^2)^bands escape probability (4e-13 at the
     defaults) — the verification Jaccard itself is exact.
     """
-    base_c = _shingle_sets(corpus, id_col, text_col, shingle_words)
+    base_c = hashed_shingle_sets(corpus, id_col, text_col, shingle_words)
     # probe side: spread=False (eval sets are small by contract — §18),
     # and tracked_persist because the probe aggregate feeds BOTH banding
     # and verification unpersisted — each evaluation re-scanned the full
     # source to filter out the probes, so the tiny persist saves one
     # whole corpus text scan (measured §18)
-    base_p = _shingle_sets(probes, id_col, text_col, shingle_words, spread=False)
+    base_p = hashed_shingle_sets(probes, id_col, text_col, shingle_words, spread=False)
     # corpus signature relation feeds banding + verification: persist
     # like minhash_lsh_pairs so the scan -> shingle -> kernel runs once
     from hazelcast_jet_contrib_spark.cache import tracked_persist
 
-    agg_c = tracked_persist(minhash_signatures(base_c, num_hashes))
-    agg_p = tracked_persist(minhash_signatures(base_p, num_hashes))
+    agg_c = tracked_persist(minhash_signatures_hs(base_c, num_hashes))
+    agg_p = tracked_persist(minhash_signatures_hs(base_p, num_hashes))
 
     bands_c = band_keys(agg_c, num_hashes, bands)
     bands_p = band_keys(agg_p, num_hashes, bands).withColumnRenamed("id", "probe_id")
@@ -1242,8 +1310,8 @@ def index_rows(
     (row-local signatures + one repartition moving three longs per band
     row + each ``hs`` once — records linear in corpus, constant
     exchanges) IS the index build's cost law."""
-    sh = _shingle_sets(corpus, id_col, text_col, shingle_words)
-    sig = minhash_signatures(sh, num_hashes)
+    sh = hashed_shingle_sets(corpus, id_col, text_col, shingle_words)
+    sig = minhash_signatures_hs(sh, num_hashes)
     rows = num_hashes // bands
     structs = [
         F.struct(
@@ -1498,8 +1566,10 @@ def probe_minhash_index(
         )
     # spread=False: probes are bounded by contract (the collect cap
     # below enforces it) — spreading them buys nothing (§18)
-    sh = _shingle_sets(probes, id_col, text_col, params["shingle_words"], spread=False)
-    sig = minhash_signatures(sh, params["num_hashes"])
+    sh = hashed_shingle_sets(
+        probes, id_col, text_col, params["shingle_words"], spread=False
+    )
+    sig = minhash_signatures_hs(sh, params["num_hashes"])
     # same one-pass shape as index_rows: hs carried through the unpivot
     pb = band_keys(sig, params["num_hashes"], params["bands"], carry=("hs",))
     # bounded collect: fetch at most cap+1 rows in ONE job, then fail

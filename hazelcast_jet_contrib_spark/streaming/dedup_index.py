@@ -42,9 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hazelcast_jet_contrib_spark.operators.dedup import (
-    _shingle_sets,
     band_keys,
-    minhash_signatures,
+    hashed_shingle_sets,
+    minhash_signatures_hs,
 )
 
 
@@ -160,8 +160,8 @@ class StreamingNearDupIndex:
         from pyspark import StorageLevel
 
         id_col, text_col = self._id_col, self._text_col
-        base = _shingle_sets(batch_df, id_col, text_col, self.shingle_words)
-        sig = minhash_signatures(base, self.num_hashes).persist(
+        base = hashed_shingle_sets(batch_df, id_col, text_col, self.shingle_words)
+        sig = minhash_signatures_hs(base, self.num_hashes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         try:

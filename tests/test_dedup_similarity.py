@@ -686,3 +686,78 @@ def test_minhash_fused_kernel_matches_aggregate_formulation(spark):
             # both shapes must already be duplicate-free (distinct
             # strings hashed vs array_distinct on the hashed longs)
             assert len(n[k][1]) == n[k][2] == o[k][2]
+
+
+def test_hashed_shingle_sets_matches_string_shingle_path(spark):
+    """The r18 fused hash-only shingle pass (hashed_shingle_sets: one
+    transform over the shingle index range, element_at + concat_ws fed
+    straight into xxhash64, NO shingle string ever materialized) is
+    value-identical to the string path (_shingle_sets →
+    array_distinct(transform(sh, xxhash64))) — same row set, same hs
+    sets, and the same end-to-end signatures through
+    minhash_signatures(_hs) — on real fixture text plus unicode,
+    duplicated-shingle, mixed-whitespace, sub-shingle-length, empty and
+    NULL docs (the filter boundary: size(toks) >= n must drop exactly
+    the docs whose string shingle list is empty)."""
+    from hazelcast_jet_contrib_spark.operators.dedup import (
+        _shingle_sets,
+        hashed_shingle_sets,
+        minhash_signatures,
+        minhash_signatures_hs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (90001, "one two three"),  # exactly one shingle
+                (90002, "a b c a b c a b c"),  # duplicate shingles
+                (90003, "héllo wörld ünïcode ß ÅÉ îø"),  # non-ascii
+                (90004, "a\tb\nc  d \t e"),  # mixed whitespace runs
+                (90005, "two tokens"),  # below shingle width -> dropped
+                (90006, ""),  # empty -> dropped
+                (90007, "   \t  "),  # whitespace-only -> dropped
+                (90008, None),  # NULL text -> dropped
+                (90009, "Ünïcode ÜNÏCODE ünïcode ünïcode"),  # case fold
+            ],
+            "doc_id long, text string",
+        )
+    )
+    for shingle_words in (2, 3):
+        old = {
+            r["id"]: frozenset(r["hs"])
+            for r in _shingle_sets(docs, "doc_id", "text", shingle_words)
+            .select(
+                "id",
+                F.array_distinct(
+                    F.transform("sh", lambda s: F.xxhash64(s))
+                ).alias("hs"),
+            )
+            .collect()
+        }
+        new = {
+            r["id"]: frozenset(r["hs"])
+            for r in hashed_shingle_sets(
+                docs, "doc_id", "text", shingle_words
+            ).collect()
+        }
+        assert set(old) == set(new), f"row sets differ @ n={shingle_words}"
+        for k in old:
+            assert old[k] == new[k], f"hs differs for id {k} @ n={shingle_words}"
+
+    # end-to-end: the signature relation the pipelines actually consume
+    sig_old = {
+        r["id"]: tuple(r[f"h{i}"] for i in range(64))
+        for r in minhash_signatures(
+            _shingle_sets(docs, "doc_id", "text", 3), 64
+        ).collect()
+    }
+    sig_new = {
+        r["id"]: tuple(r[f"h{i}"] for i in range(64))
+        for r in minhash_signatures_hs(
+            hashed_shingle_sets(docs, "doc_id", "text", 3), 64
+        ).collect()
+    }
+    assert sig_old == sig_new
