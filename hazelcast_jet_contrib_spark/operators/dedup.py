@@ -16,7 +16,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -1468,35 +1467,25 @@ def _probe_candidates(spark, idx: DataFrame, probe_rows, id_type) -> DataFrame:
     band rows, partition-pruned to band >= 0 and row-group-pruned by
     `bh IN (...)` (both pushed into the scan — the plan pin lives on
     THIS relation since the r18 pairs-collect restructure moved the band
-    scan out of probe_minhash_index's returned verify plan), joined to
-    the broadcast probe band keys, deduped to distinct
-    (probe_id, corpus_id) pairs. Collected (bounded) by
-    probe_minhash_index; exposed so tests can assert the pushdowns on
-    exactly the plan the probe executes."""
+    scan out of probe_minhash_index's returned verify plan). Since r18
+    the relation is the pruned SCAN ALONE: the probe band keys are
+    already driver-resident (they were collected to build the `bh`
+    pushdown list), so attaching probe_ids to the matched corpus rows
+    is a dict lookup per collected row, not a Spark job — the former
+    createDataFrame → broadcast → hash join → dropDuplicates exchange
+    existed only to re-derive driver-known data and cost ~1.3 s of the
+    probe leg at sf0.1 (guide §1.2: don't compute things you already
+    have; measured in /tmp-scripted A/B, recorded in
+    OPTIMIZATION_r18.md §5). Collected (bounded) by probe_minhash_index,
+    which forms and dedupes the (probe_id, corpus_id) pairs driver-side;
+    exposed so tests can assert the pushdowns on exactly the plan the
+    probe executes."""
     bhs = sorted({r["bh"] for r in probe_rows})
-    probe_schema = StructType(
-        [
-            StructField("probe_id", id_type),
-            StructField("band", IntegerType()),
-            StructField("bh", LongType()),
-        ]
-    )
-    probe_df = F.broadcast(
-        spark.createDataFrame(
-            [(r["id"], r["band"], r["bh"]) for r in probe_rows],
-            probe_schema,
-        )
-    )
-    bandscan = (
+    return (
         # band >= 0 is partition pruning (the sets partition never joins
         # the candidate match); bh IN (...) pushes into the pruned scan
         idx.filter((F.col("band") >= 0) & F.col("bh").isin(bhs))
         .select("id", "band", "bh")
-    )
-    return (
-        bandscan.join(probe_df, ["band", "bh"])
-        .select("probe_id", F.col("id").alias("corpus_id"))
-        .dropDuplicates(["probe_id", "corpus_id"])
     )
 
 
@@ -1587,25 +1576,49 @@ def probe_minhash_index(
     # contract accepts any orderable id type, not just longs.
     id_type = probes.schema[id_col].dataType
     idx = spark.read.parquet(path)
-    cand = _probe_candidates(spark, idx, probe_rows, id_type)
-    # bounded collect #2: the candidate PAIRS drive the sets scan's
-    # row-group pruning (`id IN (...)` on the id-sorted run) and the
-    # verify join's probe side; fetch at most cap+1 pairs in ONE job,
-    # then fail loudly on overflow. No persist: this collect is the
-    # candidate subtree's only execution (VERDICT r17 item 5).
-    cand = cand.limit(max_candidate_ids + 1)
-    pair_rows = cand.collect()
+    # bounded collect #2: the matched BAND ROWS drive the sets scan's
+    # `id IN (...)` pruning and the driver-side pair formation; fetch at
+    # most cap+1 rows in ONE job, then fail loudly on overflow. Raw
+    # matched rows >= distinct (probe_id, corpus_id) pairs (a pair
+    # contributes one row per matching band), so every workload the
+    # former distinct-pair cap rejected is still rejected — the cap just
+    # fires earlier for heavily multi-band matches, which is the guard's
+    # conservative direction (raise max_candidate_ids deliberately for
+    # legitimate dense probes). No persist, no join: this collect is the
+    # candidate subtree's only execution (VERDICT r17 item 5), and the
+    # pairs come from a dict lookup against the already-collected probe
+    # band rows instead of a createDataFrame → broadcast → join →
+    # dropDuplicates round-trip (~1.3 s of the probe leg at sf0.1 —
+    # OPTIMIZATION_r18.md §5).
+    cand = _probe_candidates(spark, idx, probe_rows, id_type).limit(
+        max_candidate_ids + 1
+    )
+    match_rows = cand.collect()
     if _observe is not None:
         # test seam: the EXECUTED candidate plan (where the In(bh ...)
         # pushdown pin lives since the pairs-collect restructure moved
         # the band scan out of the returned verify plan)
         _observe["candidates"] = cand
-    if len(pair_rows) > max_candidate_ids:
+    if len(match_rows) > max_candidate_ids:
         raise ValueError(
-            f"candidate set exceeds {max_candidate_ids} candidate pairs: "
+            f"candidate set exceeds {max_candidate_ids} matched band rows: "
             "a corpus bucket is flooding the probe (dedup exact duplicates "
             "before indexing, or raise max_candidate_ids deliberately)"
         )
+    # driver-side pair formation: the scan's bh pushdown is bh-only (a
+    # corpus row may share a bh with a probe key from a DIFFERENT band —
+    # a ~2^-64 collision), so matching on (band, bh) here reproduces the
+    # former join's key exactly; dedup via the set
+    probes_by_key: dict[tuple, list] = {}
+    for r in probe_rows:
+        probes_by_key.setdefault((r["band"], r["bh"]), []).append(r["id"])
+    pair_set = sorted(
+        {
+            (pid, m["id"])
+            for m in match_rows
+            for pid in probes_by_key.get((m["band"], m["bh"]), ())
+        }
+    )
     # re-attach each probe's verification set driver-side (hs rides
     # every collected band row already — no extra job)
     phs_by_probe = {r["id"]: r["hs"] for r in probe_rows}
@@ -1618,14 +1631,11 @@ def probe_minhash_index(
     )
     pairs = F.broadcast(
         spark.createDataFrame(
-            [
-                (r["probe_id"], r["corpus_id"], phs_by_probe[r["probe_id"]])
-                for r in pair_rows
-            ],
+            [(pid, cid, phs_by_probe[pid]) for pid, cid in pair_set],
             pair_schema,
         )
     )
-    cids = sorted({r["corpus_id"] for r in pair_rows})
+    cids = sorted({cid for _, cid in pair_set})
     sets = idx.filter(
         # band < 0 prunes to the sets partition; the id IN (...) pushes
         # into its id-sorted files (explicit false for the no-candidate

@@ -19,8 +19,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os
+
 SF_DIR = "/root/testdata/sf0.01"
-OUT = REPO / "plans" / "r17"
+OUT = REPO / "plans" / os.environ.get("PLANS_ROUND", "r18")
 
 
 def main() -> None:
